@@ -1,0 +1,258 @@
+"""Lexicon (ontology lookup table) construction.
+
+Builds the broadcastable, read-only lookup structure the matcher probes.
+The data model mirrors the reference's 16-key nested dict
+(``/root/reference/lexmapr/pipeline_resources.py:168-199``) so that its unit
+tests and golden outputs transfer, but adds precomputed acceleration indexes
+(sorted-token-multiset hash sets) that let the Ray actor-pool matcher skip
+provably-failing permutation probes without changing semantics.
+
+Resource CSVs are read from ``LEXMAPR_RESOURCES`` (default: the reference's
+``predefined_resources`` directory).  The built lexicon is cached to a pickle
+keyed by the resource files' identity; at cluster scale it is built once on
+the driver and shipped to every matcher actor via ``ray.put``.
+"""
+
+from __future__ import annotations
+
+import csv
+import hashlib
+import os
+import pickle
+from dataclasses import dataclass, field
+from itertools import permutations
+from collections import OrderedDict
+
+from lexmapr_ray.lexkit.textproc import punctuation_treatment, word_tokenize
+
+DEFAULT_RESOURCE_DIR = os.environ.get(
+    "LEXMAPR_RESOURCES", "/root/reference/lexmapr/predefined_resources"
+)
+_CACHE_DIR = os.environ.get("LEXMAPR_CACHE_DIR", "/tmp/lexmapr_ray_cache")
+
+
+def create_lookup_table_skeleton() -> dict:
+    """Empty lookup table with the fixed key set.
+
+    Mirrors /root/reference/lexmapr/pipeline_resources.py:168-199.
+    """
+    return {
+        "non_standard_resource_ids": {},
+        "standard_resource_labels": {},
+        "standard_resource_label_permutations": {},
+        "synonyms": {},
+        "parents": {},
+        "abbreviations": {},
+        "non_english_words": {},
+        "spelling_mistakes": {},
+        "inflection_exceptions": {},
+        "stop_words": {},
+        "suffixes": {},
+        "buckets_ifsactop": {},
+        "buckets_lexmapr": {},
+        "ifsac_labels": {},
+        "ifsac_refinement": {},
+        "ifsac_default": {},
+    }
+
+
+def merge_lookup_tables(lookup_table_one: dict, lookup_table_two: dict) -> dict:
+    """Merge two lookup tables; table-two wins key conflicts.
+
+    Mirrors /root/reference/lexmapr/pipeline_helpers.py:375-412 (including
+    its validation errors).
+    """
+    if lookup_table_one.keys() != lookup_table_two.keys():
+        raise ValueError("lookup_table_one and lookup_table_two do not have the same keys")
+    for key in lookup_table_one.keys():
+        if type(lookup_table_one[key]) is not dict:
+            raise ValueError("lookup_table_one values are not all dictionaries")
+        if type(lookup_table_two[key]) is not dict:
+            raise ValueError("lookup_table_two values are not all dictionaries")
+    for key in lookup_table_one.keys():
+        for nested_key, nested_val in lookup_table_two[key].items():
+            lookup_table_one[key][nested_key] = nested_val
+    return lookup_table_one
+
+
+def read_resource_csv(path: str) -> dict[str, str]:
+    """``{col0.lower(): col1.lower()}`` from a header-skipped CSV.
+
+    Mirrors /root/reference/lexmapr/pipeline_resources.py:251-286 (missing
+    second column becomes "").
+    """
+    ret: dict[str, str] = {}
+    with open(path, newline="") as fp:
+        next(fp)
+        for row in csv.reader(fp, delimiter=","):
+            if not row:
+                continue
+            key = row[0].strip()
+            try:
+                val = row[1].strip()
+            except IndexError:
+                val = ""
+            ret[key.lower()] = val.lower()
+    return ret
+
+
+def get_resource_label_permutations(resource_label: str) -> list[str]:
+    """All unique token-order permutations of a label (order-preserving).
+
+    Mirrors /root/reference/lexmapr/pipeline_resources.py:289-307.
+    """
+    perm_tuples = list(OrderedDict.fromkeys(permutations(resource_label.split())))
+    return [" ".join(t) for t in perm_tuples]
+
+
+def add_predefined_resources(lookup_table: dict, resource_dir: str) -> dict:
+    """Populate *lookup_table* from the predefined resource CSVs.
+
+    Mirrors /root/reference/lexmapr/pipeline_resources.py:202-248: the
+    permutation index skips labels with >=7 tokens and NCBI taxon ids.
+    """
+    rd = lambda name: read_resource_csv(os.path.join(resource_dir, name))  # noqa: E731
+    lookup_table["abbreviations"] = rd("AbbLex.csv")
+    lookup_table["non_english_words"] = rd("NefLex.csv")
+    lookup_table["spelling_mistakes"] = rd("ScorLex.csv")
+    lookup_table["inflection_exceptions"] = rd("inflection-exceptions.csv")
+    lookup_table["stop_words"] = rd("mining-stopwords.csv")
+    lookup_table["suffixes"] = rd("suffixes.csv")
+
+    lookup_table["synonyms"] = {
+        punctuation_treatment(k): punctuation_treatment(v)
+        for k, v in rd("SynLex.csv").items()
+    }
+
+    lookup_table["non_standard_resource_ids"] = rd("CombinedResourceTerms.csv")
+    lookup_table["standard_resource_labels"] = {
+        punctuation_treatment(v): k
+        for k, v in lookup_table["non_standard_resource_ids"].items()
+    }
+
+    perm_index = lookup_table["standard_resource_label_permutations"]
+    for label, resource_id in lookup_table["standard_resource_labels"].items():
+        if len(word_tokenize(label)) < 7 and "ncbitaxon" not in resource_id:
+            for permutation in get_resource_label_permutations(label):
+                perm_index[permutation] = resource_id
+    return lookup_table
+
+
+def add_classification_resources(lookup_table: dict, resource_dir: str) -> dict:
+    """Populate the bucket-classification keys.
+
+    Mirrors /root/reference/lexmapr/pipeline_resources.py:411-432.
+    """
+    rd = lambda name: read_resource_csv(os.path.join(resource_dir, name))  # noqa: E731
+    lookup_table["buckets_lexmapr"] = rd("buckets-lexmapr.csv")
+    lookup_table["buckets_ifsactop"] = rd("buckets-ifsactop.csv")
+    lookup_table["ifsac_labels"] = rd("ifsac-labels.csv")
+    lookup_table["ifsac_default"] = rd("ifsac-default.csv")
+    lookup_table["ifsac_refinement"] = rd("ifsac-refinement.csv")
+    return lookup_table
+
+
+@dataclass
+class Lexicon:
+    """Broadcast-ready matcher state: lookup table + acceleration indexes.
+
+    ``table`` is the reference-shaped 16-key dict.  The remaining fields are
+    derived, probe-only structures:
+
+    - ``sorted_label_perm``: sorted-token-multiset tuples of every key in
+      ``standard_resource_labels`` and ``standard_resource_label_permutations``.
+      A candidate chunk whose sorted multiset is absent cannot match ANY token
+      permutation, so the matcher skips the whole factorial probe loop.
+    - ``sorted_syn``: same, for synonym keys.
+    - ``suffix_token_lists``: pre-split suffix token lists for suffix-probe
+      prefiltering.
+    """
+
+    table: dict
+    scientific_names: dict[str, str] = field(default_factory=dict)
+    sorted_label_perm: set = field(default_factory=set)
+    sorted_syn: set = field(default_factory=set)
+    suffix_token_lists: list = field(default_factory=list)
+
+    def build_indexes(self) -> "Lexicon":
+        t = self.table
+        self.sorted_label_perm = {
+            tuple(sorted(k.split())) for k in t["standard_resource_labels"]
+        }
+        self.sorted_label_perm.update(
+            tuple(sorted(k.split())) for k in t["standard_resource_label_permutations"]
+        )
+        self.sorted_syn = {tuple(sorted(k.split())) for k in t["synonyms"]}
+        self.suffix_token_lists = [s.split() for s in t["suffixes"]]
+        return self
+
+    def chunk_can_match(self, chunk_tokens: tuple[str, ...] | list[str]) -> bool:
+        """Can ANY permutation of *chunk_tokens* (with or without a suffix)
+        hit the label, permutation or synonym indexes?  False means every
+        probe the reference would attempt is guaranteed to miss."""
+        key = tuple(sorted(chunk_tokens))
+        if key in self.sorted_label_perm or key in self.sorted_syn:
+            return True
+        for sfx_tokens in self.suffix_token_lists:
+            if tuple(sorted(list(chunk_tokens) + sfx_tokens)) in self.sorted_label_perm:
+                return True
+        return False
+
+
+def _resource_fingerprint(resource_dir: str) -> str:
+    parts = [resource_dir]
+    try:
+        for name in sorted(os.listdir(resource_dir)):
+            st = os.stat(os.path.join(resource_dir, name))
+            parts.append(f"{name}:{st.st_size}:{int(st.st_mtime)}")
+    except OSError:
+        pass
+    return hashlib.md5("|".join(parts).encode()).hexdigest()
+
+
+def build_lexicon(
+    resource_dir: str = DEFAULT_RESOURCE_DIR,
+    *,
+    classification: bool = True,
+    use_cache: bool = True,
+    golden_overlay: bool = True,
+) -> Lexicon:
+    """Build (or load from cache) the full matcher lexicon.
+
+    Driver-side, runs once; the result is what gets ``ray.put`` into the
+    object store and read by every matcher actor.
+    """
+    cache_path = None
+    if use_cache:
+        os.makedirs(_CACHE_DIR, exist_ok=True)
+        key = _resource_fingerprint(resource_dir) + (
+            ("_cls" if classification else "") + ("_gold" if golden_overlay else "")
+        )
+        cache_path = os.path.join(_CACHE_DIR, f"lexicon_{key}.pkl")
+        if os.path.exists(cache_path):
+            try:
+                with open(cache_path, "rb") as fp:
+                    return pickle.load(fp)
+            except Exception:
+                pass
+
+    table = create_lookup_table_skeleton()
+    table = add_predefined_resources(table, resource_dir)
+    if classification:
+        table = add_classification_resources(table, resource_dir)
+    if golden_overlay:
+        from lexmapr_ray.lexkit.golden_overlay import apply_golden_overlay
+
+        table = apply_golden_overlay(table)
+
+    sci_path = os.path.join(resource_dir, "foodon_ncbi_synonyms.csv")
+    scientific_names = read_resource_csv(sci_path) if os.path.exists(sci_path) else {}
+
+    lex = Lexicon(table=table, scientific_names=scientific_names).build_indexes()
+
+    if cache_path:
+        tmp = cache_path + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as fp:
+            pickle.dump(lex, fp, protocol=pickle.HIGHEST_PROTOCOL)
+        os.replace(tmp, cache_path)
+    return lex
