@@ -13,6 +13,7 @@ wins.  Verified against the reference's committed golden outputs
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 
 # Ordered (pattern, replacement) rules.  Irregulars first, then the general
 # suffix rules.  All patterns are case-insensitive and anchored at the end.
@@ -69,6 +70,7 @@ _UNCOUNTABLE_RE = re.compile(
 )
 
 
+@lru_cache(maxsize=1 << 17)
 def singularize(word: str) -> str:
     """Return the singular form of an English *word*.
 

@@ -31,6 +31,44 @@ DEFAULT_RESOURCE_DIR = os.environ.get(
 _CACHE_DIR = os.environ.get("LEXMAPR_CACHE_DIR", "/tmp/lexmapr_ray_cache")
 
 
+class MultisetDict(dict):
+    """Dict keyed by token multisets, probed with space-joined strings.
+
+    The reference's permutation index stores EVERY token ordering of each
+    label (``pipeline_resources.py:237-247``), so string membership there is
+    exactly multiset equality.  This drop-in replacement stores one sorted
+    tuple per label instead of up to 6! strings, with identical probe
+    semantics and identical overwrite-on-collision behavior (all orderings
+    of one label collapse to one key, and labels with equal multisets
+    overwrite in insertion order, as in the reference build loop).
+    """
+
+    @staticmethod
+    def _canon(key):
+        if isinstance(key, str):
+            parts = key.split()
+            # String keys in the reference index are exactly
+            # " ".join(tokens); a probe that isn't whitespace-normalized
+            # (e.g. the '" " + suffix' probe of an empty term) can never
+            # equal one, so map it to a never-matching sentinel.
+            if key != " ".join(parts):
+                return ("\x00non-normalized", key)
+            return tuple(sorted(parts))
+        return key
+
+    def __contains__(self, key):
+        return super().__contains__(self._canon(key))
+
+    def __getitem__(self, key):
+        return super().__getitem__(self._canon(key))
+
+    def __setitem__(self, key, value):
+        super().__setitem__(self._canon(key), value)
+
+    def get(self, key, default=None):
+        return super().get(self._canon(key), default)
+
+
 def create_lookup_table_skeleton() -> dict:
     """Empty lookup table with the fixed key set.
 
@@ -65,9 +103,9 @@ def merge_lookup_tables(lookup_table_one: dict, lookup_table_two: dict) -> dict:
     if lookup_table_one.keys() != lookup_table_two.keys():
         raise ValueError("lookup_table_one and lookup_table_two do not have the same keys")
     for key in lookup_table_one.keys():
-        if type(lookup_table_one[key]) is not dict:
+        if not isinstance(lookup_table_one[key], dict):
             raise ValueError("lookup_table_one values are not all dictionaries")
-        if type(lookup_table_two[key]) is not dict:
+        if not isinstance(lookup_table_two[key], dict):
             raise ValueError("lookup_table_two values are not all dictionaries")
     for key in lookup_table_one.keys():
         for nested_key, nested_val in lookup_table_two[key].items():
@@ -130,11 +168,14 @@ def add_predefined_resources(lookup_table: dict, resource_dir: str) -> dict:
         for k, v in lookup_table["non_standard_resource_ids"].items()
     }
 
-    perm_index = lookup_table["standard_resource_label_permutations"]
+    # MultisetDict: one sorted-tuple key per label stands in for the full
+    # factorial permutation enumeration of pipeline_resources.py:237-247,
+    # with identical membership/overwrite semantics.
+    perm_index = MultisetDict()
     for label, resource_id in lookup_table["standard_resource_labels"].items():
         if len(word_tokenize(label)) < 7 and "ncbitaxon" not in resource_id:
-            for permutation in get_resource_label_permutations(label):
-                perm_index[permutation] = resource_id
+            perm_index[label] = resource_id
+    lookup_table["standard_resource_label_permutations"] = perm_index
     return lookup_table
 
 
@@ -159,44 +200,51 @@ class Lexicon:
     ``table`` is the reference-shaped 16-key dict.  The remaining fields are
     derived, probe-only structures:
 
-    - ``sorted_label_perm``: sorted-token-multiset tuples of every key in
-      ``standard_resource_labels`` and ``standard_resource_label_permutations``.
-      A candidate chunk whose sorted multiset is absent cannot match ANY token
-      permutation, so the matcher skips the whole factorial probe loop.
-    - ``sorted_syn``: same, for synonym keys.
-    - ``suffix_token_lists``: pre-split suffix token lists for suffix-probe
-      prefiltering.
+    ``matchable_multisets`` holds the sorted-token-multiset tuple of every
+    string the matcher could successfully probe: label keys, permutation-index
+    keys (their sorted multisets collapse onto the labels'), synonym keys,
+    and every label multiset with a trailing suffix's tokens removed (because
+    the suffix probe appends ``" " + suffix`` before the exact-string lookup,
+    ``chunk + suffix == label  <=>  chunk == label - suffix`` as multisets).
+    A candidate chunk whose sorted multiset is absent cannot match under ANY
+    token permutation, suffix addition or synonym rewrite, so the matcher
+    skips the whole factorial probe loop for it.
     """
 
     table: dict
     scientific_names: dict[str, str] = field(default_factory=dict)
-    sorted_label_perm: set = field(default_factory=set)
-    sorted_syn: set = field(default_factory=set)
-    suffix_token_lists: list = field(default_factory=list)
+    matchable_multisets: set = field(default_factory=set)
 
     def build_indexes(self) -> "Lexicon":
         t = self.table
-        self.sorted_label_perm = {
+        label_multisets = {
             tuple(sorted(k.split())) for k in t["standard_resource_labels"]
         }
-        self.sorted_label_perm.update(
-            tuple(sorted(k.split())) for k in t["standard_resource_label_permutations"]
+        label_multisets.update(
+            k if isinstance(k, tuple) else tuple(sorted(k.split()))
+            for k in t["standard_resource_label_permutations"]
         )
-        self.sorted_syn = {tuple(sorted(k.split())) for k in t["synonyms"]}
-        self.suffix_token_lists = [s.split() for s in t["suffixes"]]
+        matchable = set(label_multisets)
+        matchable.update(tuple(sorted(k.split())) for k in t["synonyms"])
+        # suffix-stripped variants: chunk+suffix probes hit label L iff
+        # multiset(chunk) == multiset(L) - multiset(suffix)
+        from collections import Counter
+
+        suffix_counters = [Counter(s.split()) for s in t["suffixes"]]
+        for ms in label_multisets:
+            mc = Counter(ms)
+            for sc in suffix_counters:
+                if all(mc[tok] >= n for tok, n in sc.items()):
+                    stripped = mc - sc
+                    matchable.add(tuple(sorted(stripped.elements())))
+        self.matchable_multisets = matchable
         return self
 
     def chunk_can_match(self, chunk_tokens: tuple[str, ...] | list[str]) -> bool:
         """Can ANY permutation of *chunk_tokens* (with or without a suffix)
         hit the label, permutation or synonym indexes?  False means every
         probe the reference would attempt is guaranteed to miss."""
-        key = tuple(sorted(chunk_tokens))
-        if key in self.sorted_label_perm or key in self.sorted_syn:
-            return True
-        for sfx_tokens in self.suffix_token_lists:
-            if tuple(sorted(list(chunk_tokens) + sfx_tokens)) in self.sorted_label_perm:
-                return True
-        return False
+        return tuple(sorted(chunk_tokens)) in self.matchable_multisets
 
 
 def _resource_fingerprint(resource_dir: str) -> str:

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import re
 import unicodedata
+from functools import lru_cache
 
 from dateutil.parser import parse as _parse_date
 
@@ -35,6 +36,7 @@ def preprocess(token: str) -> str:
     return token.replace("'s", "").rstrip("', ").rstrip(". ")
 
 
+@lru_cache(maxsize=1 << 17)
 def is_number(s: str) -> bool:
     """True if *s* parses as a float or a unicode numeric character."""
     try:
@@ -50,6 +52,7 @@ def is_number(s: str) -> bool:
     return False
 
 
+@lru_cache(maxsize=1 << 17)
 def is_date(s: str) -> bool:
     """True if *s* parses as a date/day (permissive dateutil parse)."""
     try:
