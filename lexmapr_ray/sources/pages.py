@@ -1,0 +1,156 @@
+"""Common-Crawl-style pages: schema, synthesis, and HTML text extraction.
+
+The engine's primary input is a Parquet table of web pages
+(``BASELINE.json`` input_hint)::
+
+    pages(url: string, warc_ts: timestamp[us], html: binary,
+          text: string, lang: string)
+
+Because this sandbox has no external data, pages are synthesized
+deterministically (seed-fixed, index-stateless, so generation itself can be
+distributed via ``ray.data.range(n).map_batches``).  The HTML template is
+exactly invertible, which *defines* the reference extraction: the per-row
+invariant ``extract_text(html) == text`` is byte-identical by construction
+and asserted in tests and in the extraction stage.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+PAGES_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ]
+)
+
+_HTML_PREFIX = b"<html><head><title>page</title></head><body><p>"
+_HTML_SUFFIX = b"</p></body></html>"
+
+# Phrase vocabulary drawn from the reference's own test corpora so the
+# matcher (and the serial oracle) produce non-trivial triples.  The hot
+# surface form "chicken breast" is oversampled to exercise salted/combined
+# canonicalization under skew.
+_MATCHABLE_PHRASES = [
+    "chicken breast", "baked potato", "canned corn", "frozen yogurt",
+    "apple pie", "taco shell", "table salt", "gastric vein",
+    "ameiurus catus", "salmonella enterica", "swamp cabbage",
+    "anatomical fruit seed part", "manual digit", "proximal phalanx",
+    "cerebrospinal fluid", "mashed potatoes", "banana leaf",
+    "frosted cornflakes", "ricotta cheese", "mango milkshake",
+]
+_HOT_PHRASE = "chicken breast"
+_FILLER = [
+    "lorem", "ipsum", "dolor", "sit", "amet", "consectetur", "adipiscing",
+    "elit", "sed", "eiusmod", "tempor", "incididunt", "labore", "dolore",
+    "magna", "aliqua", "enim", "minim", "veniam", "quis", "nostrud",
+]
+_DATES_NUMBERS = ["2018-05-07", "42", "3.14", "12/22/78", "1997"]
+_LANGS = ["en", "en", "en", "en", "en", "en", "en", "en", "de", "fr"]
+
+_BASE_TS_US = 1_700_000_000_000_000  # fixed epoch base, microseconds
+
+
+def escape_html(text: str) -> bytes:
+    return (
+        text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    ).encode("utf-8")
+
+
+def unescape_html(raw: bytes) -> str:
+    return (
+        raw.decode("utf-8").replace("&gt;", ">").replace("&lt;", "<").replace("&amp;", "&")
+    )
+
+
+def render_html(text: str) -> bytes:
+    return _HTML_PREFIX + escape_html(text) + _HTML_SUFFIX
+
+
+def extract_text(html: bytes) -> str:
+    """The reference extraction: exact inverse of :func:`render_html`."""
+    start = html.index(b"<p>") + 3
+    end = html.rindex(b"</p>")
+    return unescape_html(html[start:end])
+
+
+def synth_page(index: int, seed: int = 42) -> dict:
+    """Deterministic page #*index* — pure function of (seed, index)."""
+    rng = np.random.RandomState((seed * 1_000_003 + index) % (2**31 - 1))
+    n_sentences = rng.randint(2, 7)
+    sentences = []
+    for _ in range(n_sentences):
+        toks: list[str] = []
+        if rng.rand() < 0.25:
+            toks.append(_HOT_PHRASE)  # skew: hot entity in ~25% of pages
+        n_phrases = rng.randint(0, 3)
+        for _ in range(n_phrases):
+            toks.append(_MATCHABLE_PHRASES[rng.randint(len(_MATCHABLE_PHRASES))])
+        n_fill = rng.randint(1, 8)
+        for _ in range(n_fill):
+            toks.append(_FILLER[rng.randint(len(_FILLER))])
+        if rng.rand() < 0.3:
+            toks.append(_DATES_NUMBERS[rng.randint(len(_DATES_NUMBERS))])
+        rng.shuffle(toks)
+        sentences.append(" ".join(toks))
+    text = ". ".join(sentences) + "."
+    url = f"https://host{index % 1000}.example/p/{index}"
+    return {
+        "url": url,
+        "warc_ts": _BASE_TS_US + int(index) * 1_000_000,
+        "html": render_html(text),
+        "text": text,
+        "lang": _LANGS[index % len(_LANGS)],
+    }
+
+
+def synth_pages_table(indices) -> pa.Table:
+    """Arrow pages table for a batch of indices (vector synth helper)."""
+    rows = [synth_page(int(i)) for i in indices]
+    return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+
+
+def synth_pages_dataset(n_pages: int, override_num_blocks: int | None = None):
+    """Distributed deterministic synthesis: ``range(n) -> map_batches``."""
+    import ray.data as rd
+
+    ds = rd.range(n_pages, override_num_blocks=override_num_blocks)
+    return ds.map_batches(
+        lambda b: synth_pages_table(b["id"]),
+        batch_format="numpy",
+        batch_size=2048,
+    )
+
+
+def pages_from_documents(sf_dir: str):
+    """Wrap the testdata ``documents`` table in the pages schema.
+
+    Reads only the needed columns; html is rendered from text with the
+    invertible template, so the extraction invariant holds here too.
+    """
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        rows = [
+            {
+                "url": f"doc://{d}",
+                "warc_ts": _BASE_TS_US + int(d) * 1_000_000,
+                "html": render_html(t),
+                "text": t,
+                "lang": lang,
+            }
+            for d, t, lang in zip(doc_ids, texts, langs)
+        ]
+        return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+
+    return ds.map_batches(to_pages, batch_format="pyarrow", batch_size=2048)

@@ -1,0 +1,134 @@
+"""Ray Data stages: HTML extraction and the mention-matcher actor pool.
+
+The matcher is the stateful heart of the pipeline: a callable class passed to
+``map_batches(MentionMatcher, concurrency=N)`` so the multi-MB lexicon is
+loaded ONCE per actor (from a ``ray.put`` handle — one object-store copy per
+node, zero-copy mapped by every actor on it) and reused across batches.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+from lexmapr_ray.lexkit.lexicon import Lexicon, build_lexicon
+from lexmapr_ray.lexkit.matcher import match_sample
+from lexmapr_ray.sources.pages import extract_text
+
+TRIPLES_SCHEMA = pa.schema(
+    [
+        ("subj", pa.string()),
+        ("pred", pa.string()),
+        ("obj", pa.string()),
+        ("obj_label", pa.string()),
+        ("mention", pa.string()),
+        ("status", pa.list_(pa.string())),
+    ]
+)
+
+PRED_FULL = "lexmapr:fullTermMatch"
+PRED_COMPONENT = "lexmapr:componentMatch"
+PRED_CLASSIFIED = "lexmapr:classifiedAs"
+
+_SENTENCE_SPLIT = re.compile(r"[.!?;\n]+")
+
+# Mentions longer than this are truncated for cost-bounding: the reference's
+# own guard switches to contiguous n-grams at >=15 tokens
+# (pipeline_helpers.py:255-273); web sentences beyond ~60 tokens add cost
+# quadratically for negligible recall.
+MAX_MENTION_TOKENS = 60
+
+
+def segment_mentions(text: str, max_tokens: int = MAX_MENTION_TOKENS) -> list[str]:
+    """Split page text into sentence-level mentions (the engine's 'sample')."""
+    mentions = []
+    for raw in _SENTENCE_SPLIT.split(text):
+        raw = raw.strip()
+        if not raw:
+            continue
+        toks = raw.split()
+        if len(toks) > max_tokens:
+            raw = " ".join(toks[:max_tokens])
+        mentions.append(raw)
+    return mentions
+
+
+def extract_text_stage(batch: pa.Table) -> pa.Table:
+    """Stateless map_batches fn: html -> text, asserting the per-row
+    byte-identical invariant against the shipped ``text`` column."""
+    htmls = batch["html"].to_pylist()
+    texts = [extract_text(h) for h in htmls]
+    shipped = batch["text"].to_pylist()
+    for t, s in zip(texts, shipped):
+        if t != s:
+            raise ValueError("extraction invariant violated: extract(html) != text")
+    return batch.set_column(batch.schema.get_field_index("text"), "text", pa.array(texts))
+
+
+class MentionMatcher:
+    """Actor-pool stage: pages batches in, triples batches out.
+
+    Constructor args may be a plain :class:`Lexicon` (tests) or a
+    ``ray.ObjectRef`` from ``ray.put(lexicon)`` (production broadcast).
+    """
+
+    def __init__(self, lexicon=None, bucket: bool = False, langs: tuple = ("en",)):
+        import ray
+
+        if lexicon is None:
+            lexicon = build_lexicon()
+        elif isinstance(lexicon, ray.ObjectRef):
+            lexicon = ray.get(lexicon)
+        self.lexicon: Lexicon = lexicon
+        self.langs = set(langs) if langs else None
+        self.classify_fn = None
+        if bucket:
+            from lexmapr_ray.lexkit.classify import make_classifier
+
+            self.classify_fn = make_classifier(lexicon)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        texts = batch["text"].to_pylist()
+        langs = batch["lang"].to_pylist() if "lang" in batch.column_names else [None] * len(urls)
+
+        subj, pred, obj, obj_label, mention_col, status_col = [], [], [], [], [], []
+        for url, text, lang in zip(urls, texts, langs):
+            if self.langs and lang is not None and lang not in self.langs:
+                continue
+            for mention in segment_mentions(text):
+                r = match_sample(
+                    mention, self.lexicon, bucket=self.classify_fn is not None,
+                    classify_fn=self.classify_fn,
+                )
+                if not r.matched_components:
+                    continue
+                p = PRED_FULL if r.macro_status == "Full Term Match" else PRED_COMPONENT
+                for comp in r.matched_components:
+                    label, term_id = comp.rsplit(":", 1)
+                    subj.append(url)
+                    pred.append(p)
+                    obj.append(term_id)
+                    obj_label.append(label)
+                    mention_col.append(r.cleaned_sample)
+                    status_col.append(r.micro_status)
+                if r.classification:
+                    for lab in r.classification["ifsac_final_labels"]:
+                        subj.append(url)
+                        pred.append(PRED_CLASSIFIED)
+                        obj.append("ifsac:" + lab)
+                        obj_label.append(lab)
+                        mention_col.append(r.cleaned_sample)
+                        status_col.append([])
+        return pa.Table.from_arrays(
+            [
+                pa.array(subj, pa.string()),
+                pa.array(pred, pa.string()),
+                pa.array(obj, pa.string()),
+                pa.array(obj_label, pa.string()),
+                pa.array(mention_col, pa.string()),
+                pa.array(status_col, pa.list_(pa.string())),
+            ],
+            schema=TRIPLES_SCHEMA,
+        )
