@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship KG pipeline on sf0.001.  ``queries()`` exposes
+one callable per implemented operator/pipeline from SURVEY.md §2 (plus the
+training-data operators); ``oracle_sql()`` gives the DuckDB-equivalent SQL
+for every SQL-expressible one.  Ray is initialised by the DRIVER before this
+module is imported — nothing here calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Exactness convention shared by Ray code and SQL oracles: money/value
+aggregates are integer cents (``ROUND(x*100)``) or basis points so sums are
+order-independent and bit-exact across engines (floats are not).
 """
 
 from __future__ import annotations
@@ -18,27 +16,200 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+_LEXICON_REF = None
+
+
+def _lexicon_ref():
+    global _LEXICON_REF
+    if _LEXICON_REF is None:
+        from lexmapr_ray.pipelines.kg import broadcast_lexicon
+
+        _LEXICON_REF = broadcast_lexicon()
+    return _LEXICON_REF
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: pages (from sf0.001 documents) -> triples, deduped+sorted."""
+    from lexmapr_ray.pipelines.kg import run_kg_pipeline
+    from lexmapr_ray.sources.pages import pages_from_documents
+
+    pages = pages_from_documents("/root/testdata/sf0.001")
+    return run_kg_pipeline(pages, lexicon_ref=_lexicon_ref(), batch_size=128)
+
+
+def _kg_triples(sf_dir: str):
+    from lexmapr_ray.pipelines.kg import run_kg_pipeline
+    from lexmapr_ray.sources.pages import pages_from_documents
+
+    return run_kg_pipeline(pages_from_documents(sf_dir), lexicon_ref=_lexicon_ref())
+
+
+def _kg_entities(sf_dir: str):
+    from lexmapr_ray.pipelines.kg import canonicalize_mentions, extract_triples
+    from lexmapr_ray.sources.pages import pages_from_documents
+
+    triples = extract_triples(pages_from_documents(sf_dir), _lexicon_ref())
+    return canonicalize_mentions(triples)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from lexmapr_ray.pipelines import relational as rel
+    from lexmapr_ray.stages import dedup, similarity, textstats
+    from lexmapr_ray.stages.multimodal import media_features
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational operator suite (SQL-oracled)
+        "q1_pricing_summary": rel.q1_pricing_summary,
+        "q3_topk_revenue": rel.q3_topk_revenue,
+        "q5_regional_revenue": rel.q5_regional_revenue,
+        "filter_project": rel.filter_project,
+        "orders_topk": rel.orders_topk,
+        "distinct_segments": rel.distinct_segments,
+        "events_by_type": rel.events_by_type,
+        "events_hourly": rel.events_hourly,
+        "customer_order_stats": rel.customer_order_stats,
+        "part_brand_revenue": rel.part_brand_revenue,
+        # text analysis (SQL-oracled)
+        "doc_stats": textstats.doc_stats,
+        "doc_fingerprint": textstats.doc_fingerprint,
+        "quality_score": textstats.quality_score,
+        "lang_distribution": textstats.lang_distribution,
+        # deduplication
+        "dedup_exact": dedup.dedup_exact,
+        "minhash_dedup_pairs": dedup.minhash_dedup_pairs,
+        "simhash_signatures": dedup.simhash_signatures,
+        # similarity search
+        "cosine_topk": similarity.cosine_topk_bruteforce,
+        "ann_lsh_topk": similarity.ann_lsh_topk,
+        "embedding_near_dup": similarity.embedding_near_dup_pairs,
+        # text heuristics / fingerprints (non-SQL)
+        "lang_id_heuristic": textstats.lang_id,
+        "rolling_fingerprint": textstats.rolling_fingerprint,
+        # multimodal plumbing (synthetic payloads; sf_dir unused)
+        "media_features": lambda sf_dir: media_features(256),
+        # knowledge-graph pipeline (the flagship; non-SQL)
+        "kg_triples": _kg_triples,
+        "kg_entities": _kg_entities,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty,
+                   SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT))::BIGINT AS sum_base_cents,
+                   SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount*100) AS BIGINT)))::BIGINT AS sum_disc_e4,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q3_topk_revenue": """
+            SELECT l.l_orderkey,
+                   SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)
+                       * (100 - CAST(ROUND(l.l_discount*100) AS BIGINT)))::BIGINT AS revenue_e4
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1995-03-15'
+            GROUP BY l.l_orderkey
+            ORDER BY revenue_e4 DESC, l.l_orderkey
+            LIMIT 10
+        """,
+        "q5_regional_revenue": """
+            SELECT n.n_name,
+                   SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)
+                       * (100 - CAST(ROUND(l.l_discount*100) AS BIGINT)))::BIGINT AS revenue_e4,
+                   COUNT(*) AS n_items
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+            ORDER BY n.n_name
+        """,
+        "filter_project": """
+            SELECT l_orderkey, l_partkey, l_quantity
+            FROM lineitem WHERE l_quantity >= 45
+            ORDER BY l_orderkey, l_partkey
+        """,
+        "orders_topk": """
+            SELECT o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_cents
+            FROM orders
+            ORDER BY total_cents DESC, o_orderkey
+            LIMIT 100
+        """,
+        "distinct_segments": """
+            SELECT c_mktsegment, COUNT(*) AS n
+            FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "events_by_type": """
+            SELECT event_type, COUNT(*) AS n,
+                   SUM(CAST(ROUND(value*100) AS BIGINT))::BIGINT AS sum_value_cents
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "events_hourly": """
+            SELECT event_type,
+                   CAST(FLOOR(epoch(ts)/3600) AS BIGINT) AS hour,
+                   COUNT(*) AS n,
+                   SUM(CAST(ROUND(value*100) AS BIGINT))::BIGINT AS sum_value_cents
+            FROM events GROUP BY event_type, hour ORDER BY event_type, hour
+        """,
+        "customer_order_stats": """
+            SELECT o_custkey, COUNT(*) AS n_orders,
+                   SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))::BIGINT AS sum_cents
+            FROM orders GROUP BY o_custkey ORDER BY o_custkey
+        """,
+        "part_brand_revenue": """
+            SELECT p.p_brand,
+                   SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)
+                       * (100 - CAST(ROUND(l.l_discount*100) AS BIGINT)))::BIGINT AS revenue_e4,
+                   COUNT(*) AS n_items
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_brand ORDER BY p.p_brand
+        """,
+        "doc_stats": """
+            SELECT doc_id,
+                   CAST(LENGTH(text) AS BIGINT) AS n_chars,
+                   CAST(CASE WHEN TRIM(text) = '' THEN 0
+                        ELSE len(string_split_regex(TRIM(text), '\\s+')) END AS BIGINT)
+                       AS n_tokens,
+                   CAST(LENGTH(regexp_replace(text, '[\\w\\s]', '', 'g')) AS BIGINT)
+                       AS n_punct
+            FROM documents ORDER BY doc_id
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id, md5(text) AS fingerprint FROM documents ORDER BY doc_id
+        """,
+        "quality_score": """
+            SELECT doc_id,
+                   CAST(CASE WHEN TRIM(text) = '' THEN 0
+                        ELSE len(string_split_regex(TRIM(text), '\\s+')) END AS BIGINT)
+                       AS n_tokens,
+                   CAST(len(list_filter(string_split_regex(TRIM(text), '\\s+'),
+                        x -> x IN ('the','a','and','of','to','in','is','it'))) AS BIGINT)
+                       AS n_stopwords,
+                   CAST(len(list_filter(string_split_regex(TRIM(text), '\\s+'),
+                        x -> LENGTH(x) > 6)) AS BIGINT) AS n_long_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "lang_distribution": """
+            SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "dedup_exact": """
+            SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text ORDER BY doc_id
+        """,
+        "cosine_topk": """
+            SELECT vec_id,
+                   CAST(ROUND(list_cosine_similarity(embedding,
+                        (SELECT embedding FROM embeddings WHERE vec_id = 0)) * 10000)
+                        AS BIGINT) AS sim_bp
+            FROM embeddings
+            ORDER BY sim_bp DESC, vec_id
+            LIMIT 10
+        """,
+    }

@@ -1,0 +1,128 @@
+"""Join primitives.
+
+Three join strategies, chosen by side size — the same decision a distributed
+planner makes:
+
+- :func:`broadcast_semi_join` / :func:`broadcast_map_join`: the small side is
+  ``ray.put`` once (one copy per node) and probed inside ``map_batches``.
+  No shuffle.  Use for dimension tables, key sets, vocabularies.
+- :func:`bucketed_hash_join`: both sides large.  Tag + harmonize schemas +
+  bucket by key hash, union, ONE groupby on the bucket id, and a pandas
+  merge per bucket.  This is the explicit partitioned hash join; Ray
+  2.49's built-in ``Dataset.join`` mishandles empty partitions
+  ("No match ... FieldRef" from acero) and over-allocates aggregator actors,
+  so we keep the portable formulation.  Skew: pick ``num_buckets`` >> cores
+  so one hot key cannot dominate a worker; for pathological single-key skew,
+  salt the build side (duplicate its rows per salt) before calling.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def broadcast_semi_join(ds, col: str, keys_ref):
+    """Keep rows whose *col* value is in the broadcast key set."""
+    import ray
+
+    def _filter(t: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref) if isinstance(keys_ref, ray.ObjectRef) else keys_ref
+        return t.filter(pc.is_in(t[col], value_set=pa.array(list(keys))))
+
+    return ds.map_batches(_filter, batch_format="pyarrow")
+
+
+def broadcast_map_join(ds, col: str, map_ref, new_col: str, drop_misses: bool = True):
+    """Attach ``new_col = mapping[col]`` from a broadcast dict."""
+    import ray
+
+    def _attach(t: pa.Table) -> pa.Table:
+        mapping = ray.get(map_ref) if isinstance(map_ref, ray.ObjectRef) else map_ref
+        vals = [mapping.get(k) for k in t[col].to_pylist()]
+        t = t.append_column(new_col, pa.array(vals))
+        if drop_misses:
+            t = t.filter(pc.is_valid(t[new_col]))
+        return t
+
+    return ds.map_batches(_attach, batch_format="pyarrow")
+
+
+def _stable_bucket(series: pd.Series, num_buckets: int) -> np.ndarray:
+    return (pd.util.hash_array(series.to_numpy()) % num_buckets).astype(np.int64)
+
+
+def bucketed_hash_join(
+    left,
+    right,
+    on: str,
+    right_on: str | None = None,
+    *,
+    num_buckets: int = 32,
+    how: str = "inner",
+):
+    """Partitioned hash join of two Datasets (see module docstring).
+
+    Returns a Dataset with left columns then right columns (the right key
+    column is dropped when its name differs).
+    """
+    right_on = right_on or on
+    left_schema = left.schema()
+    right_schema = right.schema()
+    left_cols = list(left_schema.names)
+    right_cols = list(right_schema.names)
+    overlap = (set(left_cols) & set(right_cols)) - ({on} if on == right_on else set())
+    if overlap:
+        raise ValueError(f"column collision in join: {sorted(overlap)}")
+
+    left_arrow = pa.schema(
+        [pa.field(n, t) for n, t in zip(left_schema.names, left_schema.types)]
+    )
+    right_arrow = pa.schema(
+        [pa.field(n, t) for n, t in zip(right_schema.names, right_schema.types)]
+    )
+    union_fields = list(left_arrow) + [
+        f for f in right_arrow if f.name not in left_cols
+    ]
+    union_schema = pa.schema(
+        union_fields + [pa.field("__side", pa.int8()), pa.field("__bucket", pa.int64())]
+    )
+
+    def _tag(side: int, key_col: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame()
+            for f in union_schema:
+                if f.name == "__side":
+                    out["__side"] = np.int8(side)
+                elif f.name == "__bucket":
+                    out["__bucket"] = _stable_bucket(df[key_col], num_buckets)
+                elif f.name in df.columns:
+                    out[f.name] = df[f.name]
+                else:
+                    out[f.name] = pd.Series([None] * len(df), dtype="object")
+            return out
+
+        return fn
+
+    # When key names differ, carry the right key in the left key's column so
+    # the union schema stays single-keyed.
+    def _tag_right(df: pd.DataFrame) -> pd.DataFrame:
+        if right_on != on:
+            df = df.rename(columns={right_on: on})
+        return _tag(1, on)(df)
+
+    tagged_left = left.map_batches(_tag(0, on), batch_format="pandas")
+    tagged_right = right.map_batches(_tag_right, batch_format="pandas")
+    unioned = tagged_left.union(tagged_right)
+
+    right_value_cols = [c for c in right_cols if c != right_on]
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["__side"] == 0][left_cols]
+        r = g[g["__side"] == 1][[on] + right_value_cols]
+        merged = l.merge(r, on=on, how=how)
+        return merged
+
+    return unioned.groupby("__bucket").map_groups(_merge, batch_format="pandas")

