@@ -1,0 +1,157 @@
+"""Benchmark harness.
+
+Runs the headline KG pipeline plus representative operator pipelines over
+``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) and prints ONE JSON line:
+
+    {"metric": "kg_pipeline_sec", "value": <sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "pages_per_sec": ...,
+     "triples_per_sec": ...}
+
+``--scaling`` reruns the headline pipeline in fresh processes at
+num_cpus=8 and num_cpus=32 on the same input and reports throughputs plus
+scaling efficiency (the sandbox stand-in for the north rule's N vs 4N
+cluster sizes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "20000"))
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+
+def run_headline(num_cpus: int) -> dict:
+    """KG pipeline over a deterministic synthetic pages corpus + documents."""
+    from lexmapr_ray.pipelines.kg import broadcast_lexicon, run_kg_pipeline
+    from lexmapr_ray.sources.pages import synth_pages_dataset
+
+    # warm: build/broadcast lexicon outside the timed window (a fixed cost
+    # that amortizes over the corpus at scale)
+    lexicon_ref = broadcast_lexicon()
+
+    t0 = time.time()
+    pages = synth_pages_dataset(BENCH_PAGES, override_num_blocks=max(8, num_cpus * 2))
+    triples = run_kg_pipeline(
+        pages, lexicon_ref=lexicon_ref, batch_size=512,
+        concurrency=max(2, num_cpus - 2),
+    )
+    n_triples = triples.count()
+    dt = time.time() - t0
+    return {
+        "sec": dt,
+        "pages": BENCH_PAGES,
+        "n_triples": n_triples,
+        "pages_per_sec": BENCH_PAGES / dt,
+        "triples_per_sec": n_triples / dt,
+    }
+
+
+def run_queries(sf_dir: str) -> dict:
+    """Time a representative subset of the operator suite."""
+    from lexmapr_ray.pipelines import relational as rel
+    from lexmapr_ray.stages import dedup, similarity, textstats
+
+    timings = {}
+    for name, fn in [
+        ("q1_pricing_summary", rel.q1_pricing_summary),
+        ("q3_topk_revenue", rel.q3_topk_revenue),
+        ("q5_regional_revenue", rel.q5_regional_revenue),
+        ("orders_topk", rel.orders_topk),
+        ("events_hourly", rel.events_hourly),
+        ("part_brand_revenue", rel.part_brand_revenue),
+        ("doc_fingerprint", textstats.doc_fingerprint),
+        ("dedup_exact", dedup.dedup_exact),
+        ("minhash_dedup_pairs", dedup.minhash_dedup_pairs),
+        ("cosine_topk", similarity.cosine_topk_bruteforce),
+    ]:
+        t0 = time.time()
+        res = fn(sf_dir)
+        # consume without materializing to the driver beyond a count
+        res.count()
+        timings[name] = round(time.time() - t0, 3)
+    return timings
+
+
+def main():
+    if "--scaling" in sys.argv:
+        results = {}
+        for ncpu in (8, 32):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--headline-only"],
+                env=env, capture_output=True, text=True, check=True,
+            ).stdout
+            results[ncpu] = json.loads(out.strip().splitlines()[-1])
+        thr8 = results[8]["pages_per_sec"]
+        thr32 = results[32]["pages_per_sec"]
+        eff = (thr32 / thr8) / (32 / 8)
+        print(json.dumps({
+            "metric": "kg_scaling_efficiency",
+            "value": round(eff, 3),
+            "unit": "ratio",
+            "pages_per_sec_8cpu": round(thr8, 1),
+            "pages_per_sec_32cpu": round(thr32, 1),
+            "sec_8cpu": round(results[8]["sec"], 2),
+            "sec_32cpu": round(results[32]["sec"], 2),
+            "pages": BENCH_PAGES,
+        }))
+        return
+
+    _init_ray(NUM_CPUS)
+    import ray
+
+    headline = run_headline(NUM_CPUS)
+    if "--headline-only" in sys.argv:
+        print(json.dumps({
+            "metric": "kg_pipeline_sec",
+            "value": round(headline["sec"], 3),
+            "unit": "sec",
+            "num_cpus": NUM_CPUS,
+            **{k: (round(v, 1) if isinstance(v, float) else v) for k, v in headline.items()},
+        }))
+        ray.shutdown()
+        return
+
+    queries = run_queries(SF_DIR)
+    print(json.dumps({
+        "metric": "kg_pipeline_sec",
+        "value": round(headline["sec"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "pages": headline["pages"],
+        "n_triples": headline["n_triples"],
+        "pages_per_sec": round(headline["pages_per_sec"], 1),
+        "triples_per_sec": round(headline["triples_per_sec"], 1),
+    }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
