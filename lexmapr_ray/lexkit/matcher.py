@@ -261,6 +261,11 @@ class MatchOutput:
     micro_status: list = field(default_factory=list)
     conversions: dict = field(default_factory=dict)
     classification: dict | None = None
+    # engine-only (not in reference): standardized component -> the normalized
+    # surface chunk that matched it; this is the canonicalization key of the
+    # north star ("groupby normalized surface forms"), so triples group by
+    # what the page actually said, not the whole sentence.
+    component_surfaces: dict = field(default_factory=dict)
 
 
 def match_sample(
@@ -321,8 +326,11 @@ def match_sample(
             micro_status.insert(0, "Used Cleaned Sample")
 
     component_matches: list[dict] = []
+    surfaces: dict[str, str] = {}
     if full_term_match:
-        out.matched_components.append(full_term_match["term"] + ":" + full_term_match["id"])
+        key = full_term_match["term"] + ":" + full_term_match["id"]
+        out.matched_components.append(key)
+        surfaces[key] = cleaned_sample or sample
         out.macro_status = "Full Term Match"
         micro_status += full_term_match["status"]
     else:
@@ -351,6 +359,9 @@ def match_sample(
                         )
                     if component_match:
                         component_matches.append(component_match)
+                        surfaces.setdefault(
+                            component_match["term"] + ":" + component_match["id"], concat
+                        )
                         covered_tokens.update(gram_tokens)
                         break
 
@@ -385,7 +396,11 @@ def match_sample(
     if bucket and classify_fn is not None:
         out.classification = classify_fn(sample, out.matched_components)
 
+    raw_components = list(out.matched_components)
     out.matched_components = get_matched_component_standardized(out.matched_components)
+    for raw, std in zip(raw_components, out.matched_components):
+        if raw in surfaces:
+            out.component_surfaces[std] = surfaces[raw]
 
     third_party = out.classification["ifsac_final_labels"] if out.classification else []
     out.scientific_name_sample = refine_sample_sc_name(

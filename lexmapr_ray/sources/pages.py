@@ -115,19 +115,29 @@ def synth_pages_table(indices) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
 
 
-def synth_pages_dataset(n_pages: int, override_num_blocks: int | None = None):
-    """Distributed deterministic synthesis: ``range(n) -> map_batches``."""
+def synth_pages_dataset(
+    n_pages: int,
+    override_num_blocks: int | None = None,
+    batch_size: int = 512,
+):
+    """Distributed deterministic synthesis: ``range(n) -> map_batches``.
+
+    ``batch_size`` should match the downstream pipeline's batch size: Ray
+    fuses this map with the extraction/matcher maps, and the LARGEST
+    batch_size in a fused chain sets the task granularity — a 2048-row synth
+    batch over 20k pages yields only 10 tasks, starving a 30-actor pool.
+    """
     import ray.data as rd
 
     ds = rd.range(n_pages, override_num_blocks=override_num_blocks)
     return ds.map_batches(
         lambda b: synth_pages_table(b["id"]),
         batch_format="numpy",
-        batch_size=2048,
+        batch_size=batch_size,
     )
 
 
-def pages_from_documents(sf_dir: str):
+def pages_from_documents(sf_dir: str, batch_size: int = 512):
     """Wrap the testdata ``documents`` table in the pages schema.
 
     Reads only the needed columns; html is rendered from text with the
@@ -153,4 +163,4 @@ def pages_from_documents(sf_dir: str):
         ]
         return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
 
-    return ds.map_batches(to_pages, batch_format="pyarrow", batch_size=2048)
+    return ds.map_batches(to_pages, batch_format="pyarrow", batch_size=batch_size)

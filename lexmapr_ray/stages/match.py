@@ -79,6 +79,8 @@ class MentionMatcher:
     def __init__(self, lexicon=None, bucket: bool = False, langs: tuple = ("en",)):
         import ray
 
+        if isinstance(lexicon, (list, tuple)) and len(lexicon) == 1:
+            lexicon = lexicon[0]  # broadcast handle wrapped to bypass arg resolution
         if lexicon is None:
             lexicon = build_lexicon()
         elif isinstance(lexicon, ray.ObjectRef):
@@ -115,7 +117,10 @@ class MentionMatcher:
                     pred.append(p)
                     obj.append(term_id)
                     obj_label.append(label)
-                    mention_col.append(r.cleaned_sample)
+                    # the normalized surface chunk that matched — the
+                    # canonicalization groupby key (falls back to the whole
+                    # cleaned sample for pre-surface-tracking matches)
+                    mention_col.append(r.component_surfaces.get(comp, r.cleaned_sample))
                     status_col.append(status_repr)
                 if r.classification:
                     for lab in r.classification["ifsac_final_labels"]:

@@ -1,0 +1,161 @@
+"""Ray integration tests for the KG pipeline's wide stages.
+
+The distributed dedup / canonicalization are sort-co-located per-block
+reduces; these tests pin their exactness against serial pandas oracles,
+with inputs crafted so duplicates and hot keys straddle many input blocks.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from lexmapr_ray.stages.match import TRIPLES_SCHEMA
+
+
+def _triples_table(rows):
+    return pa.Table.from_pylist(
+        [
+            dict(
+                subj=s, pred=p, obj=o,
+                obj_label=lab, mention=m, status=st,
+            )
+            for (s, p, o, lab, m, st) in rows
+        ],
+        schema=TRIPLES_SCHEMA,
+    )
+
+
+@pytest.fixture(scope="module")
+def skewed_triples(ray_session):
+    """Triples with duplicates and a hot mention spread over many blocks."""
+    import ray.data as rd
+
+    rows = []
+    for i in range(2000):
+        # hot surface form in every row, alternating objs 2:1
+        rows.append(
+            (f"u{i % 50}", "lexmapr:componentMatch",
+             "ID_HOT_A" if i % 3 else "ID_HOT_B",
+             "hot label", "chicken breast", f"[s{i % 7}]")
+        )
+        # duplicate-heavy cold keys: same (subj,pred,obj) many times with
+        # differing carried columns -> dedup must pick the lexicographic min
+        rows.append(
+            (f"u{i % 10}", "lexmapr:fullTermMatch", "ID_COLD",
+             "cold label", f"mention {i % 4}", f"[t{i % 3}]")
+        )
+    table = _triples_table(rows)
+    return rd.from_arrow(table).repartition(37)
+
+
+def test_dedup_matches_serial_oracle(ray_session, skewed_triples):
+    from lexmapr_ray.pipelines.kg import dedup_triples
+
+    got = dedup_triples(skewed_triples).to_pandas().reset_index(drop=True)
+
+    df = skewed_triples.to_pandas()
+    exp = (
+        df.sort_values(list(df.columns), kind="mergesort")
+        .drop_duplicates(subset=["subj", "pred", "obj"], keep="first")
+        .sort_values(["subj", "pred", "obj"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_dedup_output_globally_sorted(ray_session, skewed_triples):
+    from lexmapr_ray.pipelines.kg import dedup_triples
+
+    got = dedup_triples(skewed_triples).to_pandas()
+    keys = list(zip(got["subj"], got["pred"], got["obj"]))
+    assert keys == sorted(keys)
+
+
+def test_canonicalize_matches_serial_oracle(ray_session, skewed_triples):
+    from lexmapr_ray.pipelines.kg import canonicalize_mentions
+
+    got = (
+        canonicalize_mentions(skewed_triples)
+        .to_pandas()
+        .sort_values("mention")
+        .reset_index(drop=True)
+    )
+
+    df = skewed_triples.to_pandas()
+    counts = (
+        df.groupby(["mention", "obj", "obj_label"]).size().reset_index(name="n")
+    )
+    rows = []
+    for mention, grp in counts.groupby("mention"):
+        grp = grp.sort_values(["n", "obj"], ascending=[False, True])
+        rows.append(
+            dict(
+                mention=mention,
+                canonical_obj=grp.iloc[0]["obj"],
+                canonical_label=grp.iloc[0]["obj_label"],
+                n_mentions=int(grp["n"].sum()),
+                n_distinct_obj=len(grp),
+            )
+        )
+    exp = pd.DataFrame(rows).sort_values("mention").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_hot_key_prefers_majority_obj(ray_session, skewed_triples):
+    from lexmapr_ray.pipelines.kg import canonicalize_mentions
+
+    got = canonicalize_mentions(skewed_triples).to_pandas()
+    hot = got[got["mention"] == "chicken breast"].iloc[0]
+    assert hot["canonical_obj"] == "ID_HOT_A"  # 2/3 majority
+    assert hot["n_mentions"] == 2000
+    assert hot["n_distinct_obj"] == 2
+
+
+def test_end_to_end_triples_match_serial_matcher(ray_session, lexicon):
+    """Distributed extract+match over synthetic pages == serial match_sample."""
+    from lexmapr_ray.lexkit.matcher import match_sample
+    from lexmapr_ray.pipelines.kg import broadcast_lexicon, extract_triples
+    from lexmapr_ray.sources.pages import synth_page, synth_pages_dataset
+    from lexmapr_ray.stages.match import segment_mentions
+
+    n = 300
+    ref = broadcast_lexicon(lexicon)
+    ds = extract_triples(
+        synth_pages_dataset(n, batch_size=64), ref, concurrency=2, batch_size=64
+    )
+    got = set(
+        map(tuple, ds.to_pandas()[["subj", "pred", "obj"]].itertuples(index=False))
+    )
+
+    exp = set()
+    for i in range(n):
+        page = synth_page(i)
+        if page["lang"] != "en":
+            continue
+        for mention in segment_mentions(page["text"]):
+            r = match_sample(mention, lexicon)
+            if not r.matched_components:
+                continue
+            pred = (
+                "lexmapr:fullTermMatch"
+                if r.macro_status == "Full Term Match"
+                else "lexmapr:componentMatch"
+            )
+            for comp in r.matched_components:
+                _, term_id = comp.rsplit(":", 1)
+                exp.add((page["url"], pred, term_id))
+    assert got == exp
+
+
+def test_empty_pages_input(ray_session, lexicon):
+    import ray.data as rd
+
+    from lexmapr_ray.pipelines.kg import broadcast_lexicon, extract_triples
+    from lexmapr_ray.sources.pages import PAGES_SCHEMA
+
+    empty = rd.from_arrow(PAGES_SCHEMA.empty_table())
+    ref = broadcast_lexicon(lexicon)
+    out = extract_triples(empty, ref, concurrency=1)
+    assert out.count() == 0
