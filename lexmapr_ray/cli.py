@@ -1,0 +1,108 @@
+"""Command-line entry points (``ray job submit``-able).
+
+Two surfaces:
+
+* ``kg-run`` — the web-scale pipeline: Parquet pages (or the deterministic
+  synthetic corpus) -> checkpointed per-shard triples -> finalized
+  deduped+sorted graph.  Resumable: re-running with the same ``--out`` skips
+  completed shards (lineage sidecars in ``<out>/_lineage``).
+* ``legacy-run`` — reference CLI parity (/root/reference/bin/lexmapr:34-57):
+  CSV/TSV sample file -> LexMapr-format TSV report, byte-compatible with the
+  reference's committed goldens.
+
+Ray ownership: these are top-level scripts, so they MAY initialise Ray —
+but only if nobody else has (``ray job submit`` drivers, tests and the
+graft driver own their own sessions).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import sys
+
+
+def _ensure_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+
+
+def cmd_kg_run(args) -> int:
+    _ensure_ray()
+    from lexmapr_ray.pipelines.kg import broadcast_lexicon
+    from lexmapr_ray.pipelines.resumable import (
+        finalize_graph,
+        run_resumable,
+        shard_parquet_pages,
+        shard_synth_pages,
+    )
+
+    if args.input.startswith("synth:"):
+        shards = shard_synth_pages(int(args.input[len("synth:"):]), args.shards)
+    else:
+        paths = sorted(glob.glob(args.input))
+        if not paths:
+            print(f"no parquet files match {args.input!r}", file=sys.stderr)
+            return 2
+        files_per = max(1, len(paths) // args.shards)
+        shards = shard_parquet_pages(paths, files_per)
+
+    lexicon_ref = broadcast_lexicon()
+    stats = run_resumable(
+        shards,
+        args.out,
+        lexicon_ref=lexicon_ref,
+        bucket=args.bucket,
+        batch_size=args.batch_size,
+    )
+    print(f"shards: {stats['processed']} processed, {stats['skipped']} resumed-skipped")
+    if args.finalize:
+        graph = finalize_graph(args.out, args.finalize)
+        print(f"final graph: {graph.count()} triples -> {args.finalize}")
+    return 0
+
+
+def cmd_legacy_run(args) -> int:
+    # serial conformance path — byte-compatible with the reference output
+    from lexmapr_ray.pipelines.legacy import run_samples
+
+    report = run_samples(args.input_file, full=args.full, bucket=args.bucket)
+    if args.output:
+        with open(args.output, "w") as f:
+            f.write(report)
+    else:
+        sys.stdout.write(report)
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="lexmapr_ray")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    kg = sub.add_parser("kg-run", help="web-scale pages->triples KG pipeline")
+    kg.add_argument("--input", required=True,
+                    help="parquet glob of pages tables, or synth:<n_pages>")
+    kg.add_argument("--out", required=True, help="checkpointed output dir")
+    kg.add_argument("--shards", type=int, default=16)
+    kg.add_argument("--batch-size", type=int, default=512)
+    kg.add_argument("--bucket", action="store_true",
+                    help="also emit lexmapr:classifiedAs triples")
+    kg.add_argument("--finalize", metavar="DIR",
+                    help="write the global deduped+sorted graph to DIR")
+    kg.set_defaults(fn=cmd_kg_run)
+
+    legacy = sub.add_parser("legacy-run", help="LexMapr-compatible CSV->TSV run")
+    legacy.add_argument("input_file")
+    legacy.add_argument("-o", "--output", nargs="?")
+    legacy.add_argument("-f", "--full", action="store_true")
+    legacy.add_argument("-b", "--bucket", action="store_true")
+    legacy.set_defaults(fn=cmd_legacy_run)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
