@@ -17,7 +17,7 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ray.data.aggregate import Count, Sum
+from lexmapr_ray.functions.groupagg import grouped_sum_count
 
 
 def _cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:
@@ -55,17 +55,14 @@ def q1_pricing_summary(sf_dir: str):
             "disc_price_e4": disc_price_e4,
         })
 
-    out = (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("qty", alias_name="sum_qty"),
-            Sum("price_cents", alias_name="sum_base_cents"),
-            Sum("disc_price_e4", alias_name="sum_disc_e4"),
-            Count(alias_name="count_order"),
-        )
+    # grouped_sum_count returns key-sorted output — no trailing sort needed
+    return grouped_sum_count(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        {"sum_qty": "qty", "sum_base_cents": "price_cents",
+         "sum_disc_e4": "disc_price_e4"},
+        count_alias="count_order",
     )
-    return out.sort(["l_returnflag", "l_linestatus"])
 
 
 def events_by_type(sf_dir: str):
@@ -74,11 +71,11 @@ def events_by_type(sf_dir: str):
     def prep(t: pa.Table) -> pa.Table:
         return pa.table({"event_type": t["event_type"], "value_cents": _cents(t["value"])})
 
-    return (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby("event_type")
-        .aggregate(Count(alias_name="n"), Sum("value_cents", alias_name="sum_value_cents"))
-        .sort("event_type")
+    return grouped_sum_count(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "event_type",
+        {"sum_value_cents": "value_cents"},
+        count_alias="n",
     )
 
 
@@ -95,11 +92,11 @@ def events_hourly(sf_dir: str):
             "value_cents": _cents(t["value"]),
         })
 
-    return (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby(["event_type", "hour"])
-        .aggregate(Count(alias_name="n"), Sum("value_cents", alias_name="sum_value_cents"))
-        .sort(["event_type", "hour"])
+    return grouped_sum_count(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "hour"],
+        {"sum_value_cents": "value_cents"},
+        count_alias="n",
     )
 
 
@@ -113,11 +110,11 @@ def customer_order_stats(sf_dir: str):
             "total_cents": _cents(t["o_totalprice"]),
         })
 
-    return (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .aggregate(Count(alias_name="n_orders"), Sum("total_cents", alias_name="sum_cents"))
-        .sort("o_custkey")
+    return grouped_sum_count(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "o_custkey",
+        {"sum_cents": "total_cents"},
+        count_alias="n_orders",
     )
 
 
@@ -152,9 +149,7 @@ def orders_topk(sf_dir: str):
 
 def distinct_segments(sf_dir: str):
     ds = _read(sf_dir, "customer", ["c_mktsegment"])
-    return (
-        ds.groupby("c_mktsegment").aggregate(Count(alias_name="n")).sort("c_mktsegment")
-    )
+    return grouped_sum_count(ds, "c_mktsegment", count_alias="n")
 
 
 # ---------------------------------------------------------------------------
@@ -198,12 +193,10 @@ def q3_topk_revenue(sf_dir: str, num_buckets: int = 32):
 
     joined = bucketed_hash_join(li, orders_f, on="l_orderkey", right_on="o_orderkey",
                                 num_buckets=num_buckets)
-    return (
-        joined.groupby("l_orderkey")
-        .aggregate(Sum("revenue_e4", alias_name="revenue_e4"))
-        .sort(["revenue_e4", "l_orderkey"], descending=[True, False])
-        .limit(10)
-    )
+    summed = grouped_sum_count(joined, "l_orderkey", {"revenue_e4": "revenue_e4"})
+    return summed.sort(
+        ["revenue_e4", "l_orderkey"], descending=[True, False]
+    ).limit(10)
 
 
 def q5_regional_revenue(sf_dir: str, num_buckets: int = 32):
@@ -232,10 +225,8 @@ def q5_regional_revenue(sf_dir: str, num_buckets: int = 32):
 
     joined = bucketed_hash_join(li, orders_n, on="l_orderkey", right_on="o_orderkey",
                                 num_buckets=num_buckets)
-    return (
-        joined.groupby("n_name")
-        .aggregate(Sum("revenue_e4", alias_name="revenue_e4"), Count(alias_name="n_items"))
-        .sort("n_name")
+    return grouped_sum_count(
+        joined, "n_name", {"revenue_e4": "revenue_e4"}, count_alias="n_items"
     )
 
 
@@ -260,9 +251,9 @@ def part_brand_revenue(sf_dir: str):
                                       pc.subtract(pa.scalar(100, pa.int64()), disc_cents)),
         })
 
-    return (
-        li.map_batches(join_prep, batch_format="pyarrow")
-        .groupby("p_brand")
-        .aggregate(Sum("revenue_e4", alias_name="revenue_e4"), Count(alias_name="n_items"))
-        .sort("p_brand")
+    return grouped_sum_count(
+        li.map_batches(join_prep, batch_format="pyarrow"),
+        "p_brand",
+        {"revenue_e4": "revenue_e4"},
+        count_alias="n_items",
     )

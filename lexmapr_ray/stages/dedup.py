@@ -80,16 +80,22 @@ def dedup_exact(sf_dir: str):
             ),
         })
 
-    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
-        row = g.loc[g["doc_id"].idxmin()]
-        return pd.DataFrame({"doc_id": [row["doc_id"]], "text": [row["text"]]})
+    # per-key min is associative: the same vectorized reduce serves as the
+    # pre-shuffle combiner (keeping digest) and the post-sort final (see
+    # lexmapr_ray.functions.groupagg for why groupby().map_groups is banned)
+    def keep_min_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["digest", "doc_id"], kind="mergesort")
+        return df.drop_duplicates("digest", keep="first")
 
-    return (
-        ds.map_batches(digest, batch_format="pyarrow")
-        .groupby("digest")
-        .map_groups(keep_min, batch_format="pandas")
-        .sort("doc_id")
-    )
+    def keep_min_final(df: pd.DataFrame) -> pd.DataFrame:
+        return keep_min_partial(df)[["doc_id", "text"]]
+
+    from lexmapr_ray.functions.groupagg import sorted_group_reduce
+
+    return sorted_group_reduce(
+        ds.map_batches(digest, batch_format="pyarrow"),
+        "digest", keep_min_partial, keep_min_final,
+    ).sort("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -123,23 +129,23 @@ def minhash_candidate_pairs(sf_dir: str, concurrency: int = 4):
     ds = _read_documents(sf_dir, ["doc_id", "text"])
     banded = ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=concurrency)
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pd.DataFrame({"doc_a": a, "doc_b": b})
+    # pair generation: sort co-locates each LSH bucket in one block, then a
+    # vectorized self-merge within the block emits candidate pairs (a<b)
+    def pairs_block(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64")})
+        m = df.merge(df, on=["band", "band_hash"])
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        out = m.rename(columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b"})
+        return out[["doc_a", "doc_b"]].drop_duplicates()
 
-    cand = banded.groupby(["band", "band_hash"]).map_groups(pairs, batch_format="pandas")
-    # distinct pairs (a pair can surface from several bands)
-    return (
-        cand.groupby(["doc_a", "doc_b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
-        .sort(["doc_a", "doc_b"])
+    cand = banded.sort(["band", "band_hash"]).map_batches(
+        pairs_block, batch_format="pandas", batch_size=None
+    )
+    # distinct pairs (a pair can surface from several bands/blocks)
+    return cand.sort(["doc_a", "doc_b"]).map_batches(
+        lambda df: df.drop_duplicates(), batch_format="pandas", batch_size=None
     )
 
 

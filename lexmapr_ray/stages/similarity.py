@@ -175,9 +175,21 @@ def embedding_near_dup_pairs(sf_dir: str, threshold_bp: int = 3000, concurrency:
         vb2 = np.where(swap, va, vb)
         return pd.DataFrame({"vec_a": va2, "vec_b": vb2, "sim_bp": bp[keep]})
 
+    # sort co-locates each LSH bucket in one block; the block reduce loops
+    # only over multi-member buckets (vectorized inside each), avoiding the
+    # one-Python-call-per-group cost of groupby().map_groups
+    def pair_up_block(df: pd.DataFrame) -> pd.DataFrame:
+        outs = [pair_up(df.iloc[0:0])]
+        if len(df):
+            sizes = df.groupby("bucket", sort=False).size()
+            multi = set(sizes[sizes >= 2].index)
+            for b, g in df[df["bucket"].isin(multi)].groupby("bucket", sort=False):
+                outs.append(pair_up(g))
+        return pd.concat(outs, ignore_index=True)
+
     return (
         ds.map_batches(with_bucket, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(pair_up, batch_format="pandas")
+        .sort("bucket")
+        .map_batches(pair_up_block, batch_format="pandas", batch_size=None)
         .sort(["vec_a", "vec_b"])
     )

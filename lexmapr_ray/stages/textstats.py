@@ -90,10 +90,10 @@ def quality_score(sf_dir: str):
 
 def lang_distribution(sf_dir: str):
     """Corpus language histogram (uses the shipped lang column)."""
-    from ray.data.aggregate import Count
+    from lexmapr_ray.functions.groupagg import grouped_sum_count
 
     ds = _read_documents(sf_dir, ["lang"])
-    return ds.groupby("lang").aggregate(Count(alias_name="n")).sort("lang")
+    return grouped_sum_count(ds, "lang", count_alias="n")
 
 
 # Character-trigram profiles for a tiny n-gram language identifier.  The
