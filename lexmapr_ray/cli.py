@@ -49,7 +49,7 @@ def cmd_kg_run(args) -> int:
         files_per = max(1, len(paths) // args.shards)
         shards = shard_parquet_pages(paths, files_per)
 
-    lexicon_ref = broadcast_lexicon()
+    lexicon_ref = broadcast_lexicon(config=args.config)
     stats = run_resumable(
         shards,
         args.out,
@@ -89,6 +89,9 @@ def main(argv=None) -> int:
     kg.add_argument("--batch-size", type=int, default=512)
     kg.add_argument("--bucket", action="store_true",
                     help="also emit lexmapr:classifiedAs triples")
+    kg.add_argument("--config", metavar="JSON",
+                    help="ontology config (list of {ontology_path: root_iri}) "
+                         "merged into the lexicon, earlier entries winning")
     kg.add_argument("--finalize", metavar="DIR",
                     help="write the global deduped+sorted graph to DIR")
     kg.set_defaults(fn=cmd_kg_run)

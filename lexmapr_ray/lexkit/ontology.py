@@ -1,0 +1,258 @@
+"""Offline OWL/RDF-XML ontology ingestion (reference: ontofetch.py + the
+ontology half of pipeline_resources.py).
+
+Re-implements, without rdflib or network access, exactly the subset of the
+reference's ontology fetch that feeds the lookup table:
+
+* ``fetch_ontology``  — /root/reference/lexmapr/ontofetch.py:158-213
+  (``Ontology.__main__``): parse RDF/XML, walk ``rdfs:subClassOf`` from the
+  root IRI (default ``owl:Thing``), and emit ``{"specifications": {...}}``.
+  Matches the reference's observable choices:
+    - tree rows are (child, parent) edges whose parent is in the reflexive-
+      transitive subclass closure of the root (the SPARQL
+      ``?parent_id rdfs:subClassOf* ?root . ?id rdfs:subClassOf ?parent_id``,
+      ontofetch.py:97-111); anonymous restriction parents never qualify;
+    - rows ordered by parent URI: the first row sets ``parent_id``, later
+      rows append to ``other_parents`` (ontofetch.py:283-295);
+    - parents seen only as parents get a minimal id-only entry
+      (ontofetch.py:244-263) — excluded from labels downstream because
+      ``add_fetched_ontology_to_lookup_table`` requires id AND label;
+    - among multiple ``rdfs:label``s the LAST under (language, value)
+      ordering wins (the reference's ``ORDER BY ?label`` + dict-update loop,
+      ontofetch.py:300-317 — rdflib orders language-tagged literals by tag
+      then value, so the pt label "media" beats en "medium");
+    - synonym annotations collected: oboInOwl hasSynonym / hasExactSynonym /
+      hasNarrowSynonym (the three relations the lookup-table builder reads,
+      pipeline_resources.py:349-371).
+* ``get_entity_id`` — ontohelper.py:232-270 URI -> CURIE shortening.
+* ``add_fetched_ontology_to_lookup_table`` — pipeline_resources.py:310-408.
+* ``get_config_resources`` — pipeline_resources.py:74-141: config entries
+  processed in REVERSE file order so earlier entries win label conflicts;
+  per-config lookup-table JSON cache honoring ``no_cache``.
+
+The ontology lookup table is merged into the broadcast lexicon exactly like
+the reference merges it into its predefined table (pipeline.py:45-54), so
+ontology-driven matching runs through the same Ray actor-pool stage.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import xml.etree.ElementTree as ET
+
+from lexmapr_ray.lexkit.lexicon import (
+    create_lookup_table_skeleton,
+    get_resource_label_permutations,
+)
+from lexmapr_ray.lexkit.textproc import punctuation_treatment, word_tokenize
+
+OWL_THING = "http://www.w3.org/2002/07/owl#Thing"
+
+_RDF = "{http://www.w3.org/1999/02/22-rdf-syntax-ns#}"
+_RDFS = "{http://www.w3.org/2000/01/rdf-schema#}"
+_OWL = "{http://www.w3.org/2002/07/owl#}"
+_OBOINOWL = "{http://www.geneontology.org/formats/oboInOwl#}"
+_XML_LANG = "{http://www.w3.org/XML/1998/namespace}lang"
+
+_SYNONYM_TAGS = {
+    _OBOINOWL + "hasSynonym": "oboInOwl:hasSynonym",
+    _OBOINOWL + "hasExactSynonym": "oboInOwl:hasExactSynonym",
+    _OBOINOWL + "hasNarrowSynonym": "oboInOwl:hasNarrowSynonym",
+}
+
+
+def get_entity_id(uri: str) -> str:
+    """URI -> CURIE (ontohelper.py:232-270): split at the last '_', else
+    '#', else '/'; prefix is the last path segment of the remainder."""
+    if not uri.startswith("http"):
+        return uri
+    if "_" in uri:
+        path, fragment = uri.rsplit("_", 1)
+    elif "#" in uri:
+        path, fragment = uri.rsplit("#", 1)
+    else:
+        path, fragment = uri.rsplit("/", 1)
+    prefix = path.rstrip("/").rsplit("/", 1)[-1]
+    return f"{prefix}:{fragment}"
+
+
+def parse_owl_classes(path: str) -> dict[str, dict]:
+    """Parse an RDF/XML file into {class_uri: {labels, parents, synonyms}}.
+
+    Classes declared more than once (bfo_duplicate_entities.owl) are merged;
+    only named (rdf:resource) superclasses count — anonymous restriction
+    parents are unreachable from any root in the reference's tree query too.
+    """
+    tree = ET.parse(path)
+    classes: dict[str, dict] = {}
+    for el in tree.getroot().iter(_OWL + "Class"):
+        uri = el.get(_RDF + "about")
+        if not uri:
+            continue
+        cls = classes.setdefault(uri, {"labels": [], "parents": [], "synonyms": []})
+        for sub in el.findall(_RDFS + "subClassOf"):
+            parent = sub.get(_RDF + "resource")
+            if parent and parent not in cls["parents"]:
+                cls["parents"].append(parent)
+        for lab in el.findall(_RDFS + "label"):
+            if lab.text:
+                cls["labels"].append((lab.get(_XML_LANG) or "", lab.text))
+        for tag, rel in _SYNONYM_TAGS.items():
+            for syn in el.findall(tag):
+                if syn.text:
+                    cls["synonyms"].append((rel, syn.text))
+    return classes
+
+
+def _subclass_closure(classes: dict[str, dict], root_uri: str) -> set[str]:
+    """Reflexive-transitive set of classes below *root_uri*."""
+    children: dict[str, list[str]] = {}
+    for uri, cls in classes.items():
+        for p in cls["parents"]:
+            children.setdefault(p, []).append(uri)
+    closure = {root_uri}
+    frontier = [root_uri]
+    while frontier:
+        nxt = []
+        for node in frontier:
+            for child in children.get(node, ()):
+                if child not in closure:
+                    closure.add(child)
+                    nxt.append(child)
+        frontier = nxt
+    return closure
+
+
+def _choose_label(labels: list[tuple[str, str]]) -> str | None:
+    if not labels:
+        return None
+    return sorted(labels)[-1][1]
+
+
+def fetch_ontology(path: str, root_uri: str = OWL_THING) -> dict:
+    """ontofetch.Ontology.__main__ equivalent: {"specifications": {...}}."""
+    classes = parse_owl_classes(path)
+    closure = _subclass_closure(classes, root_uri)
+
+    rows = []  # (parent_uri, child_uri)
+    for uri, cls in classes.items():
+        for p in cls["parents"]:
+            if p in closure:
+                rows.append((p, uri))
+    rows.sort()  # ORDER BY ?parent_id (URI string order)
+
+    specifications: dict[str, dict] = {}
+    parents_seen: list[str] = []
+    for parent_uri, child_uri in rows:
+        child_id = get_entity_id(child_uri)
+        parent_id = get_entity_id(parent_uri)
+        if parent_id not in parents_seen:
+            parents_seen.append(parent_id)
+        if child_id in specifications:
+            existing = specifications[child_id]
+            if parent_id and existing.get("parent_id") and parent_id != existing["parent_id"]:
+                existing.setdefault("other_parents", []).append(parent_id)
+            continue
+        cls = classes[child_uri]
+        spec: dict = {"id": child_id, "parent_id": parent_id}
+        label = _choose_label(cls["labels"])
+        if label is not None:
+            spec["label"] = label
+        for rel, text in cls["synonyms"]:
+            spec.setdefault(rel, []).append(text)
+        specifications[child_id] = spec
+
+    # 2nd pass: barebones entries for parent-only terms (ontofetch.py:244-263)
+    for parent_id in parents_seen:
+        if parent_id not in specifications:
+            specifications[parent_id] = {"id": parent_id, "datatype": "entity"}
+
+    return {"specifications": specifications}
+
+
+def add_fetched_ontology_to_lookup_table(lookup_table: dict, fetched_ontology: dict) -> dict:
+    """Port of pipeline_resources.py:310-408 (same key-by-key behavior)."""
+    for resource in fetched_ontology["specifications"].values():
+        if "id" not in resource or "label" not in resource:
+            continue
+        resource_id = resource["id"].lower().replace(":", "_")
+        resource_label = resource["label"].lower()
+        lookup_table["non_standard_resource_ids"][resource_id] = resource_label
+
+        resource_label = punctuation_treatment(resource_label)
+        lookup_table["standard_resource_labels"][resource_label] = resource_id
+
+        resource_tokens = word_tokenize(resource_label)
+        if len(resource_tokens) < 7:
+            for permutation in get_resource_label_permutations(resource_label):
+                lookup_table["standard_resource_label_permutations"][permutation] = resource_id
+
+        for relation in ("oboInOwl:hasSynonym", "oboInOwl:hasNarrowSynonym",
+                         "oboInOwl:hasExactSynonym"):
+            for synonym in resource.get(relation, []):
+                lookup_table["synonyms"][punctuation_treatment(synonym.lower())] = resource_label
+
+        if "parent_id" in resource:
+            parent_id = resource["parent_id"].replace(":", "_").lower()
+            if resource_id == parent_id:
+                continue
+            if resource_id in lookup_table["parents"]:
+                if parent_id not in lookup_table["parents"][resource_id]:
+                    lookup_table["parents"][resource_id] += [parent_id]
+            else:
+                lookup_table["parents"][resource_id] = [parent_id]
+
+            if "other_parents" in resource:
+                other_parents = [x.replace(":", "_").lower() for x in resource["other_parents"]]
+                other_parents = [
+                    x for x in other_parents
+                    if x not in lookup_table["parents"][resource_id] and x != resource_id
+                ]
+                lookup_table["parents"][resource_id] += other_parents
+
+    return lookup_table
+
+
+def get_config_resources(
+    config_path: str,
+    *,
+    cache_dir: str | None = None,
+    no_cache: bool = False,
+    resolve=None,
+) -> dict:
+    """Build (or load from cache) the ontology lookup table for a config.
+
+    ``resolve(iri) -> local path`` maps ontology IRIs to files — this
+    sandbox has no network, so URLs must resolve to committed OWL files.
+    Config entries are processed in REVERSE order (pipeline_resources.py:113)
+    so earlier-listed ontologies overwrite later ones on label conflicts.
+    """
+    resolve = resolve or (lambda iri: iri)
+    config_name = os.path.splitext(os.path.basename(config_path))[0]
+    cache_path = None
+    if cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
+        cache_path = os.path.join(cache_dir, f"lookup_{config_name}.json")
+        if os.path.exists(cache_path) and not no_cache:
+            with open(cache_path) as f:
+                return json.load(f)
+
+    with open(config_path) as f:
+        config_json = json.load(f)
+
+    table = create_lookup_table_skeleton()
+    for json_object in reversed(config_json):
+        ((ontology_iri, root_entity_iri),) = json_object.items()
+        local = resolve(ontology_iri)
+        fetched = fetch_ontology(local, root_entity_iri or OWL_THING)
+        if cache_dir:
+            name = os.path.basename(ontology_iri).rsplit(".", 1)[0]
+            with open(os.path.join(cache_dir, f"{name}.json"), "w") as f:
+                json.dump(fetched, f)
+        table = add_fetched_ontology_to_lookup_table(table, fetched)
+
+    if cache_path:
+        with open(cache_path, "w") as f:
+            json.dump(table, f)
+    return table

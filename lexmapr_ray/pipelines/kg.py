@@ -25,14 +25,25 @@ import pyarrow as pa
 from lexmapr_ray.stages.match import MentionMatcher, extract_text_stage
 
 
-def broadcast_lexicon(lexicon=None):
-    """``ray.put`` the lexicon once; reuse the handle across stages/runs."""
+def broadcast_lexicon(lexicon=None, *, config: str | None = None, resolve=None):
+    """``ray.put`` the lexicon once; reuse the handle across stages/runs.
+
+    ``config`` is an ontology config JSON (reference ``--config`` surface,
+    pipeline.py:45-54): the fetched ontology lookup table is merged into the
+    predefined lexicon, ontology table winning conflicts, before broadcast.
+    """
     import ray
 
-    from lexmapr_ray.lexkit.lexicon import build_lexicon
+    from lexmapr_ray.lexkit.lexicon import Lexicon, build_lexicon, merge_lookup_tables
 
     if lexicon is None:
         lexicon = build_lexicon()
+    if config:
+        from lexmapr_ray.lexkit.ontology import get_config_resources
+
+        onto_table = get_config_resources(config, resolve=resolve)
+        merged = merge_lookup_tables(dict(lexicon.table), onto_table)
+        lexicon = Lexicon(merged, lexicon.scientific_names).build_indexes()
     return ray.put(lexicon)
 
 

@@ -1,0 +1,298 @@
+"""Ontology ingestion parity tests.
+
+Direct ports of the reference's ontology lookup-table assertions
+(/root/reference/lexmapr/tests/test_pipeline.py:484-933) against our
+dependency-free OWL parser, run over the reference's own committed OWL
+fixtures.  Config IRIs resolve to the local fixture files (no network).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from lexmapr_ray.lexkit.ontology import (
+    OWL_THING,
+    fetch_ontology,
+    get_config_resources,
+    get_entity_id,
+)
+
+ONT_DIR = "/root/reference/lexmapr/tests/test_ontologies"
+CFG_DIR = "/root/reference/lexmapr/tests/test_config"
+
+
+def _resolve(iri: str) -> str:
+    return os.path.join(ONT_DIR, os.path.basename(iri))
+
+
+def table_for(config_name: str) -> dict:
+    return get_config_resources(
+        os.path.join(CFG_DIR, config_name), resolve=_resolve
+    )
+
+
+def test_get_entity_id():
+    assert get_entity_id("http://purl.obolibrary.org/obo/BFO_0000002") == "BFO:0000002"
+    assert (
+        get_entity_id("http://www.co-ode.org/ontologies/pizza/pizza.owl#Hot")
+        == "pizza.owl:Hot"
+    )
+    assert get_entity_id("already:short") == "already:short"
+
+
+def test_fetch_ontology_no_root_spec_count():
+    # test_fetch_ontology_specify_no_root: 36 specifications
+    fetched = fetch_ontology(os.path.join(ONT_DIR, "bfo.owl"), OWL_THING)
+    assert len(fetched["specifications"]) == 36
+
+
+def test_fetch_ontology_with_root_spec_count():
+    # test_fetch_ontology_specify_with_root: 3 specifications
+    fetched = fetch_ontology(
+        os.path.join(ONT_DIR, "bfo.owl"), "http://purl.obolibrary.org/obo/BFO_0000015"
+    )
+    assert len(fetched["specifications"]) == 3
+
+
+def test_ontology_table_keys():
+    table = table_for("bfo.json")
+    expected_keys = ["non_standard_resource_ids", "standard_resource_labels",
+                     "standard_resource_label_permutations", "synonyms", "abbreviations",
+                     "non_english_words", "spelling_mistakes", "inflection_exceptions",
+                     "stop_words", "suffixes", "parents", "buckets_ifsactop",
+                     "buckets_lexmapr", "ifsac_labels", "ifsac_refinement", "ifsac_default"]
+    assert sorted(expected_keys) == sorted(table.keys())
+
+
+def test_ontology_table_resource_ids():
+    table = table_for("bfo_material_entity.json")
+    assert table["non_standard_resource_ids"] == {
+        "bfo_0000024": "fiat object part",
+        "bfo_0000027": "object aggregate",
+        "bfo_0000030": "object",
+    }
+
+
+def test_ontology_table_resource_ids_with_multiple_ontologies():
+    table = table_for("bfo_material_entity_and_pizza_spiciness.json")
+    assert table["non_standard_resource_ids"] == {
+        "bfo_0000024": "fiat object part",
+        "bfo_0000027": "object aggregate",
+        "bfo_0000030": "object",
+        "pizza.owl_hot": "picante",
+        "pizza.owl_medium": "media",
+        "pizza.owl_mild": "naopicante",
+    }
+
+
+def test_ontology_table_resource_ids_with_multiple_root_entities():
+    table = table_for("bfo_process_and_material_entity.json")
+    assert table["non_standard_resource_ids"] == {
+        "bfo_0000024": "fiat object part",
+        "bfo_0000027": "object aggregate",
+        "bfo_0000030": "object",
+        "bfo_0000144": "process profile",
+        "bfo_0000182": "history",
+    }
+
+
+def test_ontology_table_resource_labels():
+    table = table_for("bfo_material_entity.json")
+    assert table["standard_resource_labels"] == {
+        "fiat object part": "bfo_0000024",
+        "object aggregate": "bfo_0000027",
+        "object": "bfo_0000030",
+    }
+
+
+def test_ontology_table_resource_labels_with_multiple_ontologies():
+    table = table_for("bfo_material_entity_and_pizza_spiciness.json")
+    assert table["standard_resource_labels"] == {
+        "fiat object part": "bfo_0000024",
+        "object aggregate": "bfo_0000027",
+        "object": "bfo_0000030",
+        "picante": "pizza.owl_hot",
+        "media": "pizza.owl_medium",
+        "naopicante": "pizza.owl_mild",
+    }
+
+
+def test_ontology_table_synonyms():
+    table = table_for("bfo.json")
+    assert table["synonyms"] == {
+        "temporal instant.": "zero dimensional temporal region",
+        "lonely dimensional continuant fiat boundary.":
+            "two dimensional continuant fiat boundary",
+        "lonelier dimensional continuant fiat boundary.":
+            "one dimensional continuant fiat boundary",
+        "loneliest dimensional continuant fiat boundary.":
+            "zero dimensional continuant fiat boundary",
+        "loneliestest dimensional continuant fiat boundary.":
+            "zero dimensional continuant fiat boundary",
+    }
+
+
+def test_ontology_table_varying_synonyms():
+    table = table_for("bfo_varying_synonyms.json")
+    assert table["synonyms"] == {
+        "lonely dimensional continuant fiat boundary.":
+            "two dimensional continuant fiat boundary",
+        "lonely dimensional continuant fiat boundary..":
+            "two dimensional continuant fiat boundary",
+        "lonelier dimensional continuant fiat boundary.":
+            "one dimensional continuant fiat boundary",
+        "loneliest dimensional continuant fiat boundary.":
+            "zero dimensional continuant fiat boundary",
+        "loneliestest dimensional continuant fiat boundary.":
+            "zero dimensional continuant fiat boundary",
+    }
+
+
+def test_parents_one_level_one_parent():
+    table = table_for("bfo_process.json")
+    assert table["parents"] == {
+        "bfo_0000182": ["bfo_0000015"],
+        "bfo_0000144": ["bfo_0000015"],
+    }
+
+
+def test_parents_one_level_two_parents():
+    table = table_for("bfo_process_and_material_entity.json")
+    assert table["parents"] == {
+        "bfo_0000182": ["bfo_0000015"],
+        "bfo_0000144": ["bfo_0000015"],
+        "bfo_0000024": ["bfo_0000040"],
+        "bfo_0000027": ["bfo_0000040"],
+        "bfo_0000030": ["bfo_0000040"],
+    }
+
+
+def test_parents_multiple_levels_one_branch():
+    table = table_for("bfo_realizable_entity.json")
+    assert table["parents"] == {
+        "bfo_0000034": ["bfo_0000016"],
+        "bfo_0000016": ["bfo_0000017"],
+        "bfo_0000023": ["bfo_0000017"],
+    }
+
+
+def test_parents_multiple_levels_multiple_branches():
+    table = table_for("bfo_specifically_dependent_continuant.json")
+    assert table["parents"] == {
+        "bfo_0000034": ["bfo_0000016"],
+        "bfo_0000016": ["bfo_0000017"],
+        "bfo_0000023": ["bfo_0000017"],
+        "bfo_0000145": ["bfo_0000019"],
+        "bfo_0000017": ["bfo_0000020"],
+        "bfo_0000019": ["bfo_0000020"],
+    }
+
+
+def test_multiple_parents_per_resource():
+    table = table_for("bfo_duplicate_entities_specifically_dependent_continuant.json")
+    expected = {
+        "bfo_0000019": ["bfo_0000020"],
+        "bfo_0000017": ["bfo_0000020"],
+        "bfo_0000145": ["bfo_0000019", "bfo_0000017"],
+        "bfo_0000016": ["bfo_0000017"],
+        "bfo_0000023": ["bfo_0000017"],
+        "bfo_0000034": ["bfo_0000016"],
+    }
+    actual = table["parents"]
+    assert {k: sorted(v) for k, v in expected.items()} == \
+        {k: sorted(v) for k, v in actual.items()}
+
+
+def test_overlapping_parents_from_different_fetches():
+    table = table_for("bfo_duplicate_entities_process_and_material_entity.json")
+    assert table["parents"] == {
+        "bfo_0000182": ["bfo_0000015"],
+        "bfo_0000144": ["bfo_0000015"],
+        "bfo_0000024": ["bfo_0000040", "bfo_0000015"],
+        "bfo_0000027": ["bfo_0000040", "bfo_0000015"],
+        "bfo_0000030": ["bfo_0000040", "bfo_0000015"],
+    }
+
+
+def test_duplicate_parents_not_repeated():
+    table = table_for("bfo_process_twice.json")
+    assert table["parents"] == {
+        "bfo_0000182": ["bfo_0000015"],
+        "bfo_0000144": ["bfo_0000015"],
+    }
+
+
+def test_duplicate_other_parents_not_repeated():
+    table = table_for("bfo_duplicate_entities_specifically_dependent_continuant_twice.json")
+    expected = {
+        "bfo_0000019": ["bfo_0000020"],
+        "bfo_0000017": ["bfo_0000020"],
+        "bfo_0000145": ["bfo_0000019", "bfo_0000017"],
+        "bfo_0000016": ["bfo_0000017"],
+        "bfo_0000023": ["bfo_0000017"],
+        "bfo_0000034": ["bfo_0000016"],
+    }
+    actual = table["parents"]
+    assert {k: sorted(v) for k, v in expected.items()} == \
+        {k: sorted(v) for k, v in actual.items()}
+
+
+def test_resource_label_permutations():
+    table = table_for("bfo_material_entity.json")
+    assert table["standard_resource_label_permutations"] == {
+        "fiat object part": "bfo_0000024",
+        "fiat part object": "bfo_0000024",
+        "object fiat part": "bfo_0000024",
+        "object part fiat": "bfo_0000024",
+        "part fiat object": "bfo_0000024",
+        "part object fiat": "bfo_0000024",
+        "object aggregate": "bfo_0000027",
+        "aggregate object": "bfo_0000027",
+        "object": "bfo_0000030",
+    }
+
+
+def test_prioritisation_pizza_first():
+    table = table_for("pizza_spiciness_and_pizza_two_spiciness.json")
+    assert table["standard_resource_labels"] == {
+        "picante": "pizza.owl_hot",
+        "media": "pizza.owl_medium",
+        "naopicante": "pizza.owl_mild",
+    }
+
+
+def test_prioritisation_pizza_two_first():
+    table = table_for("pizza_two_spiciness_and_pizza_spiciness.json")
+    assert table["standard_resource_labels"] == {
+        "picante": "pizza.owl_hottwo",
+        "media": "pizza.owl_mediumtwo",
+        "naopicante": "pizza.owl_mildtwo",
+    }
+
+
+def test_cache_roundtrip(tmp_path):
+    cfg = os.path.join(CFG_DIR, "bfo_material_entity.json")
+    t1 = get_config_resources(cfg, cache_dir=str(tmp_path), resolve=_resolve)
+    assert os.path.exists(tmp_path / "lookup_bfo_material_entity.json")
+    assert os.path.exists(tmp_path / "bfo.json")  # fetched-ontology cache
+    t2 = get_config_resources(cfg, cache_dir=str(tmp_path), resolve=_resolve)
+    assert t1 == t2
+    t3 = get_config_resources(cfg, cache_dir=str(tmp_path), no_cache=True, resolve=_resolve)
+    assert t1 == t3
+
+
+def test_merged_into_lexicon_matches_ontology_terms():
+    """End-to-end: a lexicon extended with an ontology config matches the
+    ontology's terms through the standard matcher (pipeline.py:45-54)."""
+    from lexmapr_ray.lexkit.lexicon import build_lexicon, merge_lookup_tables
+    from lexmapr_ray.lexkit.matcher import match_sample
+
+    base = build_lexicon()
+    onto = table_for("bfo_material_entity.json")
+    merged_table = merge_lookup_tables(dict(base.table), onto)
+    lex = type(base)(merged_table, base.scientific_names).build_indexes()
+
+    r = match_sample("object aggregates", lex)
+    assert r.matched_components == ["object aggregate:BFO_0000027"]
