@@ -52,6 +52,23 @@ def _kg_entities(sf_dir: str):
     return canonicalize_mentions(triples)
 
 
+_BUCKET_LEXICON_REF = None
+
+
+def _kg_triples_bucket(sf_dir: str):
+    """KG triples including lexmapr:classifiedAs bucket-classification
+    triples (the reference's --bucket path, C1-C6, through the Ray stage)."""
+    global _BUCKET_LEXICON_REF
+    from lexmapr_ray.pipelines.kg import broadcast_lexicon, extract_triples
+    from lexmapr_ray.sources.pages import pages_from_documents
+
+    if _BUCKET_LEXICON_REF is None:
+        _BUCKET_LEXICON_REF = broadcast_lexicon()
+    return extract_triples(
+        pages_from_documents(sf_dir), _BUCKET_LEXICON_REF, bucket=True
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from lexmapr_ray.pipelines import relational as rel
     from lexmapr_ray.stages import dedup, similarity, textstats
@@ -71,12 +88,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_brand_revenue": rel.part_brand_revenue,
         # text analysis (SQL-oracled)
         "doc_stats": textstats.doc_stats,
+        "token_counts": textstats.token_counts,
         "doc_fingerprint": textstats.doc_fingerprint,
         "quality_score": textstats.quality_score,
         "lang_distribution": textstats.lang_distribution,
         # deduplication
         "dedup_exact": dedup.dedup_exact,
         "minhash_dedup_pairs": dedup.minhash_dedup_pairs,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "simhash_signatures": dedup.simhash_signatures,
         # similarity search
         "cosine_topk": similarity.cosine_topk_bruteforce,
@@ -90,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # knowledge-graph pipeline (the flagship; non-SQL)
         "kg_triples": _kg_triples,
         "kg_entities": _kg_entities,
+        "kg_triples_bucket": _kg_triples_bucket,
     }
 
 
@@ -184,6 +204,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprint": """
             SELECT doc_id, md5(text) AS fingerprint FROM documents ORDER BY doc_id
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT)
+                       AS n_bpe_tokens
+            FROM documents ORDER BY doc_id
         """,
         "quality_score": """
             SELECT doc_id,

@@ -62,6 +62,27 @@ def doc_fingerprint(sf_dir: str):
     return ds.map_batches(fp, batch_format="pyarrow").sort("doc_id")
 
 
+_BPE_TOKEN_RE = re.compile(r"\w+|[^\w\s]")
+
+
+def token_counts(sf_dir: str):
+    """BPE-style pre-tokenizer counts: words and standalone punctuation
+    marks counted separately (the unit a byte-pair tokenizer would split),
+    giving the corpus token budget for training-data sizing."""
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def count(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_bpe_tokens": pa.array(
+                [len(_BPE_TOKEN_RE.findall(s)) for s in texts], pa.int64()
+            ),
+        })
+
+    return ds.map_batches(count, batch_format="pyarrow").sort("doc_id")
+
+
 def quality_score(sf_dir: str):
     """Quality heuristics: stopword hits, long tokens, uppercase-free check.
 
