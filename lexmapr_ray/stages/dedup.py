@@ -29,6 +29,18 @@ _HASH_A = _RNG.randint(1, _MERSENNE, size=NUM_HASHES, dtype=np.int64).astype(np.
 _HASH_B = _RNG.randint(0, _MERSENNE, size=NUM_HASHES, dtype=np.int64).astype(np.uint64)
 
 
+
+def _auto_concurrency(requested=None) -> int:
+    """Actor-pool size that can never starve upstream tasks: a pool equal to
+    the CPU count deadlocks the streaming executor on small clusters (the
+    read/sort tasks have no slot to run in), so cap at CPUs - 2."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    cap = max(1, cpus - 2)
+    return min(requested, cap) if requested else cap
+
+
 def _read_documents(sf_dir: str, columns=None):
     import ray.data as rd
 
@@ -124,10 +136,10 @@ class MinHasher:
         })
 
 
-def minhash_candidate_pairs(sf_dir: str, concurrency: int = 4):
+def minhash_candidate_pairs(sf_dir: str, concurrency: int | None = None):
     """LSH bucket groupby -> unverified candidate pairs (doc_a < doc_b)."""
     ds = _read_documents(sf_dir, ["doc_id", "text"])
-    banded = ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=concurrency)
+    banded = ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=_auto_concurrency(concurrency))
 
     # pair generation: sort co-locates each LSH bucket in one block, then a
     # vectorized self-merge within the block emits candidate pairs (a<b)
@@ -149,7 +161,7 @@ def minhash_candidate_pairs(sf_dir: str, concurrency: int = 4):
     )
 
 
-def minhash_dedup_pairs(sf_dir: str, threshold: float = 0.8, concurrency: int = 4):
+def minhash_dedup_pairs(sf_dir: str, threshold: float = 0.8, concurrency: int | None = None):
     """Verified near-dup pairs: LSH candidates + exact Jaccard >= threshold.
 
     Verification broadcasts nothing: the texts for the (small) candidate set
@@ -159,7 +171,7 @@ def minhash_dedup_pairs(sf_dir: str, threshold: float = 0.8, concurrency: int = 
     """
     import ray
 
-    cand = minhash_candidate_pairs(sf_dir, concurrency=concurrency).to_pandas()
+    cand = minhash_candidate_pairs(sf_dir, concurrency=_auto_concurrency(concurrency)).to_pandas()
     if cand.empty:
         import ray.data as rd
 
@@ -230,6 +242,6 @@ def simhash_signatures(sf_dir: str):
     return ds.map_batches(sim, batch_format="pyarrow").sort("doc_id")
 
 
-def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, concurrency: int = 4):
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, concurrency: int | None = None):
     """N-gram Jaccard near-dup with a lower threshold (wider LSH recall)."""
-    return minhash_dedup_pairs(sf_dir, threshold=threshold, concurrency=concurrency)
+    return minhash_dedup_pairs(sf_dir, threshold=threshold, concurrency=_auto_concurrency(concurrency))

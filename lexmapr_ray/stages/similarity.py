@@ -13,6 +13,18 @@ import pandas as pd
 import pyarrow as pa
 
 
+
+def _auto_concurrency(requested=None) -> int:
+    """Actor-pool size that can never starve upstream tasks: a pool equal to
+    the CPU count deadlocks the streaming executor on small clusters (the
+    read/sort tasks have no slot to run in), so cap at CPUs - 2."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    cap = max(1, cpus - 2)
+    return min(requested, cap) if requested else cap
+
+
 def _read_embeddings(sf_dir: str, columns=None):
     import ray.data as rd
 
@@ -132,7 +144,7 @@ def ann_lsh_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10, n_probe_bits: 
     )
 
 
-def embedding_near_dup_pairs(sf_dir: str, threshold_bp: int = 3000, concurrency: int = 4):
+def embedding_near_dup_pairs(sf_dir: str, threshold_bp: int = 3000, concurrency: int | None = None):
     """Embedding-cosine near-duplicate pairs via LSH bucketing.
 
     The default threshold suits the synthetic random-embedding testdata

@@ -21,6 +21,18 @@ QUALITY_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
 _PUNCT_RE = re.compile(r"[^\w\s]")
 
 
+
+def _auto_concurrency(requested=None) -> int:
+    """Actor-pool size that can never starve upstream tasks: a pool equal to
+    the CPU count deadlocks the streaming executor on small clusters (the
+    read/sort tasks have no slot to run in), so cap at CPUs - 2."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    cap = max(1, cpus - 2)
+    return min(requested, cap) if requested else cap
+
+
 def _read_documents(sf_dir: str, columns=None):
     import ray.data as rd
 
@@ -157,10 +169,10 @@ class LangIdHeuristic:
         })
 
 
-def lang_id(sf_dir: str, concurrency: int = 4):
+def lang_id(sf_dir: str, concurrency: int | None = None):
     ds = _read_documents(sf_dir, ["doc_id", "text"])
     return ds.map_batches(
-        LangIdHeuristic, batch_format="pyarrow", concurrency=concurrency
+        LangIdHeuristic, batch_format="pyarrow", concurrency=_auto_concurrency(concurrency)
     ).sort("doc_id")
 
 

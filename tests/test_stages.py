@@ -1,0 +1,160 @@
+"""Stage-level correctness: distributed operators vs serial oracles on the
+sf0.001 testdata (500 docs / 500 embeddings)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs(sf_dir):
+    return pd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embs(sf_dir):
+    return pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_doc_stats_matches_serial(ray_session, sf_dir, docs):
+    from lexmapr_ray.stages.textstats import doc_stats
+
+    got = doc_stats(sf_dir).to_pandas().set_index("doc_id")
+    for _, row in docs.sample(50, random_state=0).iterrows():
+        assert got.loc[row.doc_id, "n_chars"] == len(row.text)
+        assert got.loc[row.doc_id, "n_tokens"] == len(row.text.split())
+
+
+def test_fingerprint_matches_md5(ray_session, sf_dir, docs):
+    from lexmapr_ray.stages.textstats import doc_fingerprint
+
+    got = doc_fingerprint(sf_dir).to_pandas().set_index("doc_id")
+    for _, row in docs.sample(20, random_state=1).iterrows():
+        assert got.loc[row.doc_id, "fingerprint"] == hashlib.md5(
+            row.text.encode()).hexdigest()
+
+
+def test_lang_id_heuristic_on_real_language_samples(ray_session, sf_dir):
+    """The testdata's lang column is synthetic noise (all texts are English
+    DB jargon), so the heuristic is validated on real-language snippets and
+    only determinism + output domain are checked over the corpus."""
+    from lexmapr_ray.stages.textstats import LangIdHeuristic, lang_id
+
+    h = LangIdHeuristic()
+    assert h._score("the quick brown fox is running over the hills and") == "en"
+    assert h._score("der hund und die katze laufen schnell durch einen wald") == "de"
+    assert h._score("les enfants que nous avons vus mangent de la soupe") == "fr"
+
+    got = lang_id(sf_dir).to_pandas()
+    assert set(got["lang_pred"]) <= {"en", "de", "fr", "unk"}
+    again = lang_id(sf_dir).to_pandas()
+    pd.testing.assert_frame_equal(got, again)
+
+
+def test_dedup_exact_min_doc_per_text(ray_session, sf_dir, docs):
+    from lexmapr_ray.stages.dedup import dedup_exact
+
+    got = dedup_exact(sf_dir).to_pandas()
+    exp = (
+        docs.groupby("text", as_index=False)
+        .agg(doc_id=("doc_id", "min"))
+        .sort_values("doc_id")
+        .reset_index(drop=True)[["doc_id", "text"]]
+    )
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
+
+
+def _shingles(text):
+    # the stage's own shingle fn IS the spec the Jaccard verification uses
+    from lexmapr_ray.stages.dedup import _shingles as stage_shingles
+
+    return stage_shingles(text)
+
+
+def test_minhash_pairs_sound_and_equal_bruteforce_on_candidates(
+    ray_session, sf_dir, docs
+):
+    """Every verified pair must meet the threshold exactly as a serial
+    Jaccard computes it (soundness; LSH recall is probabilistic so
+    completeness is asserted only against the candidate set)."""
+    from lexmapr_ray.stages.dedup import minhash_candidate_pairs, minhash_dedup_pairs
+
+    text = docs.set_index("doc_id")["text"]
+    got = minhash_dedup_pairs(sf_dir, concurrency=2).to_pandas()
+    for _, r in got.iterrows():
+        sa, sb = _shingles(text[r.doc_a]), _shingles(text[r.doc_b])
+        j = len(sa & sb) / len(sa | sb) if (sa | sb) else 1.0
+        assert j >= 0.8
+        assert int(round(j * 100)) == r.jaccard_pct
+
+    cand = minhash_candidate_pairs(sf_dir, concurrency=2).to_pandas()
+    expected = set()
+    for _, r in cand.iterrows():
+        sa, sb = _shingles(text[r.doc_a]), _shingles(text[r.doc_b])
+        j = len(sa & sb) / len(sa | sb) if (sa | sb) else 1.0
+        if j >= 0.8:
+            expected.add((r.doc_a, r.doc_b))
+    assert set(map(tuple, got[["doc_a", "doc_b"]].itertuples(index=False))) == expected
+
+
+def test_simhash_deterministic_and_near_for_similar_docs(ray_session, sf_dir):
+    from lexmapr_ray.stages.dedup import simhash_signatures
+
+    s1 = simhash_signatures(sf_dir).to_pandas()
+    s2 = simhash_signatures(sf_dir).to_pandas()
+    pd.testing.assert_frame_equal(s1, s2)
+    assert s1["simhash"].nunique() > len(s1) // 2  # signatures discriminate
+
+
+def test_cosine_topk_matches_numpy(ray_session, sf_dir, embs):
+    from lexmapr_ray.stages.similarity import cosine_topk_bruteforce
+
+    got = cosine_topk_bruteforce(sf_dir).to_pandas()
+
+    m = np.stack([np.asarray(e, dtype=np.float64) for e in embs["embedding"]])
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    mn = m / norms[:, None]
+    q = mn[embs.index[embs["vec_id"] == 0][0]]
+    sims = np.round(mn @ q * 10_000).astype(np.int64)
+    order = sorted(zip(-sims, embs["vec_id"]))[:10]
+    exp = [(int(v), int(-s)) for s, v in order]
+    assert list(map(tuple, got[["vec_id", "sim_bp"]].itertuples(index=False))) == exp
+
+
+def test_embedding_near_dup_sound(ray_session, sf_dir, embs):
+    from lexmapr_ray.stages.similarity import embedding_near_dup_pairs
+
+    got = embedding_near_dup_pairs(sf_dir).to_pandas()
+    m = np.stack([np.asarray(e, dtype=np.float64) for e in embs["embedding"]])
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    mn = m / norms[:, None]
+    byid = {int(v): mn[i] for i, v in enumerate(embs["vec_id"])}
+    for _, r in got.iterrows():
+        sim = int(np.round(byid[r.vec_a] @ byid[r.vec_b] * 10_000))
+        assert sim == r.sim_bp
+        assert r.vec_a < r.vec_b
+
+
+def test_media_features_match_serial_decode(ray_session):
+    from lexmapr_ray.stages.multimodal import DecodeImage, media_features, synth_media_dataset
+
+    got = media_features(64, concurrency=2).to_pandas().set_index("media_id")
+    serial = synth_media_dataset(64).to_pandas()
+    for _, row in serial.iterrows():
+        img = DecodeImage._decode(row.payload)
+        assert got.loc[row.media_id, "mean_milli"] == int(img.mean() * 1000)
+        assert got.loc[row.media_id, "std_milli"] == int(img.std() * 1000)
+    assert (serial["width"] * serial["height"] > 0).all()
+
+
+def test_decode_without_codec_is_explicit(ray_session):
+    from lexmapr_ray.stages.multimodal import DecodeImage
+
+    with pytest.raises(NotImplementedError):
+        DecodeImage(fake=False)
