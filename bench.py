@@ -23,14 +23,24 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-# 400k pages ~= 1100 CPU-seconds of matcher work: enough that the compute,
-# not the ~5-10 s fixed Ray/actor-pool startup, dominates at 32 CPUs — the
-# regime the 100 TB target actually runs in.  20k pages finishes in ~4 s of
-# parallel work and measures only startup.
-BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "400000"))
+# 1M pages ~= 950 CPU-seconds of matcher work: enough that compute, not the
+# ~10 s fixed Ray/actor-pool startup + sort-barrier tail, dominates at 32
+# CPUs — the regime a 100 TB run (hours of steady state) actually lives in.
+# 20k pages finishes in ~2 s of parallel work and would measure only startup.
+BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "1000000"))
 
 
 def _init_ray(num_cpus: int):
+    # pin pyarrow's internal pools: they size to the PHYSICAL core count and
+    # ignore Ray's CPU tokens, letting a small-num_cpus session free-ride on
+    # the whole box during parquet decode — which corrupts the N vs 4N
+    # comparison
+    os.environ.setdefault("OMP_NUM_THREADS", "1")
+    os.environ.setdefault("ARROW_IO_THREADS", "2")
+    import pyarrow as pa
+
+    pa.set_cpu_count(1)
+    pa.set_io_thread_count(2)
     import ray
 
     ray.init(
@@ -50,41 +60,57 @@ def _init_ray(num_cpus: int):
 
 
 def _pool_size(num_cpus: int) -> int:
-    """Matcher actors = 3/4 of CPUs: the pool must scale EXACTLY with the
-    CPU count (6 at 8 CPUs, 24 at 32 = a true 4x, emulating N vs 4N
-    fixed-size nodes), and must leave slots free for the read/synth/shuffle
-    stages — a pool of num_cpus actors starves upstream tasks entirely."""
-    return max(2, (num_cpus * 3) // 4)
+    """Matcher actors = 7/8 of CPUs: the pool must scale EXACTLY with the
+    CPU count (7 at 8 CPUs, 28 at 32 = a true 4x, emulating N vs 4N
+    fixed-size nodes), and must leave at least one slot free for the
+    read/shuffle stages — a pool of num_cpus actors starves upstream tasks
+    entirely."""
+    return max(2, (num_cpus * 7) // 8)
+
+
+def _corpus_dir(n_pages: int) -> str:
+    """Materialize the deterministic pages corpus to Parquet ONCE (untimed).
+
+    The engine's contract input is a Parquet pages table (BASELINE.json
+    input_hint) — benching the synth generator charged ~0.4 ms/page of
+    numpy RandomState churn to the pipeline and dominated the 32-CPU
+    profile with allocator contention that a real read-from-storage run
+    does not have."""
+    import ray.data as rd
+
+    from lexmapr_ray.sources.pages import synth_pages_dataset
+
+    path = f"/tmp/graft_bench_pages_{n_pages}"
+    done = os.path.join(path, "_DONE")
+    if not os.path.exists(done):
+        synth_pages_dataset(
+            n_pages, override_num_blocks=256, batch_size=4096
+        ).write_parquet(path)
+        open(done, "w").close()
+    return path
 
 
 def run_headline(num_cpus: int) -> dict:
-    """KG pipeline over a deterministic synthetic pages corpus + documents."""
-    from lexmapr_ray.pipelines.kg import broadcast_lexicon, run_kg_pipeline
-    from lexmapr_ray.sources.pages import synth_pages_dataset
+    """KG pipeline over the materialized Parquet pages corpus."""
+    import ray.data as rd
 
-    # warm: build/broadcast lexicon and run a 2k-page pilot outside the
-    # timed window — worker-process imports and actor cold-start are fixed
-    # costs that amortize to nothing over a multi-hour 100 TB run, so the
+    from lexmapr_ray.pipelines.kg import broadcast_lexicon, run_kg_pipeline
+
+    corpus = _corpus_dir(BENCH_PAGES)
+
+    # warm: build/broadcast lexicon and run a pilot outside the timed
+    # window — worker-process imports and actor cold-start are fixed costs
+    # that amortize to nothing over a multi-hour 100 TB run, so the
     # steady-state throughput is the honest scaling signal
     lexicon_ref = broadcast_lexicon()
     run_kg_pipeline(
-        synth_pages_dataset(2000, override_num_blocks=32, batch_size=512),
+        rd.read_parquet(corpus).limit(2000),
         lexicon_ref=lexicon_ref, batch_size=512,
         concurrency=_pool_size(num_cpus),
     ).count()
 
     t0 = time.time()
-    # block granularity IS task granularity for the fused synth->extract->
-    # match chain (batch_size only slices inside a task): ~1000 pages/block
-    # keeps matcher tasks ~3 s so the actor pool load-balances with no
-    # straggler tail (64 blocks of 3125 pages left 26 actors idle in the
-    # last wave), while the dedup stage re-coalesces blocks via batch
-    # bundling before the sort shuffle
-    pages = synth_pages_dataset(
-        BENCH_PAGES,
-        override_num_blocks=max(num_cpus * 4, BENCH_PAGES // 1024),
-        batch_size=512,
-    )
+    pages = rd.read_parquet(corpus)
     triples = run_kg_pipeline(
         pages, lexicon_ref=lexicon_ref, batch_size=512,
         concurrency=_pool_size(num_cpus),
@@ -127,6 +153,37 @@ def run_queries(sf_dir: str) -> dict:
 
 
 def main():
+    if "--pool-scaling" in sys.argv:
+        # fixed-node variant: ONE 32-CPU session, actor pool 7 vs 28 (a true
+        # 4x with every session-size confounder held constant) — the closest
+        # single-box stand-in for N vs 4N identical nodes
+        _init_ray(32)
+        import ray
+
+        from lexmapr_ray.pipelines.kg import broadcast_lexicon, run_kg_pipeline
+        import ray.data as rd
+
+        corpus = _corpus_dir(BENCH_PAGES)
+        ref = broadcast_lexicon()
+        run_kg_pipeline(rd.read_parquet(corpus).limit(2000), lexicon_ref=ref,
+                        batch_size=512, concurrency=7).count()
+        thr = {}
+        for pool in (7, 28):
+            t0 = time.time()
+            run_kg_pipeline(rd.read_parquet(corpus), lexicon_ref=ref,
+                            batch_size=512, concurrency=pool).count()
+            thr[pool] = BENCH_PAGES / (time.time() - t0)
+        print(json.dumps({
+            "metric": "kg_pool_scaling_efficiency",
+            "value": round((thr[28] / thr[7]) / 4, 3),
+            "unit": "ratio",
+            "pages_per_sec_7actors": round(thr[7], 1),
+            "pages_per_sec_28actors": round(thr[28], 1),
+            "pages": BENCH_PAGES,
+        }))
+        ray.shutdown()
+        return
+
     if "--scaling" in sys.argv:
         results = {}
         for ncpu in (8, 32):

@@ -238,6 +238,10 @@ class Lexicon:
                     stripped = mc - sc
                     matchable.add(tuple(sorted(stripped.elements())))
         self.matchable_multisets = matchable
+        # token vocabulary of the matchable multisets: a chunk containing ANY
+        # token outside this set can never satisfy a multiset-equality probe,
+        # so the component matcher skips generating such chunks entirely
+        self.matchable_token_vocab = {tok for ms in matchable for tok in ms}
         return self
 
     def chunk_can_match(self, chunk_tokens: tuple[str, ...] | list[str]) -> bool:
@@ -273,8 +277,9 @@ def build_lexicon(
     cache_path = None
     if use_cache:
         os.makedirs(_CACHE_DIR, exist_ok=True)
+        # _v2: matchable_token_vocab added to the pickled index
         key = _resource_fingerprint(resource_dir) + (
-            ("_cls" if classification else "") + ("_gold" if golden_overlay else "")
+            ("_cls" if classification else "") + ("_gold" if golden_overlay else "") + "_v2"
         )
         cache_path = os.path.join(_CACHE_DIR, f"lexicon_{key}.pkl")
         if os.path.exists(cache_path):

@@ -302,11 +302,13 @@ def match_sample(
         if token != lemma:
             out.conversions[token] = lemma
         cleaned_sample = get_cleaned_sample(cleaned_sample, lemma, table)
-        cleaned_sample = _MULTI_SPACE.sub(" ", cleaned_sample)
+        if "  " in cleaned_sample:
+            cleaned_sample = _MULTI_SPACE.sub(" ", cleaned_sample)
         cleaned_sample = abbreviation_normalization(cleaned_sample, table, micro_status)
         cleaned_sample = non_english_normalization(cleaned_sample, table, micro_status)
         annotated = get_annotated_sample(annotated, lemma, sci_names)
-        annotated = _MULTI_SPACE.sub(" ", annotated)
+        if "  " in annotated:
+            annotated = _MULTI_SPACE.sub(" ", annotated)
 
     cleaned_sample = remove_duplicate_tokens(cleaned_sample)
     annotated = remove_duplicate_tokens(annotated)
@@ -337,8 +339,21 @@ def match_sample(
         # Component matching (pipeline.py:193-220)
         covered_tokens: set[str] = set()
         cleaned_tokens = word_tokenize(cleaned_sample)
+        # Acceleration only (no semantic change): drop tokens outside the
+        # matchable vocabulary BEFORE generating combinations — a chunk with
+        # an out-of-vocabulary token can never match under any permutation/
+        # suffix/synonym probe, and combinations of the filtered subsequence
+        # are exactly the viable subsequence of the original combination
+        # stream, in the same order.  The >=15-token contiguous-ngram guard
+        # must look at the ORIGINAL token count (reference semantics,
+        # pipeline_helpers.py:255-273), so filtering applies only below it.
+        if len(cleaned_tokens) < 15:
+            vocab = lexicon.matchable_token_vocab
+            chunk_tokens_src = [t for t in cleaned_tokens if t in vocab]
+        else:
+            chunk_tokens_src = cleaned_tokens
         for i in range(5, 0, -1):
-            for gram_chunk in get_gram_chunks(cleaned_sample, i, tokens=cleaned_tokens):
+            for gram_chunk in get_gram_chunks(cleaned_sample, i, tokens=chunk_tokens_src):
                 concat = " ".join(gram_chunk)
                 split_tokens = concat.split()
 

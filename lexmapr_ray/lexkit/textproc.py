@@ -121,6 +121,9 @@ _CONTRACTIONS3 = [
 ]
 
 
+_PLAIN_TEXT = re.compile(r"[a-z0-9 ]*\Z")
+
+
 def word_tokenize(text: str) -> list[str]:
     """Tokenize *text* with Treebank-style rules.
 
@@ -128,6 +131,10 @@ def word_tokenize(text: str) -> list[str]:
     character set the reference feeds it (lowercased text containing letters,
     digits, periods and apostrophes; commas only via lexicon substitutions).
     """
+    # fast path: on plain lowercase alphanumerics every Treebank rule is an
+    # identity, and ~100 regex subs per call dominate the matcher profile
+    if _PLAIN_TEXT.match(text):
+        return text.split()
     for regexp, substitution in _STARTING_QUOTES:
         text = regexp.sub(substitution, text)
     for regexp, substitution in _PUNCTUATION:

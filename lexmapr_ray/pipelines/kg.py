@@ -192,7 +192,7 @@ def dedup_triples(triples_ds):
     # in a single streaming stage (no Repartition barrier); see
     # canonicalize_mentions for the blocks^2 sort-cost rationale
     ds = triples_ds.map_batches(
-        _block_dedup_sorted, batch_format="pandas", batch_size=65536
+        _block_dedup_sorted, batch_format="pandas", batch_size=131072
     )
     # sort key must be EXACTLY the dedup key: boundaries on a longer key
     # could split equal (subj,pred,obj) rows across partitions; determinism
