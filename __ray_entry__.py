@@ -71,6 +71,7 @@ def _kg_triples_bucket(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from lexmapr_ray.pipelines import relational as rel
+    from lexmapr_ray.pipelines import windows
     from lexmapr_ray.stages import dedup, similarity, textstats
     from lexmapr_ray.stages.multimodal import media_features
 
@@ -84,6 +85,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_segments": rel.distinct_segments,
         "events_by_type": rel.events_by_type,
         "events_hourly": rel.events_hourly,
+        "events_sessions": windows.events_sessions,
+        "events_sliding_3h": windows.events_sliding_3h,
+        "events_last_order": windows.events_last_order,
         "customer_order_stats": rel.customer_order_stats,
         "part_brand_revenue": rel.part_brand_revenue,
         # text analysis (SQL-oracled)
@@ -178,6 +182,64 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n,
                    SUM(CAST(ROUND(value*100) AS BIGINT))::BIGINT AS sum_value_cents
             FROM events GROUP BY event_type, hour ORDER BY event_type, hour
+        """,
+        "events_sessions": """
+            WITH e AS (
+              SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                     CAST(ROUND(value*100) AS BIGINT) AS cents
+              FROM events
+            ), l AS (
+              SELECT *, LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+              FROM e
+            ), s AS (
+              SELECT *, SUM(CASE WHEN prev IS NULL OR ts_us - prev > 30*60*1000000
+                                 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              FROM l
+            )
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(session_id AS BIGINT) AS session_id,
+                   MIN(ts_us) AS session_start_us,
+                   COUNT(*) AS n_events,
+                   SUM(cents)::BIGINT AS sum_value_cents
+            FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
+        """,
+        "events_sliding_3h": """
+            WITH e AS (
+              SELECT event_type,
+                     CAST(FLOOR(epoch(ts)/3600) AS BIGINT) AS h,
+                     CAST(ROUND(value*100) AS BIGINT) AS cents
+              FROM events
+            )
+            SELECT event_type, (h - off) AS window_start_hour,
+                   COUNT(*) AS n, SUM(cents)::BIGINT AS sum_value_cents
+            FROM e CROSS JOIN (VALUES (0), (1), (2)) AS t(off)
+            GROUP BY event_type, window_start_hour
+            ORDER BY event_type, window_start_hour
+        """,
+        "events_last_order": """
+            WITH o AS (
+              SELECT o_custkey,
+                     CAST(epoch_us(o_orderdate) AS BIGINT) AS od_us,
+                     o_orderkey,
+                     CAST(ROUND(o_totalprice*100) AS BIGINT) AS cents,
+                     ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                                        ORDER BY o_orderkey DESC) AS rn
+              FROM orders
+            ), od AS (SELECT * FROM o WHERE rn = 1),
+            e AS (
+              SELECT CAST(event_id AS BIGINT) AS event_id,
+                     CAST(user_id AS BIGINT) AS user_id,
+                     CAST(epoch_us(ts) AS BIGINT) AS ts_us
+              FROM events
+            )
+            SELECT e.event_id, e.user_id, e.ts_us,
+                   CAST(od.o_orderkey AS BIGINT) AS last_order_key,
+                   od.cents AS last_order_cents
+            FROM e ASOF JOIN od
+              ON e.user_id = od.o_custkey AND e.ts_us >= od.od_us
+            ORDER BY e.event_id
         """,
         "customer_order_stats": """
             SELECT o_custkey, COUNT(*) AS n_orders,

@@ -1,0 +1,209 @@
+"""Windowed / temporal operators Ray Data has no primitive for.
+
+All three follow the engine's standard wide-op shape (see
+``functions/groupagg.py``): co-locate the partition key via ``sort``, then a
+fully vectorized per-block pandas reduce.  Sessionization and the as-of
+join sort on the ENTITY key alone (a composite (key, time) sort could split
+one entity across range partitions); time ordering is re-established
+vectorized inside the block.
+
+Money/time columns are integer (cents / epoch microseconds) so the DuckDB
+oracles in ``__ray_entry__`` compare bit-exactly.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (gap-based session windows per user)
+# ---------------------------------------------------------------------------
+
+def events_sessions(sf_dir: str, gap_us: int = SESSION_GAP_US):
+    """Per-user session windows: a new session starts when the gap since the
+    previous event exceeds *gap_us*.  Output: one row per session with
+    start, size and value sum."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "cents": pc.cast(pc.round(pc.multiply(t["value"], 100)), pa.int64()),
+        })
+
+    def sessionize(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "session_id": pd.Series([], dtype="int64"),
+                "session_start_us": pd.Series([], dtype="int64"),
+                "n_events": pd.Series([], dtype="int64"),
+                "sum_value_cents": pd.Series([], dtype="int64"),
+            })
+        df = df.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        prev = df.groupby("user_id", sort=False)["ts_us"].shift()
+        new_session = prev.isna() | (df["ts_us"] - prev > gap_us)
+        df = df.assign(
+            session_id=new_session.astype("int64").groupby(df["user_id"]).cumsum()
+        )
+        out = (
+            df.groupby(["user_id", "session_id"], sort=True)
+            .agg(
+                session_start_us=("ts_us", "min"),
+                n_events=("event_id", "size"),
+                sum_value_cents=("cents", "sum"),
+            )
+            .reset_index()
+        )
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return out
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+    # sort on user_id ONLY: each user's events land in exactly one block
+    return prepped.sort("user_id").map_batches(
+        sessionize, batch_format="pandas", batch_size=None
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding windows (3-hour window, 1-hour slide) via expansion + grouped sum
+# ---------------------------------------------------------------------------
+
+def events_sliding_3h(sf_dir: str):
+    """Count/sum per event_type per sliding 3-hour window starting each
+    hour: an event at hour h belongs to windows starting h-2, h-1, h.
+    The window expansion happens batch-local (x3 rows) BEFORE the grouped
+    sum, so the shuffle moves pre-aggregated partials only."""
+    from lexmapr_ray.functions.groupagg import grouped_sum_count
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def expand(t: pa.Table) -> pa.Table:
+        hour = pc.divide(pc.cast(t["ts"], pa.int64()), pa.scalar(3_600_000_000, pa.int64()))
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100)), pa.int64())
+        parts = []
+        for off in (0, 1, 2):
+            parts.append(pa.table({
+                "event_type": t["event_type"],
+                "window_start_hour": pc.subtract(hour, pa.scalar(off, pa.int64())),
+                "cents": cents,
+            }))
+        return pa.concat_tables(parts)
+
+    expanded = ds.map_batches(expand, batch_format="pyarrow")
+    return grouped_sum_count(
+        expanded,
+        ["event_type", "window_start_hour"],
+        {"sum_value_cents": "cents"},
+        count_alias="n",
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of (backward) join: each event -> the latest order at or before it
+# ---------------------------------------------------------------------------
+
+def events_last_order(sf_dir: str):
+    """As-of join events x orders on (user_id == o_custkey, ts >= orderdate),
+    keeping the latest qualifying order.  Orders are first reduced to one
+    row per (customer, date) — max orderkey wins — so tie-breaks are
+    deterministic and identical to the SQL oracle's.
+
+    Shape: tag + union both sides -> sort on the entity key (co-locates a
+    customer's events AND orders in one block) -> per-block vectorized
+    ``pandas.merge_asof``."""
+    import ray
+
+    events = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    # typed sentinels (-1) instead of nulls: keeps every column null-free so
+    # downstream pandas dtype stays int64 (nullable ints degrade to float64
+    # and lose exactness in the oracle comparison)
+    def prep_events(t: pa.Table) -> pa.Table:
+        n = len(t)
+        neg1 = pa.array([-1] * n, pa.int64())
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "t_us": pc.cast(t["ts"], pa.int64()),
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "o_orderkey": neg1,
+            "o_cents": neg1,
+            "side": pa.array([0] * n, pa.int64()),
+        })
+
+    def prep_orders(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": t["o_custkey"].to_pandas().astype("int64"),
+            "t_us": t["o_orderdate"].cast(pa.int64()).to_pandas(),
+            "o_orderkey": t["o_orderkey"].to_pandas().astype("int64"),
+            "o_cents": (t["o_totalprice"].to_pandas() * 100).round().astype("int64"),
+        })
+        # batch-local reduce to one order per (customer, date), max orderkey
+        # wins (associative: repeated below per block after the shuffle)
+        df = df.sort_values(["user_id", "t_us", "o_orderkey"]).drop_duplicates(
+            ["user_id", "t_us"], keep="last"
+        )
+        # scalar assignment — a pd.Series here would ALIGN on the index
+        # left ragged by drop_duplicates and silently null out every row
+        # whose label exceeds len(df)
+        df["event_id"] = -1
+        df["side"] = 1
+        return pa.Table.from_pandas(
+            df[["user_id", "t_us", "event_id", "o_orderkey", "o_cents", "side"]],
+            preserve_index=False,
+        ).cast(pa.schema([
+            ("user_id", pa.int64()), ("t_us", pa.int64()), ("event_id", pa.int64()),
+            ("o_orderkey", pa.int64()), ("o_cents", pa.int64()), ("side", pa.int64()),
+        ]))
+
+    ev = events.map_batches(prep_events, batch_format="pyarrow", batch_size=65536)
+    od = orders.map_batches(prep_orders, batch_format="pyarrow", batch_size=65536)
+    unioned = ev.union(od)
+
+    def asof_block(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "event_id": pd.Series([], dtype="int64"),
+            "user_id": pd.Series([], dtype="int64"),
+            "ts_us": pd.Series([], dtype="int64"),
+            "last_order_key": pd.Series([], dtype="int64"),
+            "last_order_cents": pd.Series([], dtype="int64"),
+        })
+        if len(df) == 0:
+            return empty
+        e = df[df["side"] == 0][["user_id", "t_us", "event_id"]].sort_values("t_us", kind="mergesort")
+        o = df[df["side"] == 1][["user_id", "t_us", "o_orderkey", "o_cents"]]
+        # cross-batch dedupe of the per-(customer,date) reduce
+        o = o.sort_values(["t_us", "user_id", "o_orderkey"], kind="mergesort").drop_duplicates(
+            ["user_id", "t_us"], keep="last"
+        ).sort_values("t_us", kind="mergesort")
+        if len(e) == 0 or len(o) == 0:
+            return empty
+        m = pd.merge_asof(e, o, on="t_us", by="user_id", direction="backward")
+        m = m.dropna(subset=["o_orderkey"])
+        out = pd.DataFrame({
+            "event_id": m["event_id"].astype("int64"),
+            "user_id": m["user_id"].astype("int64"),
+            "ts_us": m["t_us"].astype("int64"),
+            "last_order_key": m["o_orderkey"].astype("int64"),
+            "last_order_cents": m["o_cents"].astype("int64"),
+        })
+        return out.sort_values("event_id", kind="mergesort")
+
+    return unioned.sort("user_id").map_batches(
+        asof_block, batch_format="pandas", batch_size=None
+    )
