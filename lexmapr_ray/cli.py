@@ -64,9 +64,23 @@ def cmd_kg_run(args) -> int:
     return 0
 
 
+# Packaged profiles (reference: resources/profiles/<p>/<p>_args.json,
+# pipeline_resources.py:17-37 — profile values fill in unset args only).
+# The reference's prebuilt ifsac lookup TABLE is a stripped blob upstream;
+# its bucket tables ship in the predefined resources we already load.
+PROFILES = {
+    "ifsac": {"output": "ifsac_output.tsv", "bucket": True},
+}
+
+
 def cmd_legacy_run(args) -> int:
     # serial conformance path — byte-compatible with the reference output
     from lexmapr_ray.pipelines.legacy import run_samples
+
+    if args.profile:
+        for key, val in PROFILES[args.profile].items():
+            if not getattr(args, key):
+                setattr(args, key, val)
 
     report = run_samples(args.input_file, full=args.full, bucket=args.bucket)
     if args.output:
@@ -101,6 +115,7 @@ def main(argv=None) -> int:
     legacy.add_argument("-o", "--output", nargs="?")
     legacy.add_argument("-f", "--full", action="store_true")
     legacy.add_argument("-b", "--bucket", action="store_true")
+    legacy.add_argument("-p", "--profile", choices=sorted(PROFILES))
     legacy.set_defaults(fn=cmd_legacy_run)
 
     args = parser.parse_args(argv)

@@ -18,6 +18,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 # Deterministic MinHash parameters
 NUM_HASHES = 64
@@ -180,13 +181,23 @@ def minhash_dedup_pairs(sf_dir: str, threshold: float = 0.8, concurrency: int | 
              "doc_b": pd.Series([], dtype="int64"),
              "jaccard_pct": pd.Series([], dtype="int64")}))
 
+    # broadcast semi-join: the candidate id set is shipped once; the corpus
+    # is filtered DISTRIBUTED and only the (small) candidate texts return to
+    # the driver — never iterate the full corpus driver-side
     needed = set(cand["doc_a"]) | set(cand["doc_b"])
-    docs = _read_documents(sf_dir, ["doc_id", "text"])
-    id_text = {}
-    for batch in docs.iter_batches(batch_size=4096, batch_format="pyarrow"):
-        for d, s in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            if d in needed:
-                id_text[d] = s
+    needed_ref = ray.put(needed)
+
+    def pick(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            t["doc_id"], value_set=pa.array(list(ray.get(needed_ref)), pa.int64())
+        )
+        return t.filter(keep)
+
+    docs = _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        pick, batch_format="pyarrow"
+    )
+    picked = docs.to_pandas()
+    id_text = dict(zip(picked["doc_id"], picked["text"]))
     texts_ref = ray.put(id_text)
 
     import ray.data as rd
@@ -222,22 +233,46 @@ def simhash_signatures(sf_dir: str):
     ds = _read_documents(sf_dir, ["doc_id", "text"])
 
     def sim(t: pa.Table) -> pa.Table:
-        out = []
-        for text in t["text"].to_pylist():
-            votes = np.zeros(64, dtype=np.int64)
-            shifts = np.arange(64, dtype=np.uint64)
-            for tok in text.split():
-                h = np.uint64(int.from_bytes(
-                    hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
-                ))
-                bits = (h >> shifts) & np.uint64(1)
-                votes += np.where(bits == 1, 1, -1)
-            sig = 0
-            for i in range(64):
-                if votes[i] > 0:
-                    sig |= 1 << i
-            out.append(sig - (1 << 63))  # store as signed int64
-        return pa.table({"doc_id": t["doc_id"], "simhash": pa.array(out, pa.int64())})
+        texts = t["text"].to_pylist()
+        doc_tokens = [s.split() for s in texts]
+        # hash each DISTINCT token once per batch, expand to a +-1 bit-vote
+        # matrix, then one reduceat sums votes per document — no per-token
+        # Python in the hot path
+        vocab: dict[str, int] = {}
+        for toks in doc_tokens:
+            for tok in toks:
+                if tok not in vocab:
+                    vocab[tok] = len(vocab)
+        shifts = np.arange(64, dtype=np.uint64)
+        if vocab:
+            hashes = np.fromiter(
+                (int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+                 for tok in vocab),
+                dtype=np.uint64, count=len(vocab),
+            )
+            votes_per_token = np.where(
+                ((hashes[:, None] >> shifts) & np.uint64(1)) == 1, 1, -1
+            ).astype(np.int32)
+        else:
+            votes_per_token = np.zeros((0, 64), dtype=np.int32)
+
+        idx = np.fromiter(
+            (vocab[tok] for toks in doc_tokens for tok in toks),
+            dtype=np.int64,
+        )
+        lengths = np.array([len(toks) for toks in doc_tokens], dtype=np.int64)
+        offsets = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+        expanded = votes_per_token[idx] if len(idx) else np.zeros((0, 64), np.int32)
+        votes = np.zeros((len(texts), 64), dtype=np.int64)
+        nonempty = lengths > 0
+        if expanded.shape[0]:
+            sums = np.add.reduceat(expanded, offsets[nonempty], axis=0)
+            votes[nonempty] = sums
+        bits = (votes > 0).astype(np.uint64)
+        sig = (bits << shifts).sum(axis=1, dtype=np.uint64)
+        # same signed mapping as a scalar `sig - 2**63`: wraparound + view
+        signed = np.subtract(sig, np.uint64(1 << 63)).view(np.int64)
+        return pa.table({"doc_id": t["doc_id"], "simhash": pa.array(signed, pa.int64())})
 
     return ds.map_batches(sim, batch_format="pyarrow").sort("doc_id")
 
