@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "cosine_topk": similarity.cosine_topk_bruteforce,
         "ann_lsh_topk": similarity.ann_lsh_topk,
+        "ann_ivf_topk": similarity.ann_ivf_topk,
         "embedding_near_dup": similarity.embedding_near_dup_pairs,
         # text heuristics / fingerprints (non-SQL)
         "lang_id_heuristic": textstats.lang_id,
