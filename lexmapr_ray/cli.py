@@ -82,7 +82,15 @@ def cmd_legacy_run(args) -> int:
             if not getattr(args, key):
                 setattr(args, key, val)
 
-    report = run_samples(args.input_file, full=args.full, bucket=args.bucket)
+    if args.distributed:
+        _ensure_ray()
+        from lexmapr_ray.pipelines.legacy import run_samples_distributed
+
+        report = run_samples_distributed(
+            args.input_file, full=args.full, bucket=args.bucket
+        )
+    else:
+        report = run_samples(args.input_file, full=args.full, bucket=args.bucket)
     if args.output:
         with open(args.output, "w") as f:
             f.write(report)
@@ -116,6 +124,9 @@ def main(argv=None) -> int:
     legacy.add_argument("-f", "--full", action="store_true")
     legacy.add_argument("-b", "--bucket", action="store_true")
     legacy.add_argument("-p", "--profile", choices=sorted(PROFILES))
+    legacy.add_argument("--distributed", action="store_true",
+                        help="run the matcher on the Ray actor pool "
+                             "(byte-identical output, for large sample files)")
     legacy.set_defaults(fn=cmd_legacy_run)
 
     args = parser.parse_args(argv)

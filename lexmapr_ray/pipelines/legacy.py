@@ -105,3 +105,126 @@ def run_samples(
             fw.write("\t" + str(c["ifsac_final_labels"]))
     fw.write("\n")
     return fw.getvalue()
+
+
+def _format_report_rows(rows: list[dict], *, full: bool, bucket: bool) -> str:
+    """Serialize matched rows in the reference's byte format (shared by the
+    serial and distributed paths)."""
+    fields = list(OUTPUT_FIELDS_BASE)
+    fields += FULL_FIELDS if full else NOT_FULL_FIELDS
+    if bucket:
+        fields += BUCKET_FULL_FIELDS if full else BUCKET_NOT_FULL_FIELDS
+    out = ["\t".join(fields)]
+    for r in rows:
+        line = (
+            "\n" + r["sample_id"] + "\t" + r["sample"] + "\t" + r["cleaned"] + "\t"
+            + r["sc_name"] + "\t" + r["components"] + "\t" + r["macro"]
+        )
+        if full:
+            line += "\t" + r["micro"] + "\t" + r["conversions"]
+        if bucket:
+            if full:
+                line += ("\t" + r["lexmapr_hier"] + "\t" + r["lexmapr_final"]
+                         + "\t" + r["ifsac_final"])
+            line += "\t" + r["ifsac_labels"]
+        out.append(line)
+    out.append("\n")
+    return "".join(out)
+
+
+class SampleMatcher:
+    """Actor-pool stage for the legacy surface: sample rows in, fully
+    serialized per-sample report fields out (everything the TSV needs).
+
+    Same broadcast-lexicon pattern as the KG MentionMatcher."""
+
+    def __init__(self, lexicon=None, bucket: bool = False):
+        import ray
+
+        if isinstance(lexicon, (list, tuple)) and len(lexicon) == 1:
+            lexicon = lexicon[0]
+        if lexicon is None:
+            lexicon = build_lexicon(classification=bucket)
+        elif isinstance(lexicon, ray.ObjectRef):
+            lexicon = ray.get(lexicon)
+        self.lexicon = lexicon
+        self.classify_fn = None
+        if bucket:
+            from lexmapr_ray.lexkit.classify import make_classifier
+
+            self.classify_fn = make_classifier(lexicon)
+
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        idxs = batch["idx"].to_pylist()
+        ids = batch["sample_id"].to_pylist()
+        samples = batch["sample"].to_pylist()
+        cols = {k: [] for k in (
+            "cleaned", "sc_name", "components", "macro", "micro", "conversions",
+            "lexmapr_hier", "lexmapr_final", "ifsac_final", "ifsac_labels")}
+        for s in samples:
+            r = match_sample(s, self.lexicon, bucket=self.classify_fn is not None,
+                             classify_fn=self.classify_fn)
+            cols["cleaned"].append(r.cleaned_sample)
+            cols["sc_name"].append(r.scientific_name_sample)
+            cols["components"].append(str(r.matched_components))
+            cols["macro"].append(r.macro_status)
+            cols["micro"].append(str(r.micro_status))
+            cols["conversions"].append(str(r.conversions))
+            c = r.classification or {
+                "lexmapr_hierarchy_buckets": [], "lexmapr_final_buckets": [],
+                "ifsac_final_buckets": [], "ifsac_final_labels": [],
+            }
+            cols["lexmapr_hier"].append(str(c["lexmapr_hierarchy_buckets"]))
+            cols["lexmapr_final"].append(str(c["lexmapr_final_buckets"]))
+            cols["ifsac_final"].append(str(c["ifsac_final_buckets"]))
+            cols["ifsac_labels"].append(str(c["ifsac_final_labels"]))
+        arrays = {"idx": pa.array(idxs, pa.int64()),
+                  "sample_id": pa.array(ids, pa.string()),
+                  "sample": pa.array(samples, pa.string())}
+        arrays.update({k: pa.array(v, pa.string()) for k, v in cols.items()})
+        return pa.table(arrays)
+
+
+def run_samples_distributed(
+    input_path: str,
+    *,
+    lexicon: Lexicon | None = None,
+    full: bool = True,
+    bucket: bool = False,
+    batch_size: int = 256,
+    concurrency=None,
+) -> str:
+    """Distributed legacy run: byte-identical report to :func:`run_samples`.
+
+    Rows are tagged with their input index, matched in the actor pool, then
+    globally sorted back to input order (the reference's output preserves
+    file order; a ``sort`` is how a distributed engine restores it)."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    if lexicon is None:
+        lexicon = build_lexicon(classification=bucket)
+    lexicon_ref = ray.put(lexicon)
+    if concurrency is None:
+        concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
+
+    rows = list(iter_sample_rows(input_path))
+    table = pa.table({
+        "idx": pa.array(range(len(rows)), pa.int64()),
+        "sample_id": pa.array([r[0] for r in rows], pa.string()),
+        "sample": pa.array([r[1] for r in rows], pa.string()),
+    })
+    ds = rd.from_arrow(table)
+    matched = ds.map_batches(
+        SampleMatcher,
+        fn_constructor_kwargs={"lexicon": [lexicon_ref], "bucket": bucket},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    out_rows = matched.sort("idx").to_pandas().to_dict("records")
+    return _format_report_rows(out_rows, full=full, bucket=bucket)

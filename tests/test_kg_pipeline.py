@@ -159,3 +159,19 @@ def test_empty_pages_input(ray_session, lexicon):
     ref = broadcast_lexicon(lexicon)
     out = extract_triples(empty, ref, concurrency=1)
     assert out.count() == 0
+
+
+def test_distributed_legacy_run_matches_serial(ray_session, lexicon):
+    """Byte-identical report from the actor-pool path vs the serial path,
+    on a reference corpus large enough to span multiple batches."""
+    from lexmapr_ray.pipelines.legacy import run_samples, run_samples_distributed
+
+    path = "/root/reference/lexmapr/tests/test_input/test_pluralization.csv"
+    assert run_samples_distributed(path, lexicon=lexicon, concurrency=2,
+                                   batch_size=2) == run_samples(path, lexicon=lexicon)
+
+    big = "/root/reference/lexmapr/tests/test_input/zheminSamples.csv"
+    serial = run_samples(big, lexicon=lexicon, full=False)
+    dist = run_samples_distributed(big, lexicon=lexicon, full=False,
+                                   concurrency=2, batch_size=128)
+    assert dist == serial
