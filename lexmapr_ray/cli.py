@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import glob
+import os
 import sys
 
 
@@ -61,6 +62,22 @@ def cmd_kg_run(args) -> int:
     if args.finalize:
         graph = finalize_graph(args.out, args.finalize)
         print(f"final graph: {graph.count()} triples -> {args.finalize}")
+    if args.entities:
+        import glob as _glob
+
+        import ray.data as rd
+
+        from lexmapr_ray.pipelines.kg import canonicalize_mentions
+        from lexmapr_ray.state.lineage import completed_shards, part_dir
+
+        files = [
+            f
+            for sid in sorted(completed_shards(args.out))
+            for f in sorted(_glob.glob(os.path.join(part_dir(args.out, sid), "*.parquet")))
+        ]
+        ents = canonicalize_mentions(rd.read_parquet(files)).materialize()
+        ents.write_parquet(args.entities)
+        print(f"canonical entities: {ents.count()} surface forms -> {args.entities}")
     return 0
 
 
@@ -116,6 +133,9 @@ def main(argv=None) -> int:
                          "merged into the lexicon, earlier entries winning")
     kg.add_argument("--finalize", metavar="DIR",
                     help="write the global deduped+sorted graph to DIR")
+    kg.add_argument("--entities", metavar="DIR",
+                    help="also write canonicalized entities (surface form -> "
+                         "canonical term) to DIR")
     kg.set_defaults(fn=cmd_kg_run)
 
     legacy = sub.add_parser("legacy-run", help="LexMapr-compatible CSV->TSV run")
