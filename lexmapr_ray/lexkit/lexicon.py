@@ -15,6 +15,7 @@ the driver and shipped to every matcher actor via ``ray.put``.
 
 from __future__ import annotations
 
+import functools
 import csv
 import hashlib
 import os
@@ -29,6 +30,22 @@ DEFAULT_RESOURCE_DIR = os.environ.get(
     "LEXMAPR_RESOURCES", "/root/reference/lexmapr/predefined_resources"
 )
 _CACHE_DIR = os.environ.get("LEXMAPR_CACHE_DIR", "/tmp/lexmapr_ray_cache")
+
+
+@functools.lru_cache(maxsize=1 << 16)
+def _canon_str(key: str):
+    """Sorted-token canonical form of a probe string, memoized: the matcher
+    probes the same surface strings (and term+suffix combinations) hundreds
+    of times per batch, and split+sort dominated the probe profile.
+
+    String keys in the reference index are exactly ``" ".join(tokens)``; a
+    probe that isn't whitespace-normalized (e.g. the '" " + suffix' probe of
+    an empty term) can never equal one, so it maps to a never-matching
+    sentinel."""
+    parts = key.split()
+    if key != " ".join(parts):
+        return ("\x00non-normalized", key)
+    return tuple(sorted(parts))
 
 
 class MultisetDict(dict):
@@ -46,14 +63,7 @@ class MultisetDict(dict):
     @staticmethod
     def _canon(key):
         if isinstance(key, str):
-            parts = key.split()
-            # String keys in the reference index are exactly
-            # " ".join(tokens); a probe that isn't whitespace-normalized
-            # (e.g. the '" " + suffix' probe of an empty term) can never
-            # equal one, so map it to a never-matching sentinel.
-            if key != " ".join(parts):
-                return ("\x00non-normalized", key)
-            return tuple(sorted(parts))
+            return _canon_str(key)
         return key
 
     def __contains__(self, key):
