@@ -90,6 +90,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_last_order": windows.events_last_order,
         "customer_order_stats": rel.customer_order_stats,
         "part_brand_revenue": rel.part_brand_revenue,
+        "top_orders_per_customer": rel.top_orders_per_customer,
+        "users_with_orders_and_events": rel.users_with_orders_and_events,
+        "customers_without_events": rel.customers_without_events,
         # text analysis (SQL-oracled)
         "doc_stats": textstats.doc_stats,
         "token_counts": textstats.token_counts,
@@ -254,6 +257,33 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_items
             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
             GROUP BY p.p_brand ORDER BY p.p_brand
+        """,
+        "top_orders_per_customer": """
+            WITH r AS (
+              SELECT o_custkey, o_orderkey,
+                     CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_cents,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY CAST(ROUND(o_totalprice*100) AS BIGINT) DESC,
+                                o_orderkey
+                     ) AS rank
+              FROM orders
+            )
+            SELECT o_custkey, o_orderkey, total_cents, CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 3
+            ORDER BY o_custkey, rank
+        """,
+        "users_with_orders_and_events": """
+            SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id FROM events
+            INTERSECT
+            SELECT DISTINCT CAST(o_custkey AS BIGINT) AS user_id FROM orders
+            ORDER BY user_id
+        """,
+        "customers_without_events": """
+            SELECT DISTINCT CAST(o_custkey AS BIGINT) AS o_custkey FROM orders
+            EXCEPT
+            SELECT DISTINCT CAST(user_id AS BIGINT) AS o_custkey FROM events
+            ORDER BY o_custkey
         """,
         "doc_stats": """
             SELECT doc_id,

@@ -257,3 +257,93 @@ def part_brand_revenue(sf_dir: str):
         {"revenue_e4": "revenue_e4"},
         count_alias="n_items",
     )
+
+
+# ---------------------------------------------------------------------------
+# Windowed ranking / set operations
+# ---------------------------------------------------------------------------
+
+def top_orders_per_customer(sf_dir: str, k: int = 3):
+    """Top-k orders per customer by value (ROW_NUMBER-per-partition
+    semantics): customer-key sort co-locates each partition, then a
+    vectorized per-block groupby head — no per-group Python, no window
+    buffer."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": t["o_custkey"],
+            "o_orderkey": t["o_orderkey"],
+            "total_cents": _cents(t["o_totalprice"]),
+        })
+
+    def topk_block(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            out = df.copy()
+            out["rank"] = pd.Series([], dtype="int64")
+            return out
+        df = df.sort_values(
+            ["o_custkey", "total_cents", "o_orderkey"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        df = df.assign(rank=df.groupby("o_custkey", sort=False).cumcount() + 1)
+        return df[df["rank"] <= k]
+
+    # combiner: per-batch top-k is a superset of the global per-key top-k,
+    # so applying the same reduce before AND after the shuffle is exact
+    # while shrinking the exchanged rows to <= k per (key, batch)
+    prepped = ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+    pruned = prepped.map_batches(topk_block, batch_format="pandas", batch_size=65536)
+    return pruned.sort("o_custkey").map_batches(
+        topk_block, batch_format="pandas", batch_size=None
+    )
+
+
+def users_with_orders_and_events(sf_dir: str):
+    """Set intersection of events.user_id and orders.o_custkey (broadcast
+    the smaller distinct side, filter the larger distributed)."""
+    import ray
+
+    from lexmapr_ray.functions.groupagg import grouped_sum_count
+
+    users = grouped_sum_count(
+        _read(sf_dir, "events", ["user_id"]), "user_id"
+    )  # distinct user_ids, sorted
+    user_set = set(users.to_pandas()["user_id"])
+    user_ref = ray.put(user_set)
+
+    custs = grouped_sum_count(_read(sf_dir, "orders", ["o_custkey"]), "o_custkey")
+
+    def keep(t: pa.Table) -> pa.Table:
+        keys = ray.get(user_ref)
+        mask = pc.is_in(t["o_custkey"], value_set=pa.array(list(keys), pa.int64()))
+        t = t.filter(mask)
+        return pa.table({"user_id": pc.cast(t["o_custkey"], pa.int64())})
+
+    return custs.map_batches(keep, batch_format="pyarrow")
+
+
+def customers_without_events(sf_dir: str):
+    """Set difference orders.o_custkey EXCEPT events.user_id (the event-user
+    side is small: broadcast it, filter the customer side distributed)."""
+    import ray
+
+    from lexmapr_ray.functions.groupagg import grouped_sum_count
+
+    users = grouped_sum_count(_read(sf_dir, "events", ["user_id"]), "user_id")
+    user_set = set(users.to_pandas()["user_id"])
+    user_ref = ray.put(user_set)
+
+    custs = grouped_sum_count(_read(sf_dir, "orders", ["o_custkey"]), "o_custkey")
+
+    def keep(t: pa.Table) -> pa.Table:
+        keys = ray.get(user_ref)
+        mask = pc.invert(
+            pc.is_in(t["o_custkey"], value_set=pa.array(list(keys), pa.int64()))
+        )
+        t = t.filter(mask)
+        return pa.table({"o_custkey": pc.cast(t["o_custkey"], pa.int64())})
+
+    return custs.map_batches(keep, batch_format="pyarrow")
