@@ -183,32 +183,41 @@ def rolling_fingerprint(sf_dir: str, window: int = 16, mod: int = 1 << 61):
     """
     ds = _read_documents(sf_dir, ["doc_id", "text"])
     base = np.uint64(257)
+    # base is odd, hence invertible mod 2**64: the rolling recurrence
+    # h[i] = h[i-1]*base + c[i] solves in closed form as
+    # h[i] = base**i * (h[0] + cumsum(c[j] * base**-j)) — fully vectorized
+    # uint64 wraparound arithmetic, no per-position Python loop and no
+    # scalar-overflow warnings
+    inv = np.uint64(pow(257, -1, 1 << 64))
 
     def fp(t: pa.Table) -> pa.Table:
         out_min, out_max = [], []
-        for s in t["text"].to_pylist():
-            b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-            if len(b) < window:
-                h = np.uint64(0)
-                for x in b:
-                    h = h * base + x
-                out_min.append(int(h % np.uint64(mod)))
-                out_max.append(int(h % np.uint64(mod)))
-                continue
-            # rolling hash via cumulative powers (mod 2**64 wraparound on
-            # uint64 is deterministic and portable)
-            h = np.zeros(len(b) - window + 1, dtype=np.uint64)
-            acc = np.uint64(0)
-            powers = np.power(base, np.arange(window, dtype=np.uint64))
-            first = (b[:window] * powers[::-1]).sum(dtype=np.uint64)
-            h[0] = first
-            top_pow = powers[-1]
-            for i in range(1, len(h)):
-                acc = (h[i - 1] - b[i - 1] * top_pow) * base + b[i + window - 1]
-                h[i] = acc
-            hm = h % np.uint64(mod)
-            out_min.append(int(hm.min()))
-            out_max.append(int(hm.max()))
+        modv = np.uint64(mod)
+        with np.errstate(over="ignore"):
+            for s in t["text"].to_pylist():
+                b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+                if len(b) < window:
+                    h = np.uint64(0)
+                    for x in b:
+                        h = h * base + x
+                    out_min.append(int(h % modv))
+                    out_max.append(int(h % modv))
+                    continue
+                n = len(b) - window
+                powers = np.power(base, np.arange(window, dtype=np.uint64))
+                first = (b[:window] * powers[::-1]).sum(dtype=np.uint64)
+                if n == 0:
+                    hm = np.array([first % modv])
+                else:
+                    top_pow_base = powers[-1] * base
+                    c = b[window:] - b[:-window] * top_pow_base
+                    invpow = np.multiply.accumulate(np.full(n, inv, dtype=np.uint64))
+                    basepow = np.multiply.accumulate(np.full(n, base, dtype=np.uint64))
+                    hp = first + np.cumsum(c * invpow, dtype=np.uint64)
+                    h = np.concatenate(([first], hp * basepow))
+                    hm = h % modv
+                out_min.append(int(hm.min()))
+                out_max.append(int(hm.max()))
         return pa.table({
             "doc_id": t["doc_id"],
             "fp_min": pa.array(out_min, pa.int64()),
