@@ -25,24 +25,32 @@ import pyarrow.compute as pc
 
 
 def broadcast_semi_join(ds, col: str, keys_ref):
-    """Keep rows whose *col* value is in the broadcast key set."""
-    import ray
+    """Keep rows whose *col* value is in the broadcast key set.
+
+    ``keys_ref`` should come from :func:`lexmapr_ray.functions.broadcast.put_keyset`
+    (a prebuilt Arrow array, resolved once per worker) — the probe is a single
+    ``pc.is_in`` hash-kernel call per batch, no per-row Python.
+    """
+    from lexmapr_ray.functions.broadcast import is_in
 
     def _filter(t: pa.Table) -> pa.Table:
-        keys = ray.get(keys_ref) if isinstance(keys_ref, ray.ObjectRef) else keys_ref
-        return t.filter(pc.is_in(t[col], value_set=pa.array(list(keys))))
+        return t.filter(is_in(t[col], keys_ref))
 
     return ds.map_batches(_filter, batch_format="pyarrow")
 
 
-def broadcast_map_join(ds, col: str, map_ref, new_col: str, drop_misses: bool = True):
-    """Attach ``new_col = mapping[col]`` from a broadcast dict."""
-    import ray
+def broadcast_map_join(ds, col: str, lookup_ref, new_col: str, drop_misses: bool = True):
+    """Attach ``new_col = values[keys.index(col)]`` from a broadcast lookup.
+
+    ``lookup_ref`` comes from :func:`lexmapr_ray.functions.broadcast.put_lookup`
+    (two aligned Arrow arrays).  Per batch this is ``pc.index_in`` (vectorized
+    hash probe) + ``pc.take`` (gather) — the Arrow-native hash-join probe side.
+    """
+    from lexmapr_ray.functions.broadcast import lookup
 
     def _attach(t: pa.Table) -> pa.Table:
-        mapping = ray.get(map_ref) if isinstance(map_ref, ray.ObjectRef) else map_ref
-        vals = [mapping.get(k) for k in t[col].to_pylist()]
-        t = t.append_column(new_col, pa.array(vals))
+        vals = lookup(t[col], lookup_ref)
+        t = t.append_column(new_col, vals)
         if drop_misses:
             t = t.filter(pc.is_valid(t[new_col]))
         return t
