@@ -322,6 +322,33 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text ORDER BY doc_id
         """,
+        # Flagship KG pipeline oracles: the deterministic expected outputs
+        # are materialized by tools/make_kg_expected.py with a SERIAL
+        # single-process matcher loop (no Ray) into expected/kg_*.parquet;
+        # rows are tagged with the generating corpus's total text length so
+        # one static SQL self-selects the scale the driver runs at.  This
+        # gives the DuckDB gate full rows+schema+hash coverage of the
+        # distributed orchestration (actor pool, combiners, sort-co-located
+        # dedup/argmax).
+        "kg_triples": """
+            SELECT subj, pred, obj, obj_label, mention, status
+            FROM read_parquet('/root/repo/expected/kg_triples.parquet')
+            WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)
+            ORDER BY subj, pred, obj
+        """,
+        "kg_entities": """
+            SELECT mention, canonical_obj, canonical_label,
+                   n_mentions, n_distinct_obj
+            FROM read_parquet('/root/repo/expected/kg_entities.parquet')
+            WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)
+            ORDER BY mention
+        """,
+        "kg_triples_bucket": """
+            SELECT subj, pred, obj, obj_label, mention, status
+            FROM read_parquet('/root/repo/expected/kg_triples_bucket.parquet')
+            WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)
+            ORDER BY subj, pred, obj, obj_label, mention, status
+        """,
         "cosine_topk": """
             SELECT vec_id,
                    CAST(ROUND(list_cosine_similarity(embedding,

@@ -1,0 +1,152 @@
+"""Materialize SERIAL expected outputs for the flagship KG queries.
+
+The kg_triples / kg_entities / kg_triples_bucket pipelines were rows-only to
+the driver in round 1 (``no_oracle``).  The pages -> mentions -> match
+function is deterministic, so this tool recomputes the expected results with
+a plain single-process Python loop — the serial lexkit matcher, dict-based
+dedup/canonicalization, NO Ray, no shuffles, no combiners — and writes them
+to ``expected/kg_*.parquet``.  ``oracle_sql()`` then SELECTs from these
+files, giving the driver's DuckDB gate full rows+schema+hash coverage of the
+distributed KG path (what it verifies is exactly the Ray orchestration:
+actor-pool matching, combiner pre-aggregation, sort-co-located dedup and
+argmax canonicalization).
+
+Each parquet carries every scale's rows tagged with ``corpus_len`` (the
+total text length of the generating sf directory's documents — sf0.001 and
+sf0.01 both have 500 docs, so a row COUNT would not discriminate) so one
+static SQL string self-selects the right scale:
+``WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)``.
+
+Usage: python tools/make_kg_expected.py [sf_dir ...]
+Defaults to sf0.001, sf0.01 and sf0.1.  Rerun after any matcher/lexicon
+change; tests/test_kg_pipeline.py asserts Ray output == these files.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from collections import Counter
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+EXPECTED_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                            "expected")
+
+TRIPLE_COLS = ["subj", "pred", "obj", "obj_label", "mention", "status"]
+
+
+def serial_triples(sf_dir: str, bucket: bool) -> list[tuple]:
+    """Serial re-derivation of the matcher stage: one python loop per page.
+
+    Mirrors the SEMANTICS of lexmapr_ray.stages.match.MentionMatcher (the
+    reference conformance anchor is lexmapr/pipeline.py's per-sample loop)
+    without any of the distributed machinery.
+    """
+    from lexmapr_ray.lexkit.lexicon import build_lexicon
+    from lexmapr_ray.lexkit.matcher import match_sample
+    from lexmapr_ray.stages.match import (
+        PRED_CLASSIFIED, PRED_COMPONENT, PRED_FULL, segment_mentions,
+    )
+
+    lexicon = build_lexicon()
+    classify_fn = None
+    if bucket:
+        from lexmapr_ray.lexkit.classify import make_classifier
+
+        classify_fn = make_classifier(lexicon)
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    rows = []
+    for doc_id, text, lang in zip(docs["doc_id"].to_pylist(),
+                                  docs["text"].to_pylist(),
+                                  docs["lang"].to_pylist()):
+        if lang != "en":
+            continue
+        url = f"doc://{doc_id}"
+        for mention in segment_mentions(text):
+            r = match_sample(mention, lexicon, bucket=bucket,
+                             classify_fn=classify_fn)
+            if not r.matched_components:
+                continue
+            p = PRED_FULL if r.macro_status == "Full Term Match" else PRED_COMPONENT
+            status_repr = str(r.micro_status)
+            for comp in r.matched_components:
+                label, term_id = comp.rsplit(":", 1)
+                surf = r.component_surfaces.get(comp, r.cleaned_sample)
+                rows.append((url, p, term_id, label, surf, status_repr))
+            if r.classification:
+                for lab in r.classification["ifsac_final_labels"]:
+                    rows.append((url, PRED_CLASSIFIED, "ifsac:" + lab, lab,
+                                 r.cleaned_sample, "[]"))
+    return rows
+
+
+def serial_dedup(rows: list[tuple]) -> list[tuple]:
+    """Keep the full-row lexicographic minimum per (subj, pred, obj)."""
+    best: dict[tuple, tuple] = {}
+    for row in rows:
+        k = row[:3]
+        if k not in best or row < best[k]:
+            best[k] = row
+    return [best[k] for k in sorted(best)]
+
+
+def serial_canonical(rows: list[tuple]) -> list[tuple]:
+    """mention -> most frequent (obj, obj_label); ties by smallest obj."""
+    counts: Counter = Counter()
+    for _, _, obj, obj_label, mention, _ in rows:
+        counts[(mention, obj, obj_label)] += 1
+    per_mention: dict[str, list] = {}
+    for (mention, obj, obj_label), n in counts.items():
+        per_mention.setdefault(mention, []).append((obj, obj_label, n))
+    out = []
+    for mention in sorted(per_mention):
+        cands = per_mention[mention]
+        top = min(cands, key=lambda c: (-c[2], c[0]))
+        out.append((mention, top[0], top[1],
+                    sum(c[2] for c in cands), len(cands)))
+    return out
+
+
+def _table(rows, names, corpus_len: int) -> pa.Table:
+    cols = list(zip(*rows)) if rows else [[] for _ in names]
+    arrays = [pa.array(list(c)) for c in cols]
+    arrays.append(pa.array([corpus_len] * len(rows), pa.int64()))
+    return pa.table(dict(zip(names + ["corpus_len"], arrays)))
+
+
+def main():
+    sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                               "/root/testdata/sf0.1"]
+    os.makedirs(EXPECTED_DIR, exist_ok=True)
+    triples_tabs, entities_tabs, bucket_tabs = [], [], []
+    for sf_dir in sf_dirs:
+        texts = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+        corpus_len = sum(len(t) for t in texts["text"].to_pylist())
+        raw = serial_triples(sf_dir, bucket=False)
+        triples_tabs.append(_table(serial_dedup(raw), TRIPLE_COLS, corpus_len))
+        ent_cols = ["mention", "canonical_obj", "canonical_label",
+                    "n_mentions", "n_distinct_obj"]
+        entities_tabs.append(_table(serial_canonical(raw), ent_cols, corpus_len))
+        raw_b = serial_triples(sf_dir, bucket=True)
+        bucket_tabs.append(_table(sorted(raw_b), TRIPLE_COLS, corpus_len))
+        print(f"{sf_dir}: corpus_len={corpus_len} raw={len(raw)} "
+              f"dedup={triples_tabs[-1].num_rows} "
+              f"entities={entities_tabs[-1].num_rows} "
+              f"bucket_raw={bucket_tabs[-1].num_rows}")
+    pq.write_table(pa.concat_tables(triples_tabs),
+                   os.path.join(EXPECTED_DIR, "kg_triples.parquet"))
+    pq.write_table(pa.concat_tables(entities_tabs),
+                   os.path.join(EXPECTED_DIR, "kg_entities.parquet"))
+    pq.write_table(pa.concat_tables(bucket_tabs),
+                   os.path.join(EXPECTED_DIR, "kg_triples_bucket.parquet"))
+    print(f"wrote {EXPECTED_DIR}/kg_*.parquet")
+
+
+if __name__ == "__main__":
+    main()
