@@ -80,6 +80,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": rel.q1_pricing_summary,
         "q3_topk_revenue": rel.q3_topk_revenue,
         "q5_regional_revenue": rel.q5_regional_revenue,
+        "q5_full_asia_revenue": rel.q5_full_asia_revenue,
+        "customer_orders_left": rel.customer_orders_left,
         "filter_project": rel.filter_project,
         "orders_topk": rel.orders_topk,
         "distinct_segments": rel.distinct_segments,
@@ -159,6 +161,31 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name
             ORDER BY n.n_name
+        """,
+        "q5_full_asia_revenue": """
+            SELECT n.n_name,
+                   SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)
+                       * (100 - CAST(ROUND(l.l_discount*100) AS BIGINT)))::BIGINT AS revenue_e4,
+                   COUNT(*) AS n_items
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND c.c_nationkey = s.s_nationkey
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n.n_name ORDER BY n.n_name
+        """,
+        "customer_orders_left": """
+            SELECT c.c_custkey,
+                   COUNT(o.o_custkey) AS n_orders,
+                   COALESCE(SUM(CAST(ROUND(o.o_totalprice*100) AS BIGINT)), 0)::BIGINT
+                       AS sum_cents
+            FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_custkey ORDER BY c.c_custkey
         """,
         "filter_project": """
             SELECT l_orderkey, l_partkey, l_quantity

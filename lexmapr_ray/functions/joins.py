@@ -85,11 +85,21 @@ def bucketed_hash_join(
     if overlap:
         raise ValueError(f"column collision in join: {sorted(overlap)}")
 
+    def _arrow_type(t) -> pa.DataType:
+        # a Dataset whose last op emitted pandas blocks reports numpy dtypes
+        # / Python classes here; coerce so joins chain (join-of-join)
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(t)
+        except (pa.ArrowNotImplementedError, TypeError):
+            return pa.string()
+
     left_arrow = pa.schema(
-        [pa.field(n, t) for n, t in zip(left_schema.names, left_schema.types)]
+        [pa.field(n, _arrow_type(t)) for n, t in zip(left_schema.names, left_schema.types)]
     )
     right_arrow = pa.schema(
-        [pa.field(n, t) for n, t in zip(right_schema.names, right_schema.types)]
+        [pa.field(n, _arrow_type(t)) for n, t in zip(right_schema.names, right_schema.types)]
     )
     union_fields = list(left_arrow) + [
         f for f in right_arrow if f.name not in left_cols
@@ -133,11 +143,22 @@ def bucketed_hash_join(
     unioned = tagged_left.union(tagged_right)
 
     right_value_cols = [c for c in right_cols if c != right_on]
+    out_schema = pa.schema(
+        list(left_arrow) + [right_arrow.field(c) for c in right_value_cols]
+    )
 
-    def _merge_block(g: pd.DataFrame) -> pd.DataFrame:
+    def _merge_block(g: pd.DataFrame) -> pa.Table:
         l = g[g["__side"] == 0][left_cols]
         r = g[g["__side"] == 1][[on] + right_value_cols]
-        return l.merge(r, on=on, how=how)
+        m = l.merge(r, on=on, how=how)
+        # emit a TYPED Arrow table: the sorted union block hands us object /
+        # NaN-promoted columns, and leaving the output as pandas loses the
+        # Arrow types downstream (breaking join chaining); from_pandas=True
+        # maps NaN -> null so outer joins keep integer columns nullable
+        return pa.Table.from_arrays(
+            [pa.array(m[f.name], type=f.type, from_pandas=True) for f in out_schema],
+            schema=out_schema,
+        )
 
     # sort on the bucket id co-locates every bucket (hence every key) in
     # exactly one block, so one pandas merge per BLOCK is exact — the same

@@ -158,3 +158,24 @@ def test_decode_without_codec_is_explicit(ray_session):
 
     with pytest.raises(NotImplementedError):
         DecodeImage(fake=False)
+
+
+def test_lsh_plane_count_bounds_bucket_size_at_10x():
+    """Scale guard: plane count grows with log2(n), so expected bucket size
+    stays ~target_bucket when the corpus grows 10x (the round-1 fixed
+    64-bucket table went quadratic instead)."""
+    from lexmapr_ray.stages.similarity import HyperplaneLSH, lsh_plane_count
+
+    rng = np.random.RandomState(0)
+    for n in (2_000, 20_000):
+        p = lsh_plane_count(n, target_bucket=64)
+        m = rng.standard_normal((n, 16))
+        lsh = HyperplaneLSH(n_planes=p, dim=16, seed=777)
+        buckets = ((m @ lsh.planes) > 0).astype(np.int64) @ lsh.weights
+        _, counts = np.unique(buckets, return_counts=True)
+        # the guarantee is on EXPECTED bucket size; the max has a heavy
+        # tail in low dim (correlated half-space cells) but must stay
+        # orders of magnitude below n — the quadratic-bucket failure mode
+        assert counts.mean() <= 64 * 1.5
+        assert counts.max() <= 64 * 10
+        assert counts.max() < n / 5
