@@ -73,7 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from lexmapr_ray.pipelines import relational as rel
     from lexmapr_ray.pipelines import windows
     from lexmapr_ray.stages import dedup, similarity, textstats
-    from lexmapr_ray.stages.multimodal import media_features
+    from lexmapr_ray.stages.multimodal import media_features_from_documents
 
     return {
         # relational operator suite (SQL-oracled)
@@ -114,8 +114,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text heuristics / fingerprints (non-SQL)
         "lang_id_heuristic": textstats.lang_id,
         "rolling_fingerprint": textstats.rolling_fingerprint,
-        # multimodal plumbing (synthetic payloads; sf_dir unused)
-        "media_features": lambda sf_dir: media_features(256),
+        # multimodal plumbing (payload bytes derived from the documents
+        # table, so the decode stage consumes real parquet reads; codec
+        # itself remains the documented stub)
+        "media_features": media_features_from_documents,
         # knowledge-graph pipeline (the flagship; non-SQL)
         "kg_triples": _kg_triples,
         "kg_entities": _kg_entities,

@@ -77,15 +77,49 @@ def get_entity_id(uri: str) -> str:
     return f"{prefix}:{fragment}"
 
 
-def parse_owl_classes(path: str) -> dict[str, dict]:
+def parse_owl_imports(path: str) -> list[str]:
+    """IRIs of ``owl:imports`` declared in the ontology header."""
+    tree = ET.parse(path)
+    iris = []
+    for onto in tree.getroot().iter(_OWL + "Ontology"):
+        for imp in onto.findall(_OWL + "imports"):
+            iri = imp.get(_RDF + "resource")
+            if iri:
+                iris.append(iri)
+    return sorted(set(iris))  # the reference's SELECT DISTINCT ... ORDER BY
+
+
+def parse_owl_classes(path: str, *, follow_imports: bool = True) -> dict[str, dict]:
     """Parse an RDF/XML file into {class_uri: {labels, parents, synonyms}}.
 
     Classes declared more than once (bfo_duplicate_entities.owl) are merged;
     only named (rdf:resource) superclasses count — anonymous restriction
     parents are unreachable from any root in the reference's tree query too.
+
+    ``owl:imports`` are followed ONE level, resolved as local files in an
+    ``./imports/`` folder next to the main file (the reference's offline
+    path, ontohelper.py:315-358 ``do_ontology_includes``: a file-path main
+    ontology only checks ``dirname(main)/imports/<iri basename>``; missing
+    files warn and are skipped, and the import query runs once — imports of
+    imports are not followed).  Imported triples merge into the same class
+    dict, exactly like a repeated in-file declaration.
     """
+    classes = _parse_owl_into(path, {})
+    if follow_imports:
+        import_dir = os.path.join(os.path.dirname(os.path.abspath(path)), "imports")
+        for iri in parse_owl_imports(path):
+            local = os.path.join(import_dir, iri.rsplit("/", 1)[-1])
+            if os.path.isfile(local):
+                _parse_owl_into(local, classes)
+            else:
+                import warnings
+
+                warnings.warn(f"owl:imports {iri}: no local file {local}; skipped")
+    return classes
+
+
+def _parse_owl_into(path: str, classes: dict[str, dict]) -> dict[str, dict]:
     tree = ET.parse(path)
-    classes: dict[str, dict] = {}
     for el in tree.getroot().iter(_OWL + "Class"):
         uri = el.get(_RDF + "about")
         if not uri:

@@ -81,11 +81,47 @@ class DecodeImage:
         })
 
 
-def media_features(n_items: int = 256, concurrency: int = 2):
-    """Synth -> decode -> per-item features (batch_size kept small on
-    purpose: payload bytes dominate block memory)."""
-    ds = synth_media_dataset(n_items)
+def _decode_features(ds, concurrency: int = 2):
     return ds.map_batches(
         DecodeImage, batch_format="pyarrow", batch_size=32,
         concurrency=concurrency,
     ).sort("media_id")
+
+
+def media_features(n_items: int = 256, concurrency: int = 2):
+    """Synth -> decode -> per-item features (batch_size kept small on
+    purpose: payload bytes dominate block memory)."""
+    return _decode_features(synth_media_dataset(n_items), concurrency)
+
+
+def media_from_documents(sf_dir: str, batch_size: int = 64):
+    """Deterministic media table DERIVED FROM TESTDATA: each document's
+    text bytes are tiled into a fake image payload whose dimensions are a
+    pure function of (doc_id, text length).  The decode stage therefore
+    consumes real parquet-read bytes end-to-end (driver rows-check), while
+    the codec itself stays the documented stub."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def to_media(t: pa.Table) -> pa.Table:
+        rows = []
+        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            data = text.encode() or b"\x00"
+            w = 8 + (len(data) % 25)
+            h = 8 + (int(doc_id) % 25)
+            need = w * h
+            pixels = (data * (need // len(data) + 1))[:need]
+            payload = _MAGIC + w.to_bytes(2, "big") + h.to_bytes(2, "big") + pixels
+            rows.append({
+                "media_id": int(doc_id), "kind": "image", "payload": payload,
+                "width": w, "height": h,
+            })
+        return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+    return ds.map_batches(to_media, batch_format="pyarrow", batch_size=batch_size)
+
+
+def media_features_from_documents(sf_dir: str, concurrency: int = 2):
+    """sf_dir-driven decode + feature pipeline (the driver's media query)."""
+    return _decode_features(media_from_documents(sf_dir), concurrency)

@@ -296,3 +296,76 @@ def test_merged_into_lexicon_matches_ontology_terms():
 
     r = match_sample("object aggregates", lex)
     assert r.matched_components == ["object aggregate:BFO_0000027"]
+
+
+# ---------------------------------------------------------------------------
+# owl:imports following (reference ontohelper.py:315-358 do_ontology_includes:
+# a file-path main ontology resolves each import against ./imports/<basename>;
+# missing files warn and are skipped; one level only)
+# ---------------------------------------------------------------------------
+
+_MAIN_OWL = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+         xmlns:owl="http://www.w3.org/2002/07/owl#">
+  <owl:Ontology rdf:about="http://example.org/main.owl">
+    <owl:imports rdf:resource="http://purl.example.org/ext/extra.owl"/>
+    <owl:imports rdf:resource="http://purl.example.org/ext/missing.owl"/>
+  </owl:Ontology>
+  <owl:Class rdf:about="http://purl.example.org/obo/EX_0000001">
+    <rdfs:label>root thing</rdfs:label>
+  </owl:Class>
+</rdf:RDF>
+"""
+
+_IMPORT_OWL = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+         xmlns:owl="http://www.w3.org/2002/07/owl#">
+  <owl:Class rdf:about="http://purl.example.org/obo/EX_0000002">
+    <rdfs:label>imported child</rdfs:label>
+    <rdfs:subClassOf rdf:resource="http://purl.example.org/obo/EX_0000001"/>
+  </owl:Class>
+</rdf:RDF>
+"""
+
+
+def test_owl_imports_followed_from_local_imports_folder(tmp_path):
+    main = tmp_path / "main.owl"
+    main.write_text(_MAIN_OWL)
+    (tmp_path / "imports").mkdir()
+    (tmp_path / "imports" / "extra.owl").write_text(_IMPORT_OWL)
+
+    import warnings
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        fetched = fetch_ontology(
+            str(main), "http://purl.example.org/obo/EX_0000001"
+        )
+    specs = fetched["specifications"]
+    assert "EX:0000002" in specs  # class from the imported file
+    assert specs["EX:0000002"]["parent_id"] == "EX:0000001"
+    assert specs["EX:0000002"]["label"] == "imported child"
+    # the unresolvable import warned and was skipped, not fatal
+    assert any("missing.owl" in str(x.message) for x in w)
+
+
+def test_owl_imports_not_recursive(tmp_path):
+    # an import that itself imports: the second level must NOT be loaded
+    main = tmp_path / "main.owl"
+    main.write_text(_MAIN_OWL.replace(
+        '<owl:imports rdf:resource="http://purl.example.org/ext/missing.owl"/>', ""))
+    (tmp_path / "imports").mkdir()
+    nested = _IMPORT_OWL.replace(
+        "<owl:Class ",
+        '<owl:Ontology rdf:about="x"><owl:imports '
+        'rdf:resource="http://purl.example.org/ext/deep.owl"/></owl:Ontology>'
+        "<owl:Class ", 1)
+    (tmp_path / "imports" / "extra.owl").write_text(nested)
+    (tmp_path / "imports" / "deep.owl").write_text(_IMPORT_OWL.replace(
+        "EX_0000002", "EX_0000099"))
+
+    fetched = fetch_ontology(str(main), "http://purl.example.org/obo/EX_0000001")
+    assert "EX:0000002" in fetched["specifications"]
+    assert "EX:0000099" not in fetched["specifications"]

@@ -179,3 +179,17 @@ def test_lsh_plane_count_bounds_bucket_size_at_10x():
         assert counts.mean() <= 64 * 1.5
         assert counts.max() <= 64 * 10
         assert counts.max() < n / 5
+
+
+def test_media_features_from_documents_matches_serial(ray_session, sf_dir):
+    from lexmapr_ray.stages.multimodal import (
+        DecodeImage, media_features_from_documents, media_from_documents,
+    )
+
+    got = media_features_from_documents(sf_dir).to_pandas().set_index("media_id")
+    serial = media_from_documents(sf_dir).to_pandas()
+    assert len(got) == len(serial)
+    for _, row in serial.head(50).iterrows():
+        img = DecodeImage._decode(row.payload)
+        assert got.loc[row.media_id, "mean_milli"] == int(img.mean() * 1000)
+        assert got.loc[row.media_id, "std_milli"] == int(img.std() * 1000)
