@@ -224,6 +224,11 @@ class Lexicon:
     table: dict
     scientific_names: dict[str, str] = field(default_factory=dict)
     matchable_multisets: set = field(default_factory=set)
+    # multiset(label) - multiset(suffix) for every (label, suffix) pair with
+    # suffix ⊆ label: a term can hit ANY "term + ' ' + suffix" probe (exact
+    # OR permutation index) only if its token multiset is in this set, so
+    # map_term skips the 15-suffix x 2-probe loop for provably-missing terms
+    suffix_stripped_multisets: set = field(default_factory=set)
 
     def build_indexes(self) -> "Lexicon":
         t = self.table
@@ -241,13 +246,16 @@ class Lexicon:
         from collections import Counter
 
         suffix_counters = [Counter(s.split()) for s in t["suffixes"]]
+        stripped_set = set()
         for ms in label_multisets:
             mc = Counter(ms)
             for sc in suffix_counters:
                 if all(mc[tok] >= n for tok, n in sc.items()):
                     stripped = mc - sc
-                    matchable.add(tuple(sorted(stripped.elements())))
+                    stripped_set.add(tuple(sorted(stripped.elements())))
+        matchable.update(stripped_set)
         self.matchable_multisets = matchable
+        self.suffix_stripped_multisets = stripped_set
         # token vocabulary of the matchable multisets: a chunk containing ANY
         # token outside this set can never satisfy a multiset-equality probe,
         # so the component matcher skips generating such chunks entirely
@@ -287,9 +295,9 @@ def build_lexicon(
     cache_path = None
     if use_cache:
         os.makedirs(_CACHE_DIR, exist_ok=True)
-        # _v2: matchable_token_vocab added to the pickled index
+        # _v3: suffix_stripped_multisets added to the pickled index
         key = _resource_fingerprint(resource_dir) + (
-            ("_cls" if classification else "") + ("_gold" if golden_overlay else "") + "_v2"
+            ("_cls" if classification else "") + ("_gold" if golden_overlay else "") + "_v3"
         )
         cache_path = os.path.join(_CACHE_DIR, f"lexicon_{key}.pkl")
         if os.path.exists(cache_path):

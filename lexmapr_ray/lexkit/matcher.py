@@ -131,14 +131,28 @@ def _map_term_helper(term: str, table: dict):
     return None
 
 
-def map_term(term: str, table: dict, consider_suffixes: bool = False):
+def _suffix_probes_can_hit(term: str, lexicon) -> bool:
+    """Acceleration only: ``term + " " + suffix`` can hit the exact-label or
+    permutation index for SOME suffix only if multiset(term) is one of the
+    precomputed label-minus-suffix multisets — a necessary condition for
+    both probe kinds (string equality implies multiset equality), so a False
+    skips the whole 15-suffix x 2-probe loop with zero semantic change."""
+    if lexicon is None:
+        return True
+    from lexmapr_ray.lexkit.lexicon import _canon_str
+
+    return _canon_str(term) in lexicon.suffix_stripped_multisets
+
+
+def map_term(term: str, table: dict, consider_suffixes: bool = False, *, lexicon=None):
     """pipeline_helpers.py:451-502 — probe with suffix and synonym retries."""
     if consider_suffixes:
-        for suffix in table["suffixes"]:
-            mapping = _map_term_helper(term + " " + suffix, table)
-            if mapping:
-                mapping["status"].insert(-2, "Suffix Addition")
-                return mapping
+        if _suffix_probes_can_hit(term, lexicon):
+            for suffix in table["suffixes"]:
+                mapping = _map_term_helper(term + " " + suffix, table)
+                if mapping:
+                    mapping["status"].insert(-2, "Suffix Addition")
+                    return mapping
     else:
         mapping = _map_term_helper(term, table)
         if mapping:
@@ -147,12 +161,13 @@ def map_term(term: str, table: dict, consider_suffixes: bool = False):
     if term in table["synonyms"]:
         synonym = table["synonyms"][term]
         if consider_suffixes:
-            for suffix in table["suffixes"]:
-                mapping = _map_term_helper(synonym + " " + suffix, table)
-                if mapping:
-                    mapping["status"].insert(-2, "Suffix Addition")
-                    mapping["status"].insert(-2, "Synonym Usage")
-                    return mapping
+            if _suffix_probes_can_hit(synonym, lexicon):
+                for suffix in table["suffixes"]:
+                    mapping = _map_term_helper(synonym + " " + suffix, table)
+                    if mapping:
+                        mapping["status"].insert(-2, "Suffix Addition")
+                        mapping["status"].insert(-2, "Synonym Usage")
+                        return mapping
         else:
             mapping = _map_term_helper(synonym, table)
             if mapping:
@@ -321,9 +336,10 @@ def match_sample(
         if full_term_match:
             micro_status.insert(0, "Used Cleaned Sample")
     if not full_term_match:
-        full_term_match = map_term(sample, table, consider_suffixes=True)
+        full_term_match = map_term(sample, table, consider_suffixes=True, lexicon=lexicon)
     if not full_term_match:
-        full_term_match = map_term(cleaned_sample, table, consider_suffixes=True)
+        full_term_match = map_term(cleaned_sample, table, consider_suffixes=True,
+                                   lexicon=lexicon)
         if full_term_match:
             micro_status.insert(0, "Used Cleaned Sample")
 
@@ -370,7 +386,8 @@ def match_sample(
                     component_match = map_term(gram_permutation_str, table)
                     if not component_match:
                         component_match = map_term(
-                            gram_permutation_str, table, consider_suffixes=True
+                            gram_permutation_str, table, consider_suffixes=True,
+                            lexicon=lexicon,
                         )
                     if component_match:
                         component_matches.append(component_match)

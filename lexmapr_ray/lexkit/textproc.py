@@ -172,6 +172,10 @@ _DETOK_RULES = [
 def detokenize(tokens: list[str]) -> str:
     """Join *tokens* Treebank-style (inverse of :func:`word_tokenize`)."""
     text = " ".join(tokens)
+    # fast path: with no punctuation characters at all, every detok rule is
+    # an identity — the 6 regex subs per call dominated the matcher profile
+    if _PLAIN_TEXT.match(text):
+        return text
     for regexp, substitution in _DETOK_RULES:
         text = regexp.sub(substitution, text)
     return text
@@ -183,10 +187,7 @@ def remove_duplicate_tokens(input_string: str) -> str:
     Restores the one whitelisted duplicate ("gallus gallus"), mirroring
     lexmapr/pipeline_helpers.py:150-172.
     """
-    seen: list[str] = []
-    for token in input_string.split(" "):
-        if token not in seen:
-            seen.append(token)
+    seen = list(dict.fromkeys(input_string.split(" ")))
     refined = detokenize(seen).strip()
     if "gallus gallus" in input_string and "gallus gallus" not in refined:
         refined = refined.replace("gallus", "gallus gallus")
