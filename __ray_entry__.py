@@ -351,6 +351,70 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text ORDER BY doc_id
         """,
+        # Serial-reimplementation oracles (tools/make_op_expected.py): each
+        # no_oracle operator is deterministic, so a plain single-process
+        # loop recomputes the expected output into expected/op_*.parquet;
+        # the static SQL self-selects the scale via an exact integer
+        # corpus tag (documents text length / embeddings first-coordinate
+        # floor checksum — DOUBLE cast required: DuckDB would otherwise
+        # multiply the float32 column in single precision).
+        "minhash_dedup_pairs": """
+            SELECT doc_a, doc_b, jaccard_pct
+            FROM read_parquet('/root/repo/expected/op_minhash_dedup_pairs.parquet')
+            WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)
+            ORDER BY doc_a, doc_b
+        """,
+        "ngram_jaccard_pairs": """
+            SELECT doc_a, doc_b, jaccard_pct
+            FROM read_parquet('/root/repo/expected/op_ngram_jaccard_pairs.parquet')
+            WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)
+            ORDER BY doc_a, doc_b
+        """,
+        "simhash_signatures": """
+            SELECT doc_id, simhash
+            FROM read_parquet('/root/repo/expected/op_simhash_signatures.parquet')
+            WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)
+            ORDER BY doc_id
+        """,
+        "lang_id_heuristic": """
+            SELECT doc_id, lang_pred
+            FROM read_parquet('/root/repo/expected/op_lang_id_heuristic.parquet')
+            WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)
+            ORDER BY doc_id
+        """,
+        "rolling_fingerprint": """
+            SELECT doc_id, fp_min, fp_max
+            FROM read_parquet('/root/repo/expected/op_rolling_fingerprint.parquet')
+            WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)
+            ORDER BY doc_id
+        """,
+        "media_features": """
+            SELECT media_id, mean_milli, std_milli
+            FROM read_parquet('/root/repo/expected/op_media_features.parquet')
+            WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)
+            ORDER BY media_id
+        """,
+        "ann_lsh_topk": """
+            SELECT vec_id, sim_bp
+            FROM read_parquet('/root/repo/expected/op_ann_lsh_topk.parquet')
+            WHERE emb_checksum = (SELECT SUM(CAST(FLOOR(CAST(embedding[1] AS DOUBLE)
+                                  * 1000000) AS BIGINT)) FROM embeddings)
+            ORDER BY sim_bp DESC, vec_id
+        """,
+        "ann_ivf_topk": """
+            SELECT vec_id, sim_bp
+            FROM read_parquet('/root/repo/expected/op_ann_ivf_topk.parquet')
+            WHERE emb_checksum = (SELECT SUM(CAST(FLOOR(CAST(embedding[1] AS DOUBLE)
+                                  * 1000000) AS BIGINT)) FROM embeddings)
+            ORDER BY sim_bp DESC, vec_id
+        """,
+        "embedding_near_dup": """
+            SELECT vec_a, vec_b, sim_bp
+            FROM read_parquet('/root/repo/expected/op_embedding_near_dup.parquet')
+            WHERE emb_checksum = (SELECT SUM(CAST(FLOOR(CAST(embedding[1] AS DOUBLE)
+                                  * 1000000) AS BIGINT)) FROM embeddings)
+            ORDER BY vec_a, vec_b
+        """,
         # Flagship KG pipeline oracles: the deterministic expected outputs
         # are materialized by tools/make_kg_expected.py with a SERIAL
         # single-process matcher loop (no Ray) into expected/kg_*.parquet;
