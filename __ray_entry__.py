@@ -59,14 +59,14 @@ def _kg_triples_bucket(sf_dir: str):
     """KG triples including lexmapr:classifiedAs bucket-classification
     triples (the reference's --bucket path, C1-C6, through the Ray stage)."""
     global _BUCKET_LEXICON_REF
-    from lexmapr_ray.pipelines.kg import broadcast_lexicon, extract_triples
+    from lexmapr_ray.pipelines.kg import broadcast_lexicon, decode_triples, extract_triples
     from lexmapr_ray.sources.pages import pages_from_documents
 
     if _BUCKET_LEXICON_REF is None:
         _BUCKET_LEXICON_REF = broadcast_lexicon()
-    return extract_triples(
+    return decode_triples(extract_triples(
         pages_from_documents(sf_dir), _BUCKET_LEXICON_REF, bucket=True
-    )
+    ))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -21,6 +21,7 @@ Scale notes (10^12-document design):
 from __future__ import annotations
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from lexmapr_ray.stages.match import MentionMatcher, extract_text_stage
 
@@ -78,9 +79,25 @@ def extract_triples(
     )
 
 
+def decode_triples(triples_ds):
+    """Cast dictionary-encoded triple columns back to plain strings.
+
+    The matcher emits dictionary-encoded columns (object-store compression);
+    pipelines that hand raw triples to external consumers decode at the
+    boundary so downstream comparators see plain string semantics."""
+    def dec(t: pa.Table) -> pa.Table:
+        return pa.table({c: pc.cast(t[c], pa.string()) for c in t.column_names})
+
+    return triples_ds.map_batches(dec, batch_format="pyarrow")
+
+
 def _partial_mention_counts(batch: pa.Table) -> pa.Table:
     """Per-batch combiner: collapse triples to (mention, obj, obj_label, n)."""
-    df = batch.select(["mention", "obj", "obj_label"]).to_pandas()
+    sel = batch.select(["mention", "obj", "obj_label"])
+    # decode dictionary columns: pandas groupby over Categoricals emits the
+    # full category product (observed=False) and sorts by code order
+    sel = pa.table({c: pc.cast(sel[c], pa.string()) for c in sel.column_names})
+    df = sel.to_pandas()
     out = (
         df.groupby(["mention", "obj", "obj_label"], sort=False)
         .size()
@@ -175,6 +192,11 @@ def _block_dedup_sorted(df):
     Post-sort, each key lives in exactly one block (boundary assignment is a
     pure function of the key), making the second application exact — and the
     local sort keeps the dataset globally ordered on the triple key."""
+    import pandas as pd
+
+    for c in df.columns:  # Categorical sorts by code order, not lexicographic
+        if isinstance(df[c].dtype, pd.CategoricalDtype):
+            df[c] = df[c].astype(str)
     df = df.sort_values(list(df.columns), kind="mergesort")
     return df.drop_duplicates(subset=["subj", "pred", "obj"], keep="first")
 

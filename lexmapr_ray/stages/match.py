@@ -59,14 +59,21 @@ def segment_mentions(text: str, max_tokens: int = MAX_MENTION_TOKENS) -> list[st
 
 def extract_text_stage(batch: pa.Table) -> pa.Table:
     """Stateless map_batches fn: html -> text, asserting the per-row
-    byte-identical invariant against the shipped ``text`` column."""
+    byte-identical invariant against the shipped ``text`` column.
+
+    Drops ``html`` from the output: the downstream matcher reads only
+    (url, text, lang), and the raw html is ~half the bytes crossing the
+    object store into the 28-actor pool — the edge where 28 concurrent
+    readers contend."""
     htmls = batch["html"].to_pylist()
     texts = [extract_text(h) for h in htmls]
     shipped = batch["text"].to_pylist()
     for t, s in zip(texts, shipped):
         if t != s:
             raise ValueError("extraction invariant violated: extract(html) != text")
-    return batch.set_column(batch.schema.get_field_index("text"), "text", pa.array(texts))
+    keep = [c for c in ("url", "text", "lang") if c in batch.column_names]
+    out = batch.select(keep)
+    return out.set_column(out.schema.get_field_index("text"), "text", pa.array(texts))
 
 
 class MentionMatcher:
