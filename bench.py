@@ -60,12 +60,14 @@ def _init_ray(num_cpus: int):
 
 
 def _pool_size(num_cpus: int) -> int:
-    """Matcher actors = 7/8 of CPUs: the pool must scale EXACTLY with the
-    CPU count (7 at 8 CPUs, 28 at 32 = a true 4x, emulating N vs 4N
-    fixed-size nodes), and must leave at least one slot free for the
-    read/shuffle stages — a pool of num_cpus actors starves upstream tasks
-    entirely."""
-    return max(2, (num_cpus * 7) // 8)
+    """Matcher actors = 5/8 of CPUs, scaling exactly with the CPU count
+    (the N vs 4N emulation needs pool ∝ CPUs).  Swept at 32 CPUs:
+    pool 28 → 33.5 s, 24 → 29.4 s, 20 → 26.4 s, 16 → 35.6 s for the same
+    1M pages — the pipeline is fastest when read/combine/sort tasks get
+    ~3/8 of the node instead of fighting 7/8-pool actors for slots
+    (oversubscription: 28 actors + read tasks + Ray system threads > 32
+    cores).  A pool of num_cpus actors deadlocks upstream reads outright."""
+    return max(2, (num_cpus * 5) // 8)
 
 
 def _corpus_dir(n_pages: int) -> str:
@@ -198,37 +200,49 @@ def main():
         return
 
     if "--scaling" in sys.argv:
-        # N vs 4N fresh ray.init sessions.  Default legs 4 and 16: the upper
-        # leg must stay inside the single box's memory-bandwidth / all-core-
-        # turbo envelope for the comparison to emulate a cluster whose
-        # PER-NODE resources are constant — at 8v32 the host itself slows
-        # every core (measured per-actor throughput drops ~35% from 7 to 28
-        # busy cores on an otherwise-idle box), a confounder a real 4x
-        # node-count cluster does not have.  SCALING_LEGS=8,32 reproduces
-        # the saturated pair; both are recorded in BASELINE.md.
-        lo, hi = (int(x) for x in os.environ.get("SCALING_LEGS", "4,16").split(","))
-        results = {}
-        for ncpu in (lo, hi):
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--headline-only"],
-                env=env, capture_output=True, text=True, check=True,
-            ).stdout
-            results[ncpu] = json.loads(out.strip().splitlines()[-1])
-        thr_lo = results[lo]["pages_per_sec"]
-        thr_hi = results[hi]["pages_per_sec"]
-        eff = (thr_hi / thr_lo) / (hi / lo)
+        # N vs 4N fresh ray.init sessions, legs 8 and 32 (pool sizes 5 and
+        # 20 — exactly proportional, so the two "clusters" have identical
+        # per-CPU layout).  Medians of BENCH_REPEATS runs per leg: this
+        # host's wall-clock noise is +-25% run-to-run.  The residual
+        # sub-1.0 efficiency decomposes into the measured single-box
+        # compute envelope (plain 28-process matcher scaling = 0.85 with
+        # realistic cold-cache footprints — no Ray involved) plus pipeline
+        # ramp; see BASELINE.md.
+        lo, hi = (int(x) for x in os.environ.get("SCALING_LEGS", "8,32").split(","))
+        # INTERLEAVE the legs (lo,hi,lo,hi,...): this host's effective CPU
+        # speed drifts up to 2x across the hour, so running all lo-repeats
+        # then all hi-repeats lets the drift masquerade as (anti-)scaling;
+        # alternating puts both legs under the same conditions and the
+        # median ratio cancels the drift.
+        import statistics
+        repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+        samples = {lo: [], hi: []}
+        for _ in range(repeats):
+            for ncpu in (lo, hi):
+                env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_REPEATS="1")
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--headline-only"],
+                    env=env, capture_output=True, text=True, check=True,
+                ).stdout
+                samples[ncpu].append(json.loads(out.strip().splitlines()[-1]))
+        thr_lo = statistics.median(r["pages_per_sec"] for r in samples[lo])
+        thr_hi = statistics.median(r["pages_per_sec"] for r in samples[hi])
+        # per-round ratio median: each lo/hi pair ran back-to-back, so the
+        # paired ratio is the drift-cancelled estimator
+        pair_eff = statistics.median(
+            (h["pages_per_sec"] / l["pages_per_sec"]) / (hi / lo)
+            for l, h in zip(samples[lo], samples[hi])
+        )
         print(json.dumps({
             "metric": "kg_scaling_efficiency",
-            "value": round(eff, 3),
+            "value": round(pair_eff, 3),
             "unit": "ratio",
             "legs": [lo, hi],
+            "median_of_medians_eff": round((thr_hi / thr_lo) / (hi / lo), 3),
             f"pages_per_sec_{lo}cpu": round(thr_lo, 1),
             f"pages_per_sec_{hi}cpu": round(thr_hi, 1),
-            f"sec_{lo}cpu": round(results[lo]["sec"], 2),
-            f"sec_{hi}cpu": round(results[hi]["sec"], 2),
-            "runs_lo": results[lo].get("runs"),
-            "runs_hi": results[hi].get("runs"),
+            "runs_lo": [round(r["sec"], 2) for r in samples[lo]],
+            "runs_hi": [round(r["sec"], 2) for r in samples[hi]],
             "pages": BENCH_PAGES,
         }))
         return
