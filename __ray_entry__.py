@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deduplication
         "dedup_exact": dedup.dedup_exact,
         "minhash_dedup_pairs": dedup.minhash_dedup_pairs,
+        "near_dup_clusters": dedup.near_dup_clusters,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "simhash_signatures": dedup.simhash_signatures,
         # similarity search
@@ -363,6 +364,12 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('/root/repo/expected/op_minhash_dedup_pairs.parquet')
             WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)
             ORDER BY doc_a, doc_b
+        """,
+        "near_dup_clusters": """
+            SELECT doc_id, cluster_id
+            FROM read_parquet('/root/repo/expected/op_near_dup_clusters.parquet')
+            WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)
+            ORDER BY doc_id
         """,
         "ngram_jaccard_pairs": """
             SELECT doc_a, doc_b, jaccard_pct

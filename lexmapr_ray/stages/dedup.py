@@ -356,3 +356,104 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, concurrency: int | 
     (salted band hashes, so buckets never mix with the word operator);
     verification is exact char-gram Jaccard, fully distributed."""
     return _verified_pairs(sf_dir, threshold, "char", concurrency=concurrency)
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering (connected components over the verified pair graph)
+# ---------------------------------------------------------------------------
+
+def near_dup_clusters(sf_dir: str, threshold: float = 0.8,
+                      concurrency: int | None = None, max_iters: int = 12):
+    """Connected components over the verified near-dup pair graph:
+    every document gets ``cluster_id`` = the minimum doc_id reachable
+    through near-duplicate pairs (singletons map to themselves).  This is
+    the operator a dedup pipeline actually keys on — "keep one doc per
+    cluster" is a trivial downstream filter.
+
+    Distributed iterative min-label propagation, all Ray Data:
+      labels(doc_id, label) starts as doc_id;
+      each round, every edge endpoint proposes its partner's current label
+      (two bucketed joins build the messages), and a sorted-group min
+      folds proposals into the labels;
+      converged when a round changes no label (checked with a cheap
+      aggregate, not a driver materialization).
+    Rounds needed = cluster diameter (near-dup components are tiny chains;
+    the 12-round cap is a runaway guard, asserted not hit).  At 100 TB the
+    per-round cost is two bucketed joins over the EDGE list (candidate
+    pairs, orders of magnitude smaller than the corpus) plus one sorted
+    reduce over corpus labels.
+    """
+    import pyarrow.compute as pc
+
+    from lexmapr_ray.functions.groupagg import sorted_group_reduce
+    from lexmapr_ray.functions.joins import bucketed_hash_join
+
+    edges = _verified_pairs(sf_dir, threshold, "word",
+                            concurrency=concurrency) \
+        .map_batches(lambda t: t.select(["doc_a", "doc_b"]),
+                     batch_format="pyarrow")
+    # materialize the (small) edge list once: it is reused every round and
+    # re-running LSH + verification per iteration would be pure waste;
+    # this is an object-store materialization, nothing touches the driver
+    edges = edges.materialize()
+
+    labels = _read_documents(sf_dir, ["doc_id"]).map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"],
+                            "label": pc.cast(t["doc_id"], pa.int64())}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def min_label_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("doc_id", sort=False, as_index=False)["label"].min()
+
+    def min_label_final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("doc_id", sort=True, as_index=False)["label"].min()
+        out["label"] = out["label"].astype("int64")
+        return out
+
+    for _ in range(max_iters):
+        # messages: each edge endpoint receives the partner's current label
+        to_b = bucketed_hash_join(
+            edges, labels, on="doc_a", right_on="doc_id"
+        ).map_batches(
+            lambda t: pa.table({"doc_id": pc.cast(t["doc_b"], pa.int64()),
+                                "label": pc.cast(t["label"], pa.int64())}),
+            batch_format="pyarrow",
+        )
+        to_a = bucketed_hash_join(
+            edges, labels, on="doc_b", right_on="doc_id"
+        ).map_batches(
+            lambda t: pa.table({"doc_id": pc.cast(t["doc_a"], pa.int64()),
+                                "label": pc.cast(t["label"], pa.int64())}),
+            batch_format="pyarrow",
+        )
+        new_labels = sorted_group_reduce(
+            labels.union(to_b).union(to_a), "doc_id",
+            min_label_partial, min_label_final,
+        ).map_batches(
+            # normalize to Arrow blocks: the next round unions this with
+            # Arrow-block join outputs, and a mixed-block-type union
+            # trips the sort batcher
+            lambda t: t, batch_format="pyarrow",
+        ).materialize()
+        # convergence: any label decreased this round?  (labels only ever
+        # decrease, so sum(label) is a monotone potential — equal sums ⇔
+        # fixpoint; a tiny driver-side scalar, not a materialization)
+        old_sum = labels.map_batches(
+            lambda t: pa.table({"s": pa.array([pc.sum(t["label"]).as_py() or 0])}),
+            batch_format="pyarrow",
+        ).sum("s")
+        new_sum = new_labels.map_batches(
+            lambda t: pa.table({"s": pa.array([pc.sum(t["label"]).as_py() or 0])}),
+            batch_format="pyarrow",
+        ).sum("s")
+        labels = new_labels
+        if old_sum == new_sum:
+            break
+    else:
+        raise RuntimeError("near_dup_clusters: no fixpoint within max_iters")
+
+    return labels.map_batches(
+        lambda df: df.rename(columns={"label": "cluster_id"}),
+        batch_format="pandas",
+    ).sort("doc_id")

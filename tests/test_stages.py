@@ -193,3 +193,28 @@ def test_media_features_from_documents_matches_serial(ray_session, sf_dir):
         img = DecodeImage._decode(row.payload)
         assert got.loc[row.media_id, "mean_milli"] == int(img.mean() * 1000)
         assert got.loc[row.media_id, "std_milli"] == int(img.std() * 1000)
+
+
+def test_near_dup_clusters_match_union_find(ray_session, sf_dir):
+    """Distributed min-label propagation == serial union-find over the same
+    verified pair graph (transitive closure, singletons map to self)."""
+    from lexmapr_ray.stages.dedup import minhash_dedup_pairs, near_dup_clusters
+
+    pairs = minhash_dedup_pairs(sf_dir, concurrency=2).to_pandas()
+    got = near_dup_clusters(sf_dir, concurrency=2).to_pandas()
+
+    parent = {int(d): int(d) for d in got["doc_id"]}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for _, r in pairs.iterrows():
+        ra, rb = find(int(r.doc_a)), find(int(r.doc_b))
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    exp = {d: find(d) for d in parent}
+    assert dict(zip(got["doc_id"], got["cluster_id"])) == exp

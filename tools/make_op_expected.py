@@ -111,6 +111,25 @@ def serial_lsh_pairs(doc_ids, texts, shingle_fn, salt: bytes, threshold: float):
     return rows
 
 
+def serial_union_find_clusters(doc_ids, pairs):
+    """Union-find over verified near-dup pairs -> (doc_id, min-id cluster)."""
+    parent = {d: d for d in doc_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, _ in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min id keeps the representative the component minimum
+            lo, hi2 = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi2] = lo
+    return [(d, find(d)) for d in sorted(parent)]
+
+
 def serial_simhash(doc_ids, texts):
     rows = []
     for d, t in zip(doc_ids, texts):
@@ -286,10 +305,13 @@ def main():
         emb_checksum = int(np.floor(m[:, 0] * 1_000_000).astype(np.int64).sum())
 
         i64, s = pa.int64(), pa.string()
+        word_pairs = serial_lsh_pairs(doc_ids, texts, word_shingles, b"word", 0.8)
         mk = [
-            ("op_minhash_dedup_pairs",
-             serial_lsh_pairs(doc_ids, texts, word_shingles, b"word", 0.8),
+            ("op_minhash_dedup_pairs", word_pairs,
              ("doc_a", "doc_b", "jaccard_pct"), (i64, i64, i64), "corpus_len", corpus_len),
+            ("op_near_dup_clusters",
+             serial_union_find_clusters(doc_ids, word_pairs),
+             ("doc_id", "cluster_id"), (i64, i64), "corpus_len", corpus_len),
             ("op_ngram_jaccard_pairs",
              serial_lsh_pairs(doc_ids, texts, char_shingles, b"char", 0.5),
              ("doc_a", "doc_b", "jaccard_pct"), (i64, i64, i64), "corpus_len", corpus_len),
