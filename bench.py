@@ -8,9 +8,11 @@ Runs the headline KG pipeline plus representative operator pipelines over
      "triples_per_sec": ...}
 
 ``--scaling`` reruns the headline pipeline in fresh processes at
-num_cpus=8 and num_cpus=32 on the same input and reports throughputs plus
-scaling efficiency (the sandbox stand-in for the north rule's N vs 4N
-cluster sizes).
+``SCALING_LEGS`` (default 8,32) on the same input, INTERLEAVING the legs
+so host wall-clock drift cancels in the paired ratios, and reports the
+median paired efficiency (the sandbox stand-in for the north rule's
+N vs 4N cluster sizes).  ``BENCH_REPEATS`` (default 3) controls both the
+headline median and the number of leg pairs.
 """
 
 from __future__ import annotations

@@ -32,13 +32,15 @@ _HASH_B = _RNG.randint(0, _MERSENNE, size=NUM_HASHES, dtype=np.int64).astype(np.
 
 
 def _auto_concurrency(requested=None) -> int:
-    """Actor-pool size that can never starve upstream tasks: a pool equal to
-    the CPU count deadlocks the streaming executor on small clusters (the
-    read/sort tasks have no slot to run in), so cap at CPUs - 2."""
+    """Actor-pool size that cannot starve the rest of the pipeline: a pool
+    of (CPUs - 2) leaves only two slots for read/join/sort tasks and the
+    whole DAG dribbles (measured: minhash at sf0.1 went from minutes to
+    seconds); 5/8 of CPUs matches the bench-swept optimum for the matcher
+    pool (read/shuffle stages need ~3/8 of the node)."""
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-    cap = max(1, cpus - 2)
+    cap = max(1, (cpus * 5) // 8)
     return min(requested, cap) if requested else cap
 
 
@@ -173,8 +175,12 @@ class MinHasher:
 
 
 def minhash_candidate_pairs(sf_dir: str, concurrency: int | None = None,
-                            shingle_kind: str = "word"):
-    """LSH bucket groupby -> unverified candidate pairs (doc_a < doc_b)."""
+                            shingle_kind: str = "word", distinct: bool = True):
+    """LSH bucket groupby -> unverified candidate pairs (doc_a < doc_b).
+
+    ``distinct=False`` skips the global pair-dedup shuffle (a pair can
+    surface from several bands); callers that already co-locate pairs
+    downstream (the verification join) dedup there for free instead."""
     ds = _read_documents(sf_dir, ["doc_id", "text"])
     banded = ds.map_batches(
         MinHasher, batch_format="pyarrow",
@@ -196,6 +202,8 @@ def minhash_candidate_pairs(sf_dir: str, concurrency: int | None = None,
     cand = banded.sort(["band", "band_hash"]).map_batches(
         pairs_block, batch_format="pandas", batch_size=None
     )
+    if not distinct:
+        return cand
     # distinct pairs (a pair can surface from several bands/blocks)
     return cand.sort(["doc_a", "doc_b"]).map_batches(
         lambda df: df.drop_duplicates(), batch_format="pandas", batch_size=None
@@ -215,8 +223,13 @@ def _verified_pairs(sf_dir: str, threshold: float, shingle_kind: str,
     from lexmapr_ray.functions.joins import bucketed_hash_join
 
     shingle_fn = _SHINGLERS[shingle_kind]
+    # distinct=True: dedup pairs BEFORE the corpus join — skipping the
+    # distinct shuffle (distinct=False) was measured wall-neutral here but
+    # inflates the join's candidate side up to NUM_BANDS x, the wrong trade
+    # at 100 TB
     cand = minhash_candidate_pairs(
-        sf_dir, concurrency=_auto_concurrency(concurrency), shingle_kind=shingle_kind
+        sf_dir, concurrency=_auto_concurrency(concurrency),
+        shingle_kind=shingle_kind, distinct=True,
     )
     docs = _read_documents(sf_dir, ["doc_id", "text"])
 
@@ -248,9 +261,9 @@ def _verified_pairs(sf_dir: str, threshold: float, shingle_kind: str,
         if len(df) == 0:
             return empty
         half_a = df[df["doc_id"] == df["doc_a"]][["doc_a", "doc_b", "text"]] \
-            .rename(columns={"text": "text_a"})
+            .drop_duplicates(["doc_a", "doc_b"]).rename(columns={"text": "text_a"})
         half_b = df[df["doc_id"] == df["doc_b"]][["doc_a", "doc_b", "text"]] \
-            .rename(columns={"text": "text_b"})
+            .drop_duplicates(["doc_a", "doc_b"]).rename(columns={"text": "text_b"})
         m = half_a.merge(half_b, on=["doc_a", "doc_b"])
         if len(m) == 0:
             return empty

