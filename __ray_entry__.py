@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_with_orders_and_events": rel.users_with_orders_and_events,
         "customers_without_events": rel.customers_without_events,
         # text analysis (SQL-oracled)
+        "tfidf_top_terms": textstats.tfidf_top_terms,
         "doc_stats": textstats.doc_stats,
         "token_counts": textstats.token_counts,
         "doc_fingerprint": textstats.doc_fingerprint,
@@ -105,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": dedup.dedup_exact,
         "minhash_dedup_pairs": dedup.minhash_dedup_pairs,
         "near_dup_clusters": dedup.near_dup_clusters,
+        "corpus_clean": dedup.corpus_clean,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "simhash_signatures": dedup.simhash_signatures,
         # similarity search
@@ -314,6 +316,42 @@ def oracle_sql() -> dict[str, str]:
             EXCEPT
             SELECT DISTINCT CAST(user_id AS BIGINT) AS o_custkey FROM events
             ORDER BY o_custkey
+        """,
+        "tfidf_top_terms": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(text), '\s+')) AS term
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, term, COUNT(*) AS tf
+              FROM toks WHERE term <> '' GROUP BY doc_id, term
+            ), dfq AS (
+              SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+            ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term,
+                     tf.tf * ((1000000 * n.n_docs) // dfq.df) AS score_e6,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf * ((1000000 * n.n_docs) // dfq.df) DESC,
+                                tf.term
+                     ) AS rn
+              FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN n
+            )
+            SELECT doc_id, term, CAST(score_e6 AS BIGINT) AS score_e6
+            FROM scored WHERE rn <= 5
+            ORDER BY doc_id, score_e6 DESC, term
+        """,
+        "corpus_clean": """
+            SELECT d.doc_id, d.text
+            FROM documents d
+            JOIN read_parquet('/root/repo/expected/op_near_dup_clusters.parquet') c
+              ON d.doc_id = c.doc_id
+             AND c.corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)
+            WHERE c.doc_id = c.cluster_id
+              AND TRIM(d.text) <> ''
+              AND len(string_split_regex(TRIM(d.text), '\s+')) >= 5
+            ORDER BY d.doc_id
         """,
         "doc_stats": """
             SELECT doc_id,

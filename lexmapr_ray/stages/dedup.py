@@ -470,3 +470,37 @@ def near_dup_clusters(sf_dir: str, threshold: float = 0.8,
         lambda df: df.rename(columns={"label": "cluster_id"}),
         batch_format="pandas",
     ).sort("doc_id")
+
+
+def corpus_clean(sf_dir: str, min_tokens: int = 5, threshold: float = 0.8,
+                 concurrency: int | None = None):
+    """The end-to-end curation pipeline a training-data run actually ships:
+    keep each near-dup cluster's representative (min doc_id), drop
+    low-quality documents (token count < ``min_tokens``).
+
+    Composition: near_dup_clusters (LSH -> distributed verify -> label
+    propagation) bucket-joined back to the corpus — the cluster table is
+    corpus-sized, so this is a join, NOT a broadcast — then a vectorized
+    quality filter.  Output: the surviving (doc_id, text), sorted."""
+    import pyarrow.compute as pc
+
+    from lexmapr_ray.functions.joins import bucketed_hash_join
+
+    clusters = near_dup_clusters(sf_dir, threshold=threshold,
+                                 concurrency=concurrency)
+    docs = _read_documents(sf_dir, ["doc_id", "text"])
+    joined = bucketed_hash_join(docs, clusters, on="doc_id")
+
+    def keep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(pc.cast(t["doc_id"], pa.int64()),
+                              pc.cast(t["cluster_id"], pa.int64())))
+        # vectorized token count per row: split -> list length
+        n_tok = pc.list_value_length(pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t["text"]), pattern=r"\s+"))
+        nonempty = pc.not_equal(pc.utf8_trim_whitespace(t["text"]), "")
+        ok = pc.and_(nonempty, pc.greater_equal(n_tok, min_tokens))
+        t = t.filter(ok)
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "text": pc.cast(t["text"], pa.string())})
+
+    return joined.map_batches(keep, batch_format="pyarrow").sort("doc_id")

@@ -227,3 +227,76 @@ def rolling_fingerprint(sf_dir: str, window: int = 16, mod: int = 1 << 61):
         })
 
     return ds.map_batches(fp, batch_format="pyarrow").sort("doc_id")
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 5):
+    """Per-document top-k terms by an integer-exact tf-idf.
+
+    score_e6 = tf * ((1_000_000 * N) // df): pure int64 arithmetic, so the
+    Ray and DuckDB results are bit-identical (a float ln() idf can differ
+    by 1 ulp between libms and flip a tie).  Ordering: score desc, term asc.
+
+    Shape (the two-pass corpus-statistics pattern):
+      pass 1: per-batch (doc, term, tf) combine -> term-sorted DF reduce
+              (document frequency per term);
+      broadcast: DF as two aligned Arrow arrays (term -> df).  The vocab of
+              a 100 TB corpus with a sane tokenizer is ~1e7 terms = a few
+              hundred MB — broadcastable; beyond that the same pipeline
+              swaps the broadcast for a bucketed join on term;
+      pass 2: per-batch tf recompute + vectorized score + per-doc top-k
+              combiner -> doc-sorted top-k reduce.
+    """
+    import pandas as pd
+
+    from lexmapr_ray.functions.broadcast import get_once, put_lookup
+    from lexmapr_ray.functions.groupagg import grouped_sum_count, sorted_group_reduce
+
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def doc_terms(df: pd.DataFrame) -> pd.DataFrame:
+        rows = df["text"].str.lower().str.split()
+        ex = df[["doc_id"]].join(rows.rename("term")).explode("term")
+        ex = ex.dropna(subset=["term"])
+        out = ex.groupby(["doc_id", "term"], sort=False).size().reset_index(name="tf")
+        return out
+
+    tf = ds.map_batches(doc_terms, batch_format="pandas", batch_size=65536)
+
+    # document frequency: one row per (doc, term) exists already -> count per term
+    df_table = grouped_sum_count(
+        tf.map_batches(lambda d: d[["term"]], batch_format="pandas"),
+        "term", count_alias="df",
+    ).to_pandas()
+    n_docs = ds.count()
+    idf_e6 = (1_000_000 * n_docs) // df_table["df"].to_numpy()
+    df_ref = put_lookup(df_table["term"].to_numpy(), idf_e6)
+
+    def score_topk(d: pd.DataFrame) -> pd.DataFrame:
+        if len(d) == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "term": pd.Series([], dtype="object"),
+                                 "score_e6": pd.Series([], dtype="int64")})
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        keys, vals = get_once(df_ref)
+        idx = _pc.index_in(_pa.array(d["term"].to_numpy(dtype=object)), value_set=keys)
+        idf = _pc.take(vals, idx).to_numpy(zero_copy_only=False)
+        d = d.assign(score_e6=(d["tf"].to_numpy(dtype="int64") * idf).astype("int64"))
+        d = d.sort_values(["doc_id", "score_e6", "term"],
+                          ascending=[True, False, True], kind="mergesort")
+        d = d.groupby("doc_id", sort=False).head(k)
+        return d[["doc_id", "term", "score_e6"]]
+
+    def final_topk(d: pd.DataFrame) -> pd.DataFrame:
+        if len(d) == 0:
+            return d
+        d = d.sort_values(["doc_id", "score_e6", "term"],
+                          ascending=[True, False, True], kind="mergesort")
+        return d.groupby("doc_id", sort=False).head(k)
+
+    # per-batch top-k prune is exact-safe: every true per-doc top-k row is
+    # inside its batch's per-doc top-k (fewer competitors in a subset), so
+    # the doc-sorted final top-k over the union reproduces the global answer
+    pruned = tf.map_batches(score_topk, batch_format="pandas", batch_size=65536)
+    return sorted_group_reduce(pruned, "doc_id", final_topk, final_topk)

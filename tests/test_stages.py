@@ -218,3 +218,43 @@ def test_near_dup_clusters_match_union_find(ray_session, sf_dir):
             parent[hi] = lo
     exp = {d: find(d) for d in parent}
     assert dict(zip(got["doc_id"], got["cluster_id"])) == exp
+
+
+def test_tfidf_top_terms_matches_duckdb(ray_session, sf_dir):
+    """Integer-exact tf-idf: the Ray two-pass pipeline equals a direct
+    DuckDB computation (same // integer idf) at sf0.001."""
+    import duckdb
+
+    from lexmapr_ray.stages.textstats import tfidf_top_terms
+
+    got = tfidf_top_terms(sf_dir).to_pandas().reset_index(drop=True)
+    exp = duckdb.sql(f"""
+        WITH docs AS (SELECT * FROM read_parquet('{sf_dir}/documents.parquet')),
+        toks AS (
+          SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+          FROM docs
+        ), tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf
+          FROM toks WHERE term <> '' GROUP BY doc_id, term
+        ), dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT COUNT(*) AS n_docs FROM docs),
+        scored AS (
+          SELECT tf.doc_id, tf.term,
+                 tf.tf * ((1000000 * n.n_docs) // dfq.df) AS score_e6,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf * ((1000000 * n.n_docs) // dfq.df) DESC, tf.term
+                 ) AS rn
+          FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN n
+        )
+        SELECT doc_id, term, CAST(score_e6 AS BIGINT) AS score_e6
+        FROM scored WHERE rn <= 5 ORDER BY doc_id, score_e6 DESC, term
+    """).fetchdf()
+    got = got.sort_values(["doc_id", "score_e6", "term"],
+                          ascending=[True, False, True]).reset_index(drop=True)
+    exp = exp.sort_values(["doc_id", "score_e6", "term"],
+                          ascending=[True, False, True]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"doc_id": "int64", "score_e6": "int64"}),
+        exp.astype({"doc_id": "int64", "score_e6": "int64"}),
+    )
