@@ -195,7 +195,15 @@ def q3_topk_revenue(sf_dir: str, num_buckets: int = 32):
 
     joined = bucketed_hash_join(li, orders_f, on="l_orderkey", right_on="o_orderkey",
                                 num_buckets=num_buckets)
-    summed = grouped_sum_count(joined, "l_orderkey", {"revenue_e4": "revenue_e4"})
+
+    # group key == join key: the bucketed join already co-locates every
+    # l_orderkey in exactly one output block (buckets are range-partitioned
+    # whole), so a per-block sum IS the global sum — no second shuffle.
+    # batch_size=None keeps block boundaries intact.
+    def block_sum(df):
+        return df.groupby("l_orderkey", as_index=False, sort=False)["revenue_e4"].sum()
+
+    summed = joined.map_batches(block_sum, batch_format="pandas", batch_size=None)
     return summed.sort(
         ["revenue_e4", "l_orderkey"], descending=[True, False]
     ).limit(10)
@@ -324,7 +332,6 @@ def customer_orders_left(sf_dir: str, num_buckets: int = 32):
     customers with no orders survive with n_orders=0, sum_cents=0)."""
     import pandas as pd
 
-    from lexmapr_ray.functions.groupagg import sorted_group_reduce
     from lexmapr_ray.functions.joins import bucketed_hash_join
 
     cust = _read(sf_dir, "customer", ["c_custkey"])
@@ -340,25 +347,21 @@ def customer_orders_left(sf_dir: str, num_buckets: int = 32):
                            on="c_custkey", right_on="o_custkey",
                            num_buckets=num_buckets, how="left")
 
-    # cents is float64-with-NaN after the left merge; count() skips NaN so
-    # unmatched customers contribute 0 orders / 0 cents.  Integer cents
-    # stay exact in float64 (< 2^53).
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        # the left-merge can leave cents as object (int + NaN mix when the
-        # block held both tagged sides); normalize to float64 once
+    # group key == join key: every c_custkey is whole inside one join output
+    # block, so ONE per-block aggregate is the global answer — no extra
+    # shuffle.  cents is int64-with-null after the left merge; count() skips
+    # nulls so unmatched customers contribute 0 orders / 0 cents (integer
+    # cents stay exact in float64, < 2^53).
+    def block_agg(df: pd.DataFrame) -> pd.DataFrame:
         df = df.assign(cents=pd.to_numeric(df["cents"], errors="coerce"))
-        g = df.groupby("c_custkey", sort=False)["cents"]
-        out = g.agg(n_orders="count", sum_cents="sum").reset_index()
-        return out
-
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.groupby("c_custkey", sort=True)[["n_orders", "sum_cents"]] \
-            .sum().reset_index()
+        out = df.groupby("c_custkey", sort=True)["cents"] \
+            .agg(n_orders="count", sum_cents="sum").reset_index()
         out["n_orders"] = out["n_orders"].astype("int64")
         out["sum_cents"] = out["sum_cents"].astype("int64")
         return out
 
-    return sorted_group_reduce(j, "c_custkey", partial, final)
+    return j.map_batches(block_agg, batch_format="pandas", batch_size=None) \
+        .sort("c_custkey")
 
 
 def part_brand_revenue(sf_dir: str):
