@@ -153,6 +153,7 @@ def run_queries(sf_dir: str) -> dict:
         ("q1_pricing_summary", rel.q1_pricing_summary),
         ("q3_topk_revenue", rel.q3_topk_revenue),
         ("q5_regional_revenue", rel.q5_regional_revenue),
+        ("q5_full_asia_revenue", rel.q5_full_asia_revenue),
         ("orders_topk", rel.orders_topk),
         ("events_hourly", rel.events_hourly),
         ("part_brand_revenue", rel.part_brand_revenue),
@@ -160,6 +161,7 @@ def run_queries(sf_dir: str) -> dict:
         ("dedup_exact", dedup.dedup_exact),
         ("minhash_dedup_pairs", dedup.minhash_dedup_pairs),
         ("cosine_topk", similarity.cosine_topk_bruteforce),
+        ("tfidf_top_terms", textstats.tfidf_top_terms),
     ]:
         t0 = time.time()
         res = fn(sf_dir)
