@@ -102,6 +102,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": textstats.doc_fingerprint,
         "quality_score": textstats.quality_score,
         "lang_distribution": textstats.lang_distribution,
+        "lang_token_stats": textstats.lang_token_stats,
+        "corpus_sample": textstats.corpus_sample,
         # deduplication
         "dedup_exact": dedup.dedup_exact,
         "minhash_dedup_pairs": dedup.minhash_dedup_pairs,
@@ -386,6 +388,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_distribution": """
             SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "lang_token_stats": """
+            SELECT lang, COUNT(*) AS n_docs,
+                   SUM(CAST(CASE WHEN TRIM(text) = '' THEN 0
+                        ELSE len(string_split_regex(TRIM(text), '\s+')) END
+                        AS BIGINT))::BIGINT AS sum_tokens,
+                   SUM(CAST(LENGTH(text) AS BIGINT))::BIGINT AS sum_chars
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "corpus_sample": """
+            SELECT doc_id, text FROM documents
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                  % 1000 < 100
+            ORDER BY doc_id
         """,
         "dedup_exact": """
             SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text ORDER BY doc_id

@@ -300,3 +300,48 @@ def tfidf_top_terms(sf_dir: str, k: int = 5):
     # the doc-sorted final top-k over the union reproduces the global answer
     pruned = tf.map_batches(score_topk, batch_format="pandas", batch_size=65536)
     return sorted_group_reduce(pruned, "doc_id", final_topk, final_topk)
+
+
+def corpus_sample(sf_dir: str, permille: int = 100):
+    """Deterministic hash sampling: keep ~permille/1000 of documents.
+
+    The sampling key is md5(doc_id-as-string) — content-independent,
+    reproducible on any engine (the DuckDB oracle computes the identical
+    predicate), and uniform.  This is the subsampling stage of a
+    training-data pipeline; a pure map, embarrassingly parallel."""
+    import hashlib
+
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        keep = [
+            int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % 1000 < permille
+            for d in ids
+        ]
+        return t.filter(pa.array(keep, pa.bool_()))
+
+    return ds.map_batches(pick, batch_format="pyarrow").sort("doc_id")
+
+
+def lang_token_stats(sf_dir: str):
+    """Per-language corpus statistics: docs, total tokens, total chars."""
+    import pandas as pd
+
+    from lexmapr_ray.functions.groupagg import grouped_sum_count
+
+    ds = _read_documents(sf_dir, ["lang", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        return pa.table({
+            "lang": t["lang"],
+            "n_tokens": pa.array([len(s.split()) for s in texts], pa.int64()),
+            "n_chars": pa.array([len(s) for s in texts], pa.int64()),
+        })
+
+    return grouped_sum_count(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "lang", {"sum_tokens": "n_tokens", "sum_chars": "n_chars"},
+        count_alias="n_docs",
+    )
