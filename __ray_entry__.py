@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_type": rel.events_by_type,
         "events_hourly": rel.events_hourly,
         "events_sessions": windows.events_sessions,
+        "events_sessions_2l": windows.events_sessions_two_level,
         "events_sliding_3h": windows.events_sliding_3h,
         "events_last_order": windows.events_last_order,
         "customer_order_stats": rel.customer_order_stats,
@@ -128,6 +129,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entities": _kg_entities,
         "kg_triples_bucket": _kg_triples_bucket,
     }
+
+
+# The ONE whitespace charset shared by engine token counts and these SQL
+# oracles (lexmapr_ray/stages/textstats.py ASCII_WS = RE2's \s class): a
+# DuckDB expression trimming exactly " \t\n\f\r".  Bare TRIM() strips spaces
+# only and silently diverged from the engine on edge \t/\n (advisor r2).
+_TRIM = "TRIM({col}, concat(' ', chr(9), chr(10), chr(12), chr(13)))"
+
+
+def _trim(col: str) -> str:
+    return _TRIM.format(col=col)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -222,6 +234,30 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type, hour ORDER BY event_type, hour
         """,
         "events_sessions": """
+            WITH e AS (
+              SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                     CAST(ROUND(value*100) AS BIGINT) AS cents
+              FROM events
+            ), l AS (
+              SELECT *, LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+              FROM e
+            ), s AS (
+              SELECT *, SUM(CASE WHEN prev IS NULL OR ts_us - prev > 30*60*1000000
+                                 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              FROM l
+            )
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(session_id AS BIGINT) AS session_id,
+                   MIN(ts_us) AS session_start_us,
+                   COUNT(*) AS n_events,
+                   SUM(cents)::BIGINT AS sum_value_cents
+            FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
+        """,
+        # identical semantics to events_sessions — the two-level variant is
+        # the hot-entity-safe execution plan, not a different operator
+        "events_sessions_2l": """
             WITH e AS (
               SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
                      CAST(ROUND(value*100) AS BIGINT) AS cents
@@ -344,23 +380,23 @@ def oracle_sql() -> dict[str, str]:
             FROM scored WHERE rn <= 5
             ORDER BY doc_id, score_e6 DESC, term
         """,
-        "corpus_clean": """
+        "corpus_clean": f"""
             SELECT d.doc_id, d.text
             FROM documents d
             JOIN read_parquet('/root/repo/expected/op_near_dup_clusters.parquet') c
               ON d.doc_id = c.doc_id
              AND c.corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)
             WHERE c.doc_id = c.cluster_id
-              AND TRIM(d.text) <> ''
-              AND len(string_split_regex(TRIM(d.text), '\s+')) >= 5
+              AND {_trim('d.text')} <> ''
+              AND len(string_split_regex({_trim('d.text')}, '\\s+')) >= 5
             ORDER BY d.doc_id
         """,
-        "doc_stats": """
+        "doc_stats": f"""
             SELECT doc_id,
                    CAST(LENGTH(text) AS BIGINT) AS n_chars,
-                   CAST(CASE WHEN TRIM(text) = '' THEN 0
-                        ELSE len(string_split_regex(TRIM(text), '\\s+')) END AS BIGINT)
-                       AS n_tokens,
+                   CAST(CASE WHEN {_trim('text')} = '' THEN 0
+                        ELSE len(string_split_regex({_trim('text')}, '\\s+')) END
+                        AS BIGINT) AS n_tokens,
                    CAST(LENGTH(regexp_replace(text, '[\\w\\s]', '', 'g')) AS BIGINT)
                        AS n_punct
             FROM documents ORDER BY doc_id
@@ -374,25 +410,25 @@ def oracle_sql() -> dict[str, str]:
                        AS n_bpe_tokens
             FROM documents ORDER BY doc_id
         """,
-        "quality_score": """
+        "quality_score": f"""
             SELECT doc_id,
-                   CAST(CASE WHEN TRIM(text) = '' THEN 0
-                        ELSE len(string_split_regex(TRIM(text), '\\s+')) END AS BIGINT)
-                       AS n_tokens,
-                   CAST(len(list_filter(string_split_regex(TRIM(text), '\\s+'),
+                   CAST(CASE WHEN {_trim('text')} = '' THEN 0
+                        ELSE len(string_split_regex({_trim('text')}, '\\s+')) END
+                        AS BIGINT) AS n_tokens,
+                   CAST(len(list_filter(string_split_regex({_trim('text')}, '\\s+'),
                         x -> x IN ('the','a','and','of','to','in','is','it'))) AS BIGINT)
                        AS n_stopwords,
-                   CAST(len(list_filter(string_split_regex(TRIM(text), '\\s+'),
+                   CAST(len(list_filter(string_split_regex({_trim('text')}, '\\s+'),
                         x -> LENGTH(x) > 6)) AS BIGINT) AS n_long_tokens
             FROM documents ORDER BY doc_id
         """,
         "lang_distribution": """
             SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang ORDER BY lang
         """,
-        "lang_token_stats": """
+        "lang_token_stats": f"""
             SELECT lang, COUNT(*) AS n_docs,
-                   SUM(CAST(CASE WHEN TRIM(text) = '' THEN 0
-                        ELSE len(string_split_regex(TRIM(text), '\s+')) END
+                   SUM(CAST(CASE WHEN {_trim('text')} = '' THEN 0
+                        ELSE len(string_split_regex({_trim('text')}, '\\s+')) END
                         AS BIGINT))::BIGINT AS sum_tokens,
                    SUM(CAST(LENGTH(text) AS BIGINT))::BIGINT AS sum_chars
             FROM documents GROUP BY lang ORDER BY lang

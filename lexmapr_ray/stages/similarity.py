@@ -75,10 +75,11 @@ def cosine_topk_bruteforce(sf_dir: str, query_vec_id: int = 0, k: int = 10):
             "sim_bp": pa.array(np.round(sims * 10_000).astype(np.int64)),
         })
 
-    return (
-        ds.map_batches(score, batch_format="pyarrow")
-        .sort(["sim_bp", "vec_id"], descending=[True, False])
-        .limit(k)
+    from lexmapr_ray.functions.topk import global_topk
+
+    return global_topk(
+        ds.map_batches(score, batch_format="pyarrow"),
+        ["sim_bp", "vec_id"], [True, False], k,
     )
 
 
@@ -139,10 +140,11 @@ def ann_lsh_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10, n_probe_bits: 
             "sim_bp": pa.array(np.round(sims * 10_000).astype(np.int64)),
         })
 
-    return (
-        ds.map_batches(score_bucket, batch_format="pyarrow")
-        .sort(["sim_bp", "vec_id"], descending=[True, False])
-        .limit(k)
+    from lexmapr_ray.functions.topk import global_topk
+
+    return global_topk(
+        ds.map_batches(score_bucket, batch_format="pyarrow"),
+        ["sim_bp", "vec_id"], [True, False], k,
     )
 
 
@@ -312,6 +314,8 @@ def ann_ivf_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10,
             "sim_bp": pa.array(sims, pa.int64()),
         })
 
+    from lexmapr_ray.functions.topk import global_topk
+
     ds = _read_embeddings(sf_dir, ["vec_id", "embedding"])
     scored = ds.map_batches(score, batch_format="pyarrow")
-    return scored.sort(["sim_bp", "vec_id"], descending=[True, False]).limit(k)
+    return global_topk(scored, ["sim_bp", "vec_id"], [True, False], k)

