@@ -62,14 +62,15 @@ def _init_ray(num_cpus: int):
 
 
 def _pool_size(num_cpus: int) -> int:
-    """Matcher actors = 5/8 of CPUs, scaling exactly with the CPU count
-    (the N vs 4N emulation needs pool ∝ CPUs).  Swept at 32 CPUs:
-    pool 28 → 33.5 s, 24 → 29.4 s, 20 → 26.4 s, 16 → 35.6 s for the same
-    1M pages — the pipeline is fastest when read/combine/sort tasks get
-    ~3/8 of the node instead of fighting 7/8-pool actors for slots
-    (oversubscription: 28 actors + read tasks + Ray system threads > 32
-    cores).  A pool of num_cpus actors deadlocks upstream reads outright."""
-    return max(2, (num_cpus * 5) // 8)
+    """Matcher actors = 7/8 of CPUs, scaling exactly with the CPU count
+    (the N vs 4N emulation needs pool ∝ CPUs).  r3 interleaved sweep with
+    the lean 32k-row dedup combiner: pool 28 → 25.8 s median vs 20 →
+    29.9 s at 32 CPUs, and pool 7 → 77 s vs 5 → 99 s at 8 CPUs (the
+    matcher is the bottleneck, so actors deserve almost the whole node).
+    The r2 "5/8" optimum came from 131k-row combiner tasks that needed
+    3/8 of the node to keep up.  A pool of ALL cpus still deadlocks
+    upstream reads — keep >= 1/8 free."""
+    return max(2, (num_cpus * 7) // 8)
 
 
 def _corpus_dir(n_pages: int) -> str:
@@ -213,6 +214,13 @@ def main():
         # realistic cold-cache footprints — no Ray involved) plus pipeline
         # ramp; see BASELINE.md.
         lo, hi = (int(x) for x in os.environ.get("SCALING_LEGS", "8,32").split(","))
+        # the scaling legs run a LONGER corpus (default 2M pages) than the
+        # headline: the quantity under test is steady-state throughput
+        # scaling, and at 1M pages the ~8 s fixed ramp + sort-drain tail is
+        # a third of the 4N leg's wall clock — a fixed cost a 100 TB run
+        # amortizes to zero, but one that masquerades as poor scaling in a
+        # 25 s window.  2M pages keeps the whole protocol under ~10 min.
+        scaling_pages = os.environ.get("SCALING_PAGES", str(max(BENCH_PAGES, 2_000_000)))
         # INTERLEAVE the legs (lo,hi,lo,hi,...): this host's effective CPU
         # speed drifts up to 2x across the hour, so running all lo-repeats
         # then all hi-repeats lets the drift masquerade as (anti-)scaling;
@@ -223,7 +231,8 @@ def main():
         samples = {lo: [], hi: []}
         for _ in range(repeats):
             for ncpu in (lo, hi):
-                env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_REPEATS="1")
+                env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_REPEATS="1",
+                           BENCH_PAGES=scaling_pages)
                 out = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), "--headline-only"],
                     env=env, capture_output=True, text=True, check=True,
@@ -247,7 +256,7 @@ def main():
             f"pages_per_sec_{hi}cpu": round(thr_hi, 1),
             "runs_lo": [round(r["sec"], 2) for r in samples[lo]],
             "runs_hi": [round(r["sec"], 2) for r in samples[hi]],
-            "pages": BENCH_PAGES,
+            "pages": int(scaling_pages),
         }))
         return
 

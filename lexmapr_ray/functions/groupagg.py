@@ -17,6 +17,19 @@ engine therefore standardizes on ONE shape for every grouped reduction:
 ``grouped_sum_count`` covers the Sum/Count family (every SQL-oracled query
 in this repo); pass ``partial_fn``/``final_fn`` to :func:`sorted_group_reduce`
 for custom reductions (argmax, pair generation, ...).
+
+Why the co-location invariant is safe under dynamic block splitting
+(advisor r2 raised it): Ray 2.49's sort reduce task merges its range's
+mapper slices with ``BlockAccessor.merge_sorted_blocks`` and returns ONE
+block per range partition (ray/data/_internal/planner/exchange/
+sort_task_spec.py:148-161) — sort outputs are never re-split at
+``target_max_block_size``, so with ``batch_size=None`` a post-sort
+``map_batches`` always sees each range (hence each key group) whole.  The
+cost of a pathologically hot key is one oversized block's worth of MEMORY
+in its reduce/consumer task, never a silently split group.
+``tests/test_stages.py::test_sorted_reduce_survives_tiny_block_target``
+pins the behavior: if a Ray upgrade ever starts splitting sort outputs,
+that test fails loudly instead of queries silently double-counting.
 """
 
 from __future__ import annotations

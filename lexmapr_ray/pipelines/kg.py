@@ -56,6 +56,7 @@ def extract_triples(
     langs: tuple = ("en",),
     concurrency=None,
     batch_size: int = 256,
+    actor_num_cpus: float = 1,
 ):
     """pages Dataset -> triples Dataset (extraction + matcher actor pool)."""
     if lexicon_ref is None:
@@ -63,8 +64,12 @@ def extract_triples(
     if concurrency is None:
         import ray
 
-        # leave headroom for the read/extract/shuffle stages
-        concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
+        # 7/8 of CPUs: with the lean dedup combiner (32k-row tasks) the
+        # r3 interleaved sweep puts pool 28 ahead of 20 at 32 CPUs (25.8 s
+        # vs 29.9 s median) and pool 7 ahead of 5 at 8 CPUs (77 s vs 99 s)
+        # — the r2 "5/8" optimum was an artifact of 131k-row combiner
+        # tasks needing 3/8 of the node to keep up
+        concurrency = max(2, (int(ray.cluster_resources().get("CPU", 4)) * 7) // 8)
     ds = pages_ds.map_batches(extract_text_stage, batch_format="pyarrow")
     return ds.map_batches(
         MentionMatcher,
@@ -75,7 +80,7 @@ def extract_triples(
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
-        num_cpus=1,
+        num_cpus=actor_num_cpus,
     )
 
 
@@ -146,7 +151,19 @@ def _reduce_canonical_block(df):
     return out
 
 
-def canonicalize_mentions(triples_ds):
+def _sum_partial_counts(df):
+    """Re-combine bundled partial (mention, obj, obj_label, n) rows —
+    associative, so any number of applications before the shuffle is exact."""
+    if len(df) == 0:
+        return df
+    return (
+        df.groupby(["mention", "obj", "obj_label"], sort=False)["n"]
+        .sum()
+        .reset_index()
+    )
+
+
+def canonicalize_mentions(triples_ds, *, extra_combine: bool = False):
     """Entity canonicalization: normalized surface form -> canonical term
     (most frequent ontology id for that surface form; ties -> lexicographic
     smallest id).
@@ -163,9 +180,13 @@ def canonicalize_mentions(triples_ds):
         ``groupby().map_groups`` (one Python call per group) or
         ``groupby().aggregate`` (AggregateFn overhead per block dominates);
       * at 10^12 documents the per-key partial count (= n_batches) itself
-        grows unbounded; insert an extra combine round
-        (``repartition(k).map_batches(combiner)``) per 3 orders of magnitude
-        to keep any single key's partials block-sized.
+        grows unbounded; ``extra_combine=True`` inserts a further
+        barrier-free combine round — bundles of 262144 partial rows are
+        re-summed (``_sum_partial_counts``, associative), shrinking any
+        key's partial population by the bundling factor.  One round per ~3
+        orders of magnitude of batch count keeps every key's partials
+        block-sized; the default False matches the bench corpus, where the
+        partial table is already tiny.
     ``map_batches(batch_size=None)`` is required: a numeric batch_size would
     re-split sorted blocks mid-key and break key locality.
     """
@@ -177,13 +198,17 @@ def canonicalize_mentions(triples_ds):
     partials = triples_ds.map_batches(
         _partial_mention_counts, batch_format="pyarrow", batch_size=65536
     )
+    if extra_combine:
+        partials = partials.map_batches(
+            _sum_partial_counts, batch_format="pandas", batch_size=262144
+        )
     return partials.sort("mention").map_batches(
         _reduce_canonical_block, batch_format="pandas", batch_size=None
     )
 
 
-def _block_dedup_sorted(df):
-    """Per-key lexicographic-min dedup of one pandas block.
+def _block_dedup_sorted(t: pa.Table) -> pa.Table:
+    """Per-key lexicographic-min dedup of one Arrow block.
 
     Used BOTH as the pre-shuffle combiner and as the post-sort reduce: "keep
     the full-row lexicographic minimum per (subj,pred,obj)" is associative,
@@ -191,14 +216,42 @@ def _block_dedup_sorted(df):
     arrival-order combiner would discard the global minimum nondeterministically).
     Post-sort, each key lives in exactly one block (boundary assignment is a
     pure function of the key), making the second application exact — and the
-    local sort keeps the dataset globally ordered on the triple key."""
-    import pandas as pd
+    local sort keeps the dataset globally ordered on the triple key.
 
-    for c in df.columns:  # Categorical sorts by code order, not lexicographic
-        if isinstance(df[c].dtype, pd.CategoricalDtype):
-            df[c] = df[c].astype(str)
-    df = df.sort_values(list(df.columns), kind="mergesort")
-    return df.drop_duplicates(subset=["subj", "pred", "obj"], keep="first")
+    Pure Arrow kernels (r3): the r2 pandas version spent most of its 25
+    CPU-s/1M-pages boxing six string columns into Python objects and back;
+    sort_indices + take + a shifted-equality run mask do the same reduction
+    with zero boxing, shrinking the combiner tail that dominates the 4N
+    scaling profile."""
+    import numpy as np
+
+    if len(t) == 0:
+        return t
+    # dictionary-encoded columns sort by code order; decode first
+    cols = {}
+    for name in t.column_names:
+        c = t[name]
+        if pa.types.is_dictionary(c.type):
+            c = pc.cast(c, pa.string())
+        cols[name] = c
+    t = pa.table(cols)
+    idx = pc.sort_indices(
+        t, sort_keys=[(c, "ascending") for c in t.column_names]
+    )
+    t = t.take(idx)
+    n = len(t)
+    if n == 1:
+        return t
+    same_as_prev = np.ones(n - 1, dtype=bool)
+    for key in ("subj", "pred", "obj"):
+        a = t[key].combine_chunks()
+        same_as_prev &= pc.equal(
+            a.slice(1), a.slice(0, n - 1)
+        ).to_numpy(zero_copy_only=False)
+    keep = np.empty(n, dtype=bool)
+    keep[0] = True
+    keep[1:] = ~same_as_prev
+    return t.filter(pa.array(keep))
 
 
 def dedup_triples(triples_ds):
@@ -209,18 +262,22 @@ def dedup_triples(triples_ds):
     materialization needs no second shuffle.  ``groupby().map_groups`` and
     ``groupby().aggregate`` were measured ~8x and ~2x the cost of the whole
     rest of the pipeline at 20k pages."""
-    # large batch_size bundles many matcher output blocks into one dedup
-    # task: local combining AND block-count coalescing ahead of the shuffle
-    # in a single streaming stage (no Repartition barrier); see
-    # canonicalize_mentions for the blocks^2 sort-cost rationale
+    # batch_size bundles matcher output blocks into one dedup task: local
+    # combining AND block-count coalescing ahead of the shuffle in a single
+    # streaming stage (no Repartition barrier); see canonicalize_mentions
+    # for the blocks^2 sort-cost rationale.  32768 (down from r2's 131072):
+    # the fat combiner ran as ~24 four-second tasks whose stragglers formed
+    # a serial tail after the matcher pool drained — the leading fixed cost
+    # in the N-vs-4N scaling profile; 32k-row tasks overlap the matcher and
+    # finish the tail 4x finer at a sort input of ~100 blocks (still cheap)
     ds = triples_ds.map_batches(
-        _block_dedup_sorted, batch_format="pandas", batch_size=131072
+        _block_dedup_sorted, batch_format="pyarrow", batch_size=32768
     )
     # sort key must be EXACTLY the dedup key: boundaries on a longer key
     # could split equal (subj,pred,obj) rows across partitions; determinism
     # of the kept row is handled inside the block reduce instead
     return ds.sort(["subj", "pred", "obj"]).map_batches(
-        _block_dedup_sorted, batch_format="pandas", batch_size=None
+        _block_dedup_sorted, batch_format="pyarrow", batch_size=None
     )
 
 

@@ -259,7 +259,8 @@ def rolling_fingerprint(sf_dir: str, window: int = 16, mod: int = 1 << 61):
     return ds.map_batches(fp, batch_format="pyarrow").sort("doc_id")
 
 
-def tfidf_top_terms(sf_dir: str, k: int = 5):
+def tfidf_top_terms(sf_dir: str, k: int = 5,
+                    vocab_broadcast_limit: int = 10_000_000):
     """Per-document top-k terms by an integer-exact tf-idf.
 
     score_e6 = tf * ((1_000_000 * N) // df): pure int64 arithmetic, so the
@@ -269,17 +270,22 @@ def tfidf_top_terms(sf_dir: str, k: int = 5):
     Shape (the two-pass corpus-statistics pattern):
       pass 1: per-batch (doc, term, tf) combine -> term-sorted DF reduce
               (document frequency per term);
-      broadcast: DF as two aligned Arrow arrays (term -> df).  The vocab of
-              a 100 TB corpus with a sane tokenizer is ~1e7 terms = a few
-              hundred MB — broadcastable; beyond that the same pipeline
-              swaps the broadcast for a bucketed join on term;
-      pass 2: per-batch tf recompute + vectorized score + per-doc top-k
-              combiner -> doc-sorted top-k reduce.
+      attach DF, size-switched on the vocabulary cardinality:
+        <= ``vocab_broadcast_limit`` terms: broadcast as two aligned Arrow
+              arrays (term -> idf_e6), probed per batch with index_in/take
+              — a sane tokenizer's vocab is ~1e7 terms even at 100 TB;
+        above it: the SAME pipeline swaps the broadcast for a bucketed
+              hash join on term (a pathological tokenizer — raw shingles,
+              binary noise — makes the vocab corpus-scale, and shipping it
+              to every worker would be the set-op anti-pattern);
+      pass 2: vectorized integer score + per-doc top-k combiner ->
+              doc-sorted top-k reduce.
     """
     import pandas as pd
 
     from lexmapr_ray.functions.broadcast import get_once, put_lookup
     from lexmapr_ray.functions.groupagg import grouped_sum_count, sorted_group_reduce
+    from lexmapr_ray.functions.joins import bucketed_hash_join
 
     ds = _read_documents(sf_dir, ["doc_id", "text"])
 
@@ -296,31 +302,14 @@ def tfidf_top_terms(sf_dir: str, k: int = 5):
 
     tf = ds.map_batches(doc_terms, batch_format="pyarrow", batch_size=65536)
 
-    # document frequency: one row per (doc, term) exists already -> count per term
-    df_table = grouped_sum_count(
+    # document frequency: one row per (doc, term) exists already -> count
+    # per term.  Materialized to the OBJECT STORE so the cardinality count
+    # and the chosen attach path reuse one execution.
+    df_ds = grouped_sum_count(
         tf.map_batches(lambda d: d[["term"]], batch_format="pandas"),
         "term", count_alias="df",
-    ).to_pandas()
+    ).materialize()
     n_docs = ds.count()
-    idf_e6 = (1_000_000 * n_docs) // df_table["df"].to_numpy()
-    df_ref = put_lookup(df_table["term"].to_numpy(), idf_e6)
-
-    def score_topk(d: pd.DataFrame) -> pd.DataFrame:
-        if len(d) == 0:
-            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                                 "term": pd.Series([], dtype="object"),
-                                 "score_e6": pd.Series([], dtype="int64")})
-        import pyarrow as _pa
-        import pyarrow.compute as _pc
-
-        keys, vals = get_once(df_ref)
-        idx = _pc.index_in(_pa.array(d["term"].to_numpy(dtype=object)), value_set=keys)
-        idf = _pc.take(vals, idx).to_numpy(zero_copy_only=False)
-        d = d.assign(score_e6=(d["tf"].to_numpy(dtype="int64") * idf).astype("int64"))
-        d = d.sort_values(["doc_id", "score_e6", "term"],
-                          ascending=[True, False, True], kind="mergesort")
-        d = d.groupby("doc_id", sort=False).head(k)
-        return d[["doc_id", "term", "score_e6"]]
 
     def final_topk(d: pd.DataFrame) -> pd.DataFrame:
         if len(d) == 0:
@@ -332,7 +321,45 @@ def tfidf_top_terms(sf_dir: str, k: int = 5):
     # per-batch top-k prune is exact-safe: every true per-doc top-k row is
     # inside its batch's per-doc top-k (fewer competitors in a subset), so
     # the doc-sorted final top-k over the union reproduces the global answer
-    pruned = tf.map_batches(score_topk, batch_format="pandas", batch_size=65536)
+    if df_ds.count() <= vocab_broadcast_limit:
+        df_table = df_ds.to_pandas()
+        idf_e6 = (1_000_000 * n_docs) // df_table["df"].to_numpy()
+        df_ref = put_lookup(df_table["term"].to_numpy(), idf_e6)
+
+        def score_topk(d: pd.DataFrame) -> pd.DataFrame:
+            if len(d) == 0:
+                return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                     "term": pd.Series([], dtype="object"),
+                                     "score_e6": pd.Series([], dtype="int64")})
+            keys, vals = get_once(df_ref)
+            idx = pc.index_in(pa.array(d["term"].to_numpy(dtype=object)),
+                              value_set=keys)
+            idf = pc.take(vals, idx).to_numpy(zero_copy_only=False)
+            d = d.assign(score_e6=(d["tf"].to_numpy(dtype="int64") * idf).astype("int64"))
+            d = d.sort_values(["doc_id", "score_e6", "term"],
+                              ascending=[True, False, True], kind="mergesort")
+            d = d.groupby("doc_id", sort=False).head(k)
+            return d[["doc_id", "term", "score_e6"]]
+
+        pruned = tf.map_batches(score_topk, batch_format="pandas", batch_size=65536)
+    else:
+        # corpus-scale vocabulary: attach df with a bucketed hash join on
+        # term, then score + prune — no vocabulary ever reaches the driver
+        joined = bucketed_hash_join(tf, df_ds, on="term")
+
+        def score_joined(d: pd.DataFrame) -> pd.DataFrame:
+            if len(d) == 0:
+                return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                     "term": pd.Series([], dtype="object"),
+                                     "score_e6": pd.Series([], dtype="int64")})
+            idf = (1_000_000 * n_docs) // d["df"].to_numpy(dtype="int64")
+            d = d.assign(score_e6=(d["tf"].to_numpy(dtype="int64") * idf).astype("int64"))
+            d = d.sort_values(["doc_id", "score_e6", "term"],
+                              ascending=[True, False, True], kind="mergesort")
+            return d.groupby("doc_id", sort=False).head(k)[["doc_id", "term", "score_e6"]]
+
+        pruned = joined.map_batches(score_joined, batch_format="pandas",
+                                    batch_size=65536)
     return sorted_group_reduce(pruned, "doc_id", final_topk, final_topk)
 
 

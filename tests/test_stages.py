@@ -344,3 +344,80 @@ def test_textstats_whitespace_edges_match_duckdb(ray_session, tmp_path):
         exp = con.execute(oracles[name]).fetchdf().reset_index(drop=True)
         pd.testing.assert_frame_equal(
             got[sorted(got.columns)], exp[sorted(exp.columns)], check_dtype=False)
+
+
+def test_sorted_reduce_survives_tiny_block_target(ray_session):
+    """Pins the sort co-location guarantee the whole engine rests on
+    (advisor r2): one hot key whose group vastly exceeds
+    target_max_block_size must still arrive WHOLE in one post-sort block,
+    because Ray's sort reduce emits one merged block per range partition
+    (sort_task_spec.py reduce -> merge_sorted_blocks).  If a Ray upgrade
+    starts re-splitting sort outputs, the per-block reduce would emit
+    duplicate keys and this test fails loudly."""
+    import ray.data as rd
+    from ray.data import DataContext
+
+    from lexmapr_ray.functions.groupagg import grouped_sum_count
+
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    ctx.target_max_block_size = 16 * 1024  # 16 KiB: far below the hot group
+    try:
+        n = 60_000  # hot key 'h' carries ~50k rows * ~90B >> 16 KiB
+        items = [{"k": "h" if i % 6 else f"cold_{i}", "v": 1,
+                  "pad": "x" * 64} for i in range(n)]
+        ds = rd.from_items(items, override_num_blocks=32)
+        out = grouped_sum_count(
+            ds.map_batches(lambda df: df[["k", "v"]], batch_format="pandas"),
+            "k", {"sum_v": "v"}, count_alias="n",
+        ).to_pandas()
+        assert out["k"].is_unique, "sort split a key group across blocks"
+        hot = out.set_index("k").loc["h"]
+        assert hot["sum_v"] == sum(1 for i in range(n) if i % 6)
+    finally:
+        ctx.target_max_block_size = old
+
+
+def test_near_dup_clusters_long_chain_pointer_jumping(ray_session, tmp_path):
+    """A 24-link near-dup CHAIN (adjacent docs Jaccard ~0.85, distance-2
+    ~0.71 < threshold) has diameter 23: plain min-label propagation would
+    blow the default 2*log2(n)+8 iteration cap, so convergence proves the
+    pointer-jump pass works (advisor r2)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lexmapr_ray.stages.dedup import near_dup_clusters
+
+    n_chain, w, s = 24, 38, 3
+    vocab = [f"tok{i:04d}" for i in range(n_chain * s + w)]
+    texts = [" ".join(vocab[i * s: i * s + w]) for i in range(n_chain)]
+    texts += [f"completely unrelated document number {i} " + " ".join(
+        f"zz{i}x{j}" for j in range(40)) for i in range(4)]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    got = near_dup_clusters(str(tmp_path), concurrency=2).to_pandas()
+    assert (got.loc[got.doc_id < n_chain, "cluster_id"] == 0).all(), \
+        "chain did not collapse to one cluster"
+    tail = got.loc[got.doc_id >= n_chain]
+    assert (tail["cluster_id"] == tail["doc_id"]).all()
+
+
+def test_tfidf_bucketed_vocab_path_matches_broadcast(ray_session, sf_dir):
+    """vocab_broadcast_limit=0 forces the bucketed-join vocabulary path;
+    it must reproduce the broadcast path exactly (which the DuckDB oracle
+    already pins)."""
+    from lexmapr_ray.stages.textstats import tfidf_top_terms
+
+    base = tfidf_top_terms(sf_dir).to_pandas() \
+        .sort_values(["doc_id", "score_e6", "term"],
+                     ascending=[True, False, True]).reset_index(drop=True)
+    joined = tfidf_top_terms(sf_dir, vocab_broadcast_limit=0).to_pandas() \
+        .sort_values(["doc_id", "score_e6", "term"],
+                     ascending=[True, False, True]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, joined)
+    assert len(base) > 0
