@@ -105,6 +105,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_distribution": textstats.lang_distribution,
         "lang_token_stats": textstats.lang_token_stats,
         "corpus_sample": textstats.corpus_sample,
+        "repetition_stats": textstats.repetition_stats,
+        "gopher_quality_filter": textstats.gopher_quality_filter,
+        "source_stats": textstats.source_stats,
         # deduplication
         "dedup_exact": dedup.dedup_exact,
         "minhash_dedup_pairs": dedup.minhash_dedup_pairs,
@@ -355,7 +358,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT CAST(user_id AS BIGINT) AS o_custkey FROM events
             ORDER BY o_custkey
         """,
-        "tfidf_top_terms": """
+        "tfidf_top_terms": r"""
             WITH toks AS (
               SELECT doc_id,
                      unnest(string_split_regex(lower(text), '\s+')) AS term
@@ -438,6 +441,75 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
                   % 1000 < 100
             ORDER BY doc_id
+        """,
+        "repetition_stats": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex({_trim('text')}, '\\s+')) AS tok
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, tok, COUNT(*) AS c FROM toks
+              WHERE tok <> '' GROUP BY doc_id, tok
+            ), agg AS (
+              SELECT doc_id, SUM(c) AS n_tokens,
+                     COUNT(*) AS n_distinct_tokens, MAX(c) AS top_token_n
+              FROM tf GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(a.n_tokens, 0)::BIGINT AS n_tokens,
+                   COALESCE(a.n_distinct_tokens, 0)::BIGINT AS n_distinct_tokens,
+                   COALESCE(a.top_token_n, 0)::BIGINT AS top_token_n,
+                   COALESCE(a.n_tokens - a.n_distinct_tokens, 0)::BIGINT AS dup_token_n
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        "gopher_quality_filter": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex({_trim('text')}, '\\s+')) AS tok
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, tok, COUNT(*) AS c FROM toks
+              WHERE tok <> '' GROUP BY doc_id, tok
+            ), agg AS (
+              SELECT doc_id, SUM(c) AS n_tok, MAX(c) AS top_n FROM tf
+              GROUP BY doc_id
+            ), ch AS (
+              SELECT doc_id, SUM(LENGTH(tok)) AS sum_chars,
+                     SUM(CASE WHEN tok IN
+                         ('the','a','and','of','to','in','is','it')
+                         THEN 1 ELSE 0 END) AS n_stop
+              FROM toks WHERE tok <> '' GROUP BY doc_id
+            ), flags AS (
+              SELECT d.doc_id,
+                     (CASE WHEN COALESCE(a.n_tok, 0) BETWEEN 10 AND 100000
+                      THEN 1 ELSE 0 END)::BIGINT AS flag_n_tokens,
+                     (CASE WHEN COALESCE(a.n_tok, 0) > 0
+                       AND 100 * COALESCE(c.sum_chars, 0) >= 300 * a.n_tok
+                       AND 100 * COALESCE(c.sum_chars, 0) <= 1000 * a.n_tok
+                      THEN 1 ELSE 0 END)::BIGINT AS flag_mean_len,
+                     (CASE WHEN COALESCE(c.n_stop, 0) >= 2
+                      THEN 1 ELSE 0 END)::BIGINT AS flag_stopwords,
+                     (CASE WHEN COALESCE(a.n_tok, 0) > 0
+                       AND 100 * COALESCE(a.top_n, 0) <= 20 * a.n_tok
+                      THEN 1 ELSE 0 END)::BIGINT AS flag_repetition
+              FROM documents d
+              LEFT JOIN agg a USING (doc_id) LEFT JOIN ch c USING (doc_id)
+            )
+            SELECT doc_id, flag_n_tokens, flag_mean_len, flag_stopwords,
+                   flag_repetition,
+                   (flag_n_tokens * flag_mean_len * flag_stopwords
+                    * flag_repetition)::BIGINT AS keep
+            FROM flags ORDER BY doc_id
+        """,
+        "source_stats": f"""
+            SELECT source, COUNT(*)::BIGINT AS n_docs,
+                   COUNT(DISTINCT text)::BIGINT AS n_unique_texts,
+                   SUM(CAST(CASE WHEN {_trim('text')} = '' THEN 0
+                        ELSE len(string_split_regex({_trim('text')}, '\\s+')) END
+                        AS BIGINT))::BIGINT AS sum_tokens,
+                   SUM(CAST(LENGTH(text) AS BIGINT))::BIGINT AS sum_chars
+            FROM documents GROUP BY source ORDER BY source
         """,
         "dedup_exact": """
             SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text ORDER BY doc_id

@@ -405,3 +405,173 @@ def lang_token_stats(sf_dir: str):
         "lang", {"sum_tokens": "n_tokens", "sum_chars": "n_chars"},
         count_alias="n_docs",
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition / Gopher-style quality rules / per-source curation stats (r3)
+# ---------------------------------------------------------------------------
+
+def _doc_token_profile(t: pa.Table):
+    """Vectorized per-document token profile for one Arrow batch.
+
+    Returns int64 numpy arrays aligned with the batch rows:
+    ``(n_tokens, n_distinct, top_n, sum_tok_chars, n_stop)`` where
+    ``top_n`` is the count of the most frequent token and ``sum_tok_chars``
+    the total characters across tokens (whitespace excluded).  One explode
+    (list_flatten + parent indices), one Arrow dictionary_encode for the
+    token codes (no Python boxing), one np.unique over a folded
+    (row, token-code) int64 key — no Python loop over rows or tokens.
+    Per-batch work only; every output is pure per-row, so callers stream."""
+    n = len(t)
+    n_tokens = _token_counts(t["text"])
+    _, splits = _token_lists(t["text"])
+    flat = pc.list_flatten(splits)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()  # one chunk => one shared dictionary
+    parent = pc.list_parent_indices(splits).to_numpy(zero_copy_only=False)
+    tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype("int64")
+    stop_mask = pc.is_in(flat, value_set=pa.array(QUALITY_STOPWORDS, pa.string())) \
+        .to_numpy(zero_copy_only=False)
+
+    n_distinct = np.zeros(n, dtype="int64")
+    top_n = np.zeros(n, dtype="int64")
+    sum_chars = np.zeros(n, dtype="int64")
+    n_stop = np.zeros(n, dtype="int64")
+    if len(parent):
+        # '' tokens only arise from empty/whitespace-only texts — drop them
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        p = parent[nonempty].astype("int64")
+        if len(p):
+            codes = flat.dictionary_encode().indices \
+                .to_numpy(zero_copy_only=False).astype("int64")[nonempty]
+            k = codes.max() + 1
+            key = p * k + codes
+            uniq, counts = np.unique(key, return_counts=True)
+            pair_parent = (uniq // k).astype("int64")
+            n_distinct = np.bincount(pair_parent, minlength=n).astype("int64")
+            np.maximum.at(top_n, pair_parent, counts.astype("int64"))
+            sum_chars = np.bincount(p, weights=tok_len[nonempty],
+                                    minlength=n).astype("int64")
+            n_stop = np.bincount(p[stop_mask[nonempty]],
+                                 minlength=n).astype("int64")
+    return n_tokens, n_distinct, top_n, sum_chars, n_stop
+
+
+def repetition_stats(sf_dir: str):
+    """Within-document repetition signals (the Gopher/C4 family of
+    repetition rules keys on these): total vs distinct token counts and the
+    most-frequent-token count.  ``dup_token_n = n_tokens - n_distinct`` is
+    the mass sitting in repeated tokens.  Pure per-row map — streams at any
+    scale."""
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        n_tok, n_dis, top_n, _, _ = _doc_token_profile(t)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_distinct_tokens": pa.array(n_dis, pa.int64()),
+            "top_token_n": pa.array(top_n, pa.int64()),
+            "dup_token_n": pa.array(n_tok - n_dis, pa.int64()),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow").sort("doc_id")
+
+
+def gopher_quality_filter(sf_dir: str, min_tokens: int = 10,
+                          max_tokens: int = 100_000,
+                          min_mean_len_e2: int = 300,
+                          max_mean_len_e2: int = 1000,
+                          min_stop_hits: int = 2,
+                          max_top_frac_e2: int = 20):
+    """Gopher-style composite quality rules, integer-exact per document:
+
+      flag_n_tokens  — min_tokens <= n_tokens <= max_tokens;
+      flag_mean_len  — mean token length in [min,max]_mean_len_e2/100,
+                       tested as 100*sum_tok_chars vs bound*n_tokens (no
+                       float division, so the SQL oracle matches bit-exact);
+      flag_stopwords — at least ``min_stop_hits`` stopword occurrences;
+      flag_repetition— most frequent token covers <= max_top_frac_e2 % of
+                       tokens (100*top_n <= frac*n_tokens);
+      keep           — all of the above.
+
+    The thresholds are the classic Gopher shapes scaled to this corpus
+    (published rules use 50..100k tokens, mean word length 3..10, >=2 stop
+    words, top-token <= 20%).  A pure map over documents — the actual
+    100 TB curation filter shape (score, don't move data)."""
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def flags(t: pa.Table) -> pa.Table:
+        n_tok, _, top_n, sum_chars, n_stop = _doc_token_profile(t)
+        f_tokens = (n_tok >= min_tokens) & (n_tok <= max_tokens)
+        f_mean = (100 * sum_chars >= min_mean_len_e2 * n_tok) & \
+                 (100 * sum_chars <= max_mean_len_e2 * n_tok) & (n_tok > 0)
+        f_stop = n_stop >= min_stop_hits
+        f_rep = (100 * top_n <= max_top_frac_e2 * n_tok) & (n_tok > 0)
+        keep = f_tokens & f_mean & f_stop & f_rep
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "flag_n_tokens": pa.array(f_tokens.astype("int64"), pa.int64()),
+            "flag_mean_len": pa.array(f_mean.astype("int64"), pa.int64()),
+            "flag_stopwords": pa.array(f_stop.astype("int64"), pa.int64()),
+            "flag_repetition": pa.array(f_rep.astype("int64"), pa.int64()),
+            "keep": pa.array(keep.astype("int64"), pa.int64()),
+        })
+
+    return ds.map_batches(flags, batch_format="pyarrow").sort("doc_id")
+
+
+def source_stats(sf_dir: str):
+    """Per-source (per-domain) curation statistics with EXACT distinct-text
+    counting at scale: docs, unique texts, total tokens, total chars.
+
+    The distinct count is the scale-sensitive part: texts are reduced to
+    md5 digests per batch, combined per (source, digest) pre-shuffle, then
+    ONE sort on (source, digest) co-locates every copy of a digest in one
+    block — the block reduce counts each digest once and emits per-source
+    partials (a source may straddle digest-sorted blocks), and a final tiny
+    grouped sum over sources (rows = sources x blocks, not corpus) closes
+    the count.  No digest set is ever collected to the driver."""
+    import pandas as pd
+
+    from lexmapr_ray.functions.groupagg import sorted_group_reduce
+
+    ds = _read_documents(sf_dir, ["text", "source"])
+
+    def to_rows(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        return pa.table({
+            "source": t["source"],
+            "digest": pa.array(
+                [hashlib.md5(s.encode("utf-8")).hexdigest() for s in texts],
+                pa.string()),
+            "n_tok": pa.array(_token_counts(t["text"]), pa.int64()),
+            "n_chars": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+        })
+
+    rows = ds.map_batches(to_rows, batch_format="pyarrow")
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["source", "digest"], sort=False, as_index=False) \
+            .agg(n_docs=("n_tok", "size"), sum_tokens=("n_tok", "sum"),
+                 sum_chars=("n_chars", "sum"))
+
+    def pair_final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["source", "digest"], sort=True, as_index=False) \
+            .agg(n_docs=("n_docs", "sum"), sum_tokens=("sum_tokens", "sum"),
+                 sum_chars=("sum_chars", "sum"))
+        return g.groupby("source", sort=True, as_index=False) \
+            .agg(n_docs=("n_docs", "sum"), n_unique_texts=("digest", "size"),
+                 sum_tokens=("sum_tokens", "sum"), sum_chars=("sum_chars", "sum"))
+
+    def src_sum(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("source", sort=True, as_index=False) \
+            .agg(n_docs=("n_docs", "sum"), n_unique_texts=("n_unique_texts", "sum"),
+                 sum_tokens=("sum_tokens", "sum"), sum_chars=("sum_chars", "sum"))
+        for c in ("n_docs", "n_unique_texts", "sum_tokens", "sum_chars"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    per_block = sorted_group_reduce(rows, ["source", "digest"],
+                                    pair_partial, pair_final)
+    return sorted_group_reduce(per_block, "source", src_sum, src_sum)

@@ -421,3 +421,49 @@ def test_tfidf_bucketed_vocab_path_matches_broadcast(ray_session, sf_dir):
                      ascending=[True, False, True]).reset_index(drop=True)
     pd.testing.assert_frame_equal(base, joined)
     assert len(base) > 0
+
+
+def test_repetition_gopher_source_match_duckdb(ray_session, tmp_path):
+    """r3 curation trio (repetition_stats / gopher_quality_filter /
+    source_stats) against their DuckDB oracles on an adversarial corpus:
+    empty / whitespace-only docs, heavy within-doc repetition, duplicate
+    texts across sources, stopword-free docs, edge \\t/\\n whitespace."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+    from lexmapr_ray.stages.textstats import (
+        gopher_quality_filter, repetition_stats, source_stats)
+
+    texts = [
+        "",                                   # empty
+        " \t\n ",                             # whitespace-only
+        "batch batch batch batch batch",      # one-token doc, max repetition
+        "the of a to in is it and extra words making the doc long enough ok",
+        "dup text", "dup text", "dup text",   # exact dups across sources
+        "the and of to in is it one two three four five six seven eight nine",
+        "zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll kk jj ii hh gg",  # no stops
+        "tabs\tand\nnewlines the of it split tokens fine here today yes",
+    ]
+    srcs = ["s0", "s0", "s1", "s1", "s0", "s1", "s2", "s2", "s2", "s0"]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(srcs, pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    oracles = entrymod.oracle_sql()
+    for name, fn in [("repetition_stats", repetition_stats),
+                     ("gopher_quality_filter", gopher_quality_filter),
+                     ("source_stats", source_stats)]:
+        got = fn(str(tmp_path)).to_pandas().reset_index(drop=True)
+        exp = con.execute(oracles[name]).fetchdf().reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[sorted(got.columns)], exp[sorted(exp.columns)],
+            check_dtype=False), name
