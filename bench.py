@@ -63,13 +63,15 @@ def _init_ray(num_cpus: int):
 
 def _pool_size(num_cpus: int) -> int:
     """Matcher actors = 7/8 of CPUs, scaling exactly with the CPU count
-    (the N vs 4N emulation needs pool ∝ CPUs).  r3 interleaved sweep with
-    the lean 32k-row dedup combiner: pool 28 → 25.8 s median vs 20 →
-    29.9 s at 32 CPUs, and pool 7 → 77 s vs 5 → 99 s at 8 CPUs (the
-    matcher is the bottleneck, so actors deserve almost the whole node).
-    The r2 "5/8" optimum came from 131k-row combiner tasks that needed
-    3/8 of the node to keep up.  A pool of ALL cpus still deadlocks
-    upstream reads — keep >= 1/8 free."""
+    (the N vs 4N emulation needs pool ∝ CPUs).  The pipeline is
+    matcher-bound (total matcher CPU / pool size predicts each leg's wall
+    almost exactly), so actors deserve nearly the whole node; with
+    push-based shuffle the sort work overlaps the matcher in the spare
+    1/8.  r3 sweeps: pool 28 beat 20 at 32 CPUs and pool 7 beat 5 at 8
+    CPUs decisively; 28 vs 24 under push shuffle is within host noise.
+    The r2 "5/8" optimum came from fat combiner tasks under the (since
+    replaced) simple-shuffle sort.  A pool of ALL cpus deadlocks upstream
+    reads — keep >= 1/8 free."""
     return max(2, (num_cpus * 7) // 8)
 
 
@@ -163,6 +165,8 @@ def run_queries(sf_dir: str) -> dict:
         ("minhash_dedup_pairs", dedup.minhash_dedup_pairs),
         ("cosine_topk", similarity.cosine_topk_bruteforce),
         ("tfidf_top_terms", textstats.tfidf_top_terms),
+        ("gopher_quality_filter", textstats.gopher_quality_filter),
+        ("source_stats", textstats.source_stats),
     ]:
         t0 = time.time()
         res = fn(sf_dir)
@@ -205,8 +209,8 @@ def main():
         return
 
     if "--scaling" in sys.argv:
-        # N vs 4N fresh ray.init sessions, legs 8 and 32 (pool sizes 5 and
-        # 20 — exactly proportional, so the two "clusters" have identical
+        # N vs 4N fresh ray.init sessions, legs 8 and 32 (pool sizes 7 and
+        # 28 — exactly proportional, so the two "clusters" have identical
         # per-CPU layout).  Medians of BENCH_REPEATS runs per leg: this
         # host's wall-clock noise is +-25% run-to-run.  The residual
         # sub-1.0 efficiency decomposes into the measured single-box

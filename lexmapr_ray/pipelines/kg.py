@@ -64,11 +64,12 @@ def extract_triples(
     if concurrency is None:
         import ray
 
-        # 7/8 of CPUs: with the lean dedup combiner (32k-row tasks) the
-        # r3 interleaved sweep puts pool 28 ahead of 20 at 32 CPUs (25.8 s
-        # vs 29.9 s median) and pool 7 ahead of 5 at 8 CPUs (77 s vs 99 s)
-        # — the r2 "5/8" optimum was an artifact of 131k-row combiner
-        # tasks needing 3/8 of the node to keep up
+        # 7/8 of CPUs: the pipeline is matcher-bound (matcher CPU / pool
+        # size predicts wall), so actors deserve nearly the whole node and
+        # push-based shuffle overlaps the sort in the spare 1/8.  r3
+        # sweeps: pool 28 > 20 at 32 CPUs, pool 7 > 5 at 8 CPUs; the r2
+        # "5/8" optimum was an artifact of the since-replaced
+        # simple-shuffle sort's fat combiner tasks
         concurrency = max(2, (int(ray.cluster_resources().get("CPU", 4)) * 7) // 8)
     ds = pages_ds.map_batches(extract_text_stage, batch_format="pyarrow")
     return ds.map_batches(
@@ -265,13 +266,16 @@ def dedup_triples(triples_ds):
     # batch_size bundles matcher output blocks into one dedup task: local
     # combining AND block-count coalescing ahead of the shuffle in a single
     # streaming stage (no Repartition barrier); see canonicalize_mentions
-    # for the blocks^2 sort-cost rationale.  32768 (down from r2's 131072):
-    # the fat combiner ran as ~24 four-second tasks whose stragglers formed
-    # a serial tail after the matcher pool drained — the leading fixed cost
-    # in the N-vs-4N scaling profile; 32k-row tasks overlap the matcher and
-    # finish the tail 4x finer at a sort input of ~100 blocks (still cheap)
+    # for the blocks^2 sort-cost rationale.  131072: under push-based
+    # shuffle the sort's per-row cost is dominated by range-splitting into
+    # P partitions and shipping B x P slices (P tracks the combiner's
+    # output block count), so fewer/bigger blocks win — measured at 4M
+    # pages / 32 CPUs: 131k 107.7-111.7 s vs 32k 133.9 s vs 262k 126.3 s
+    # (262k's fat final-reduce blocks serialize after the pool drains).
+    # The r3-interim 32k choice was tuned for the simple-shuffle sort that
+    # push-based shuffle replaced.
     ds = triples_ds.map_batches(
-        _block_dedup_sorted, batch_format="pyarrow", batch_size=32768
+        _block_dedup_sorted, batch_format="pyarrow", batch_size=131072
     )
     # sort key must be EXACTLY the dedup key: boundaries on a longer key
     # could split equal (subj,pred,obj) rows across partitions; determinism

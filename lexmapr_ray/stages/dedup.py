@@ -36,12 +36,15 @@ def _auto_concurrency(requested=None) -> int:
     """Actor-pool size that cannot starve the rest of the pipeline: a pool
     of (CPUs - 2) leaves only two slots for read/join/sort tasks and the
     whole DAG dribbles (measured: minhash at sf0.1 went from minutes to
-    seconds); 5/8 of CPUs matches the bench-swept optimum for the matcher
-    pool (read/shuffle stages need ~3/8 of the node)."""
+    seconds); 7/8 of CPUs is the r3 optimum — with push-based shuffle the
+    sort work overlaps the pool, so compute-heavy actors deserve nearly
+    the whole node (minhash at sf0.1: pool 28 -> 10.1-10.6 s vs pool 20
+    -> 13.0 s, interleaved; the old 5/8 dated from the simple-shuffle
+    sort)."""
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-    cap = max(1, (cpus * 5) // 8)
+    cap = max(1, (cpus * 7) // 8)
     return min(requested, cap) if requested else cap
 
 
