@@ -93,6 +93,26 @@ def _char_shingles(text: str, k: int = 6) -> set[int]:
 _SHINGLERS = {"word": _shingles, "char": _char_shingles}
 
 
+def _word_grams(text: str, k: int = 3) -> list:
+    """Gram STRINGS of :func:`_shingles`, duplicates kept — min over a
+    multiset equals min over its set, so the batched signature path skips
+    the per-doc set() entirely."""
+    toks = text.split()
+    if len(toks) < k:
+        return [" ".join(toks)] if toks else []
+    return [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+
+
+def _char_grams(text: str, k: int = 6) -> list:
+    s = " ".join(text.split())
+    if len(s) < k:
+        return [s] if s else []
+    return [s[i:i + k] for i in range(len(s) - k + 1)]
+
+
+_GRAMMERS = {"word": _word_grams, "char": _char_grams}
+
+
 def _minhash_signature(shingles: set[int]) -> np.ndarray:
     if not shingles:
         return np.full(NUM_HASHES, np.iinfo(np.uint64).max, dtype=np.uint64)
@@ -159,22 +179,110 @@ class MinHasher:
     collisions are ~2^-63 and could only ADD a candidate, which exact
     verification then adjudicates)."""
 
+    # cap grams per (a*x+b)%M slab so 64 x chunk x 8 B stays ~64 MB
+    _GRAM_CHUNK = 131072
+
     def __init__(self, shingle_kind: str = "word"):
-        self.shingle_fn = _SHINGLERS[shingle_kind]
+        self.gram_fn = _GRAMMERS[shingle_kind]
         self.salts = [shingle_kind.encode() + bytes([b]) for b in range(NUM_BANDS)]
+        # one reusable (NUM_HASHES x _GRAM_CHUNK) slab for the a*x+b mod M
+        # matrix, faulted in once per actor: allocating ~67 MB fresh per
+        # batch hands the pages back to the OS on free (glibc munmaps
+        # large blocks) and re-faults them every call — measured 10-30 s
+        # stalls per call on virtualized hosts whose memory backend is
+        # slow to provide fresh pages, vs milliseconds on the warm buffer
+        self._slab_buf = None
+
+    def _signatures(self, texts) -> np.ndarray:
+        """(n_docs, NUM_HASHES) uint64 signature matrix, bit-identical to
+        per-doc :func:`_minhash_signature` (same wrapped-uint64 a*x+b mod M
+        per gram; min is order- and multiplicity-independent; gramless docs
+        get the all-max signature).  One blake2b pass over every gram in
+        the batch, then (64 x grams) numpy slabs folded per-doc with
+        ``np.minimum.reduceat`` — the per-doc Python of the r2 version
+        (one numpy broadcast + 16 appends per document) was the minhash
+        query's dominant cost once candidate generation was pruned."""
+        grams_per_doc = [self.gram_fn(x) for x in texts]
+        counts = np.array([len(g) for g in grams_per_doc], dtype=np.int64)
+        n = len(texts)
+        sig = np.full((n, NUM_HASHES), np.iinfo(np.uint64).max, dtype=np.uint64)
+        total = int(counts.sum())
+        if total == 0:
+            return sig
+        blake = hashlib.blake2b
+        digests = b"".join(
+            blake(g.encode(), digest_size=8).digest()
+            for grams in grams_per_doc for g in grams
+        )
+        vals = np.frombuffer(digests, dtype=">u8").astype(np.uint64)
+        # per-doc gram-hash dedup, one vectorized pass (char 6-grams of
+        # templated text repeat ~3x; the old per-doc set() did this dedup
+        # and the 64-hash modmul below is the dominant numpy cost):
+        # lexsort by (doc, val), keep first of each equal run
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+        order = np.lexsort((vals, doc_of))
+        vals = vals[order]
+        doc_of = doc_of[order]
+        if len(vals) > 1:
+            keep = np.empty(len(vals), dtype=bool)
+            keep[0] = True
+            keep[1:] = (vals[1:] != vals[:-1]) | (doc_of[1:] != doc_of[:-1])
+            vals = vals[keep]
+            doc_of = doc_of[keep]
+        counts = np.bincount(doc_of, minlength=n).astype(np.int64)
+        # per-doc segment starts within vals (nonzero-count docs only);
+        # zero-count docs keep the all-max rows
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        nz = counts > 0
+        m = np.uint64(_MERSENNE)
+        # slab the (64 x grams) hash matrix, folding each slab's docs as we
+        # go: a slab boundary is always placed on a doc boundary so each
+        # reduceat segment is whole
+        nz_idx = np.flatnonzero(nz)
+        i = 0
+        while i < len(nz_idx):
+            j = i
+            span = 0
+            while j < len(nz_idx) and (span == 0 or
+                                       span + counts[nz_idx[j]] <= self._GRAM_CHUNK):
+                span += counts[nz_idx[j]]
+                j += 1
+            docs = nz_idx[i:j]
+            lo = starts[docs[0]]
+            slab = vals[lo:lo + span]
+            if self._slab_buf is None:
+                self._slab_buf = np.empty((NUM_HASHES, self._GRAM_CHUNK),
+                                          dtype=np.uint64)
+            if span <= self._GRAM_CHUNK:
+                prod = self._slab_buf[:, :span]
+            else:  # single doc with more grams than the slab — rare
+                prod = np.empty((NUM_HASHES, span), dtype=np.uint64)
+            np.multiply(_HASH_A[:, None], slab[None, :], out=prod)
+            np.add(prod, _HASH_B[:, None], out=prod)
+            np.mod(prod, m, out=prod)
+            seg = (starts[docs] - lo).astype(np.int64)
+            sig[docs, :] = np.minimum.reduceat(prod, seg, axis=1).T
+            i = j
+        return sig
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        doc_ids, buckets = [], []
-        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            sig = _minhash_signature(self.shingle_fn(text))
+        texts = t["text"].to_pylist()
+        n = len(texts)
+        sig = self._signatures(texts)  # (n, 64), row-contiguous per doc
+        blake = hashlib.blake2b
+        salts = self.salts
+        buckets = np.empty(n * NUM_BANDS, dtype=np.int64)
+        w = ROWS_PER_BAND
+        k = 0
+        for i in range(n):
+            row = sig[i]
             for b in range(NUM_BANDS):
-                chunk = sig[b * ROWS_PER_BAND:(b + 1) * ROWS_PER_BAND]
-                bh = int.from_bytes(
-                    hashlib.blake2b(chunk.tobytes(), digest_size=8,
-                                    key=self.salts[b]).digest(), "big"
-                ) >> 1  # fit int64
-                doc_ids.append(doc_id)
-                buckets.append(bh)
+                buckets[k] = int.from_bytes(
+                    blake(row[b * w:(b + 1) * w].tobytes(), digest_size=8,
+                          key=salts[b]).digest(), "big") >> 1  # fit int64
+                k += 1
+        doc_ids = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False),
+                            NUM_BANDS)
         return pa.table({
             "doc_id": pa.array(doc_ids, pa.int64()),
             "bucket": pa.array(buckets, pa.int64()),
