@@ -108,6 +108,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": textstats.repetition_stats,
         "gopher_quality_filter": textstats.gopher_quality_filter,
         "source_stats": textstats.source_stats,
+        "corpus_split": textstats.corpus_split,
+        "text_normalize": textstats.text_normalize,
+        "pii_scrub": textstats.pii_scrub,
         # deduplication
         "dedup_exact": dedup.dedup_exact,
         "minhash_dedup_pairs": dedup.minhash_dedup_pairs,
@@ -143,6 +146,31 @@ _TRIM = "TRIM({col}, concat(' ', chr(9), chr(10), chr(12), chr(13)))"
 
 def _trim(col: str) -> str:
     return _TRIM.format(col=col)
+
+
+def _pii_sql() -> str:
+    """Mirror of stages/textstats.py::pii_scrub, built from the SAME
+    PII_PATTERNS tuple so engine and oracle can never drift: counts via
+    regexp_extract_all on the original text, replacement nested in
+    PII_PATTERNS order (both engines are RE2)."""
+    from lexmapr_ray.stages.textstats import PII_PATTERNS
+
+    counts = ", ".join(
+        f"len(regexp_extract_all(text, '{pat}'))::BIGINT AS n_{name}"
+        for name, pat, _ in PII_PATTERNS)
+    expr = "text"
+    for _, pat, token in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{token}', 'g')"
+    return (f"SELECT doc_id, {counts}, {expr} AS clean_text "
+            f"FROM documents ORDER BY doc_id")
+
+
+_NORM_EXPR = ("regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', '', 'g'),"
+              " '\\s+', ' ', 'g')")
+_TEXT_NORMALIZE_SQL = f"""
+    SELECT doc_id, {_trim(_NORM_EXPR)} AS norm_text
+    FROM documents ORDER BY doc_id
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -502,6 +530,19 @@ def oracle_sql() -> dict[str, str]:
                     * flag_repetition)::BIGINT AS keep
             FROM flags ORDER BY doc_id
         """,
+        "corpus_split": """
+            SELECT doc_id,
+                   CASE WHEN h < 50 THEN 'test'
+                        WHEN h < 100 THEN 'val'
+                        ELSE 'train' END AS split
+            FROM (SELECT doc_id,
+                         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                              AS BIGINT) % 1000 AS h
+                  FROM documents)
+            ORDER BY doc_id
+        """,
+        "text_normalize": _TEXT_NORMALIZE_SQL,
+        "pii_scrub": _pii_sql(),
         "source_stats": f"""
             SELECT source, COUNT(*)::BIGINT AS n_docs,
                    COUNT(DISTINCT text)::BIGINT AS n_unique_texts,

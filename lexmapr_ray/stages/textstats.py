@@ -578,3 +578,81 @@ def source_stats(sf_dir: str):
     per_block = sorted_group_reduce(rows, ["source", "digest"],
                                     pair_partial, pair_final)
     return sorted_group_reduce(per_block, "source", src_sum, src_sum)
+
+
+def corpus_split(sf_dir: str, test_permille: int = 50, val_permille: int = 50):
+    """Deterministic train/val/test assignment: md5(doc_id) permille gates
+    (content-independent, reproducible on any engine, disjoint and
+    exhaustive).  ``split`` is 'test' for hash < test_permille, 'val' for
+    the next val_permille, else 'train'.  A pure map — the split of a
+    100 TB corpus is embarrassingly parallel and re-derivable from doc_id
+    alone (no split table to store or ship)."""
+    ds = _read_documents(sf_dir, ["doc_id"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        h = np.array([int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % 1000
+                      for d in ids], dtype=np.int64)
+        split = np.where(h < test_permille, "test",
+                         np.where(h < test_permille + val_permille, "val", "train"))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "split": pa.array(split.astype(object), pa.string()),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow").sort("doc_id")
+
+
+# PII patterns — RE2 syntax only (no lookaround), so the Arrow kernels and
+# DuckDB's regexp_* (both RE2) match byte-for-byte.  Order matters and is
+# fixed: emails first (their local parts contain digits/dots that would
+# otherwise half-match the IP/digit rules), then IPv4, then 10+-digit runs.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{10,}\b", "<PHONE>"),
+)
+
+
+def pii_scrub(sf_dir: str):
+    """Redaction pass: replace emails / IPv4 literals / 10+-digit runs with
+    placeholder tokens and report per-document match counts — the scrub a
+    training-data pipeline runs before anything leaves the raw corpus.
+
+    Counts are measured per pattern on the ORIGINAL text (independent,
+    auditable); replacement is sequential in ``PII_PATTERNS`` order.  Pure
+    Arrow kernels (count_substring_regex + replace_substring_regex), a
+    stateless map — embarrassingly parallel at any corpus size."""
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def scrub(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        cols = {"doc_id": t["doc_id"]}
+        out = text
+        for name, pat, token in PII_PATTERNS:
+            cols[f"n_{name}"] = pc.cast(
+                pc.count_substring_regex(text, pattern=pat), pa.int64())
+            out = pc.replace_substring_regex(out, pattern=pat, replacement=token)
+        cols["clean_text"] = out
+        return pa.table(cols)
+
+    return ds.map_batches(scrub, batch_format="pyarrow").sort("doc_id")
+
+
+def text_normalize(sf_dir: str):
+    """C4-style text normalization: lowercase, strip punctuation
+    (``[^\\w\\s]`` — the repo-wide RE2 definition), collapse whitespace
+    runs to single spaces, trim.  Pure Arrow kernels (utf8_lower + two
+    replace_substring_regex + trim), mirrored exactly by DuckDB's RE2
+    regexp_replace — the normalize pass every dedup/tokenize stage keys
+    on."""
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        x = pc.utf8_lower(t["text"])
+        x = pc.replace_substring_regex(x, pattern=r"[^\w\s]", replacement="")
+        x = pc.replace_substring_regex(x, pattern=r"\s+", replacement=" ")
+        x = pc.utf8_trim(x, characters=ASCII_WS)
+        return pa.table({"doc_id": t["doc_id"], "norm_text": x})
+
+    return ds.map_batches(norm, batch_format="pyarrow").sort("doc_id")

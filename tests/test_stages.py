@@ -434,7 +434,8 @@ def test_repetition_gopher_source_match_duckdb(ray_session, tmp_path):
 
     import __ray_entry__ as entrymod
     from lexmapr_ray.stages.textstats import (
-        gopher_quality_filter, repetition_stats, source_stats)
+        corpus_split, gopher_quality_filter, pii_scrub, repetition_stats,
+        source_stats, text_normalize)
 
     texts = [
         "",                                   # empty
@@ -445,8 +446,11 @@ def test_repetition_gopher_source_match_duckdb(ray_session, tmp_path):
         "the and of to in is it one two three four five six seven eight nine",
         "zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll kk jj ii hh gg",  # no stops
         "tabs\tand\nnewlines the of it split tokens fine here today yes",
+        "mail a.b+c@ex-1.co.uk or 10.0.0.1 call 12345678901 ref 123456789",
+        "v1.2.3.4000 is not 1.2.3.4 and x@y.z beats x@y only 999 digits",
     ]
-    srcs = ["s0", "s0", "s1", "s1", "s0", "s1", "s2", "s2", "s2", "s0"]
+    srcs = ["s0", "s0", "s1", "s1", "s0", "s1", "s2", "s2", "s2", "s0",
+            "s1", "s2"]
     tbl = pa.table({
         "doc_id": pa.array(range(len(texts)), pa.int64()),
         "text": pa.array(texts, pa.string()),
@@ -461,7 +465,10 @@ def test_repetition_gopher_source_match_duckdb(ray_session, tmp_path):
     oracles = entrymod.oracle_sql()
     for name, fn in [("repetition_stats", repetition_stats),
                      ("gopher_quality_filter", gopher_quality_filter),
-                     ("source_stats", source_stats)]:
+                     ("source_stats", source_stats),
+                     ("corpus_split", corpus_split),
+                     ("text_normalize", text_normalize),
+                     ("pii_scrub", pii_scrub)]:
         got = fn(str(tmp_path)).to_pandas().reset_index(drop=True)
         exp = con.execute(oracles[name]).fetchdf().reset_index(drop=True)
         pd.testing.assert_frame_equal(
