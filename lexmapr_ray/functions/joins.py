@@ -222,11 +222,25 @@ def bucketed_hash_join(
     *,
     num_buckets: int = 32,
     how: str = "inner",
+    block_fn=None,
 ):
     """Partitioned hash join of two Datasets (see module docstring).
 
     Returns a Dataset with left columns then right columns (the right key
     column is dropped when its name differs).
+
+    ``block_fn`` (pandas DataFrame -> DataFrame), when given, post-processes
+    each merged bucket INSIDE the map task that runs directly after the
+    bucket sort.  That placement is the only one where "every join key is
+    whole in this block" actually holds: sort reduce outputs are never
+    re-split (the pinned guarantee in functions/groupagg.py), but the merge
+    map's own OUTPUT blocks are dynamically split at
+    ``target_max_block_size``, so a groupby-on-the-join-key in a *separate*
+    downstream ``map_batches(batch_size=None)`` silently emits duplicate
+    keys with partial aggregates once a bucket outgrows the block target
+    (advisor r2, reproduced at 16 KiB targets).  Use ``block_fn`` for any
+    per-join-key reduction; its output is returned as-is per block (typed
+    via ``pa.Table.from_pandas``).
     """
     right_on = right_on or on
     left_schema = left.schema()
@@ -329,6 +343,8 @@ def bucketed_hash_join(
         l = g[g["__side"] == 0][left_cols]
         r = g[g["__side"] == 1][[on] + right_value_cols]
         m = l.merge(r, on=on, how=how)
+        if block_fn is not None:
+            return pa.Table.from_pandas(block_fn(m), preserve_index=False)
         # emit a TYPED Arrow table: the sorted union block hands us object /
         # NaN-promoted columns, and leaving the output as pandas loses the
         # Arrow types downstream (breaking join chaining); from_pandas=True

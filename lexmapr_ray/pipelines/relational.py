@@ -198,17 +198,21 @@ def q3_topk_revenue(sf_dir: str, num_buckets: int = 32):
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]) \
         .map_batches(_prep_li_revenue, batch_format="pyarrow")
 
-    joined = bucketed_hash_join(li, orders_f, on="l_orderkey", right_on="o_orderkey",
-                                num_buckets=num_buckets)
-
-    # group key == join key: the bucketed join already co-locates every
-    # l_orderkey in exactly one output block (buckets are range-partitioned
-    # whole), so a per-block sum IS the global sum — no second shuffle.
-    # batch_size=None keeps block boundaries intact.
+    # group key == join key: summing per merged bucket IS the global sum —
+    # no second shuffle.  The sum runs INSIDE the join's merge map
+    # (block_fn), the only placement where each l_orderkey is provably
+    # whole; a separate downstream map_batches would see the merge output
+    # re-split at target_max_block_size (advisor r2).
     def block_sum(df):
-        return df.groupby("l_orderkey", as_index=False, sort=False)["revenue_e4"].sum()
+        # the sorted union block NaN-promotes left columns to float64 (right
+        # rows carry nulls there); cast back — e4 revenue stays < 2^53 exact
+        out = df.groupby("l_orderkey", as_index=False, sort=False)["revenue_e4"].sum()
+        out["l_orderkey"] = out["l_orderkey"].astype("int64")
+        out["revenue_e4"] = out["revenue_e4"].astype("int64")
+        return out
 
-    summed = joined.map_batches(block_sum, batch_format="pandas", batch_size=None)
+    summed = bucketed_hash_join(li, orders_f, on="l_orderkey", right_on="o_orderkey",
+                                num_buckets=num_buckets, block_fn=block_sum)
     return global_topk(summed, ["revenue_e4", "l_orderkey"], [True, False], 10)
 
 
@@ -344,15 +348,13 @@ def customer_orders_left(sf_dir: str, num_buckets: int = 32):
             "cents": _cents(t["o_totalprice"]),
         })
 
-    j = bucketed_hash_join(cust, orders.map_batches(prep, batch_format="pyarrow"),
-                           on="c_custkey", right_on="o_custkey",
-                           num_buckets=num_buckets, how="left")
-
-    # group key == join key: every c_custkey is whole inside one join output
-    # block, so ONE per-block aggregate is the global answer — no extra
-    # shuffle.  cents is int64-with-null after the left merge; count() skips
-    # nulls so unmatched customers contribute 0 orders / 0 cents (integer
-    # cents stay exact in float64, < 2^53).
+    # group key == join key: aggregating per merged bucket is the global
+    # answer — no extra shuffle.  Runs INSIDE the join's merge map
+    # (block_fn) so each c_custkey is provably whole (a downstream
+    # map_batches would see merge output re-split at target_max_block_size,
+    # advisor r2).  cents is int64-with-null after the left merge; count()
+    # skips nulls so unmatched customers contribute 0 orders / 0 cents
+    # (integer cents stay exact in float64, < 2^53).
     def block_agg(df: pd.DataFrame) -> pd.DataFrame:
         df = df.assign(cents=pd.to_numeric(df["cents"], errors="coerce"))
         out = df.groupby("c_custkey", sort=True)["cents"] \
@@ -361,7 +363,10 @@ def customer_orders_left(sf_dir: str, num_buckets: int = 32):
         out["sum_cents"] = out["sum_cents"].astype("int64")
         return out
 
-    return j.map_batches(block_agg, batch_format="pandas", batch_size=None) \
+    return bucketed_hash_join(cust, orders.map_batches(prep, batch_format="pyarrow"),
+                              on="c_custkey", right_on="o_custkey",
+                              num_buckets=num_buckets, how="left",
+                              block_fn=block_agg) \
         .sort("c_custkey")
 
 

@@ -378,6 +378,45 @@ def test_sorted_reduce_survives_tiny_block_target(ray_session):
         ctx.target_max_block_size = old
 
 
+def test_join_block_fn_survives_tiny_block_target(ray_session):
+    """Pins the join-side analogue of the sort co-location guarantee
+    (advisor r2 medium): a per-join-key aggregate must run INSIDE the
+    join's merge map (``block_fn``) — the merge map's own output blocks
+    ARE dynamically re-split at target_max_block_size, so the same
+    aggregate in a separate downstream ``map_batches(batch_size=None)``
+    emits duplicate keys with partial sums (reproduced: 1687 duplicate
+    keys at a 16 KiB target).  If Ray ever starts splitting sort reduce
+    outputs too, this fails loudly instead of q3 silently double-counting."""
+    import ray.data as rd
+    from ray.data import DataContext
+
+    from lexmapr_ray.functions.joins import bucketed_hash_join
+
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    ctx.target_max_block_size = 16 * 1024  # far below one bucket's merge output
+    try:
+        n, nkeys = 60_000, 37
+        left = rd.from_items(
+            [{"k": i % nkeys, "v": 1, "pad": "x" * 64} for i in range(n)],
+            override_num_blocks=16,
+        )
+        right = rd.from_items([{"k": j, "w": j * 10} for j in range(nkeys)],
+                              override_num_blocks=4)
+
+        def block_sum(df):
+            return df.groupby("k", as_index=False, sort=False)["v"].sum()
+
+        out = bucketed_hash_join(left, right, on="k", num_buckets=8,
+                                 block_fn=block_sum).to_pandas()
+        assert out["k"].is_unique, "join merge split a key across block_fn calls"
+        assert len(out) == nkeys
+        expected = {j: n // nkeys + (1 if j < n % nkeys else 0) for j in range(nkeys)}
+        assert dict(zip(out["k"], out["v"])) == expected
+    finally:
+        ctx.target_max_block_size = old
+
+
 def test_near_dup_clusters_long_chain_pointer_jumping(ray_session, tmp_path):
     """A 24-link near-dup CHAIN (adjacent docs Jaccard ~0.85, distance-2
     ~0.71 < threshold) has diameter 23: plain min-label propagation would
