@@ -185,13 +185,23 @@ class MinHasher:
     def __init__(self, shingle_kind: str = "word"):
         self.gram_fn = _GRAMMERS[shingle_kind]
         self.salts = [shingle_kind.encode() + bytes([b]) for b in range(NUM_BANDS)]
-        # one reusable (NUM_HASHES x _GRAM_CHUNK) slab for the a*x+b mod M
-        # matrix, faulted in once per actor: allocating ~67 MB fresh per
-        # batch hands the pages back to the OS on free (glibc munmaps
-        # large blocks) and re-faults them every call — measured 10-30 s
-        # stalls per call on virtualized hosts whose memory backend is
-        # slow to provide fresh pages, vs milliseconds on the warm buffer
+        # one reusable slab for the a*x+b mod M matrix, LAZILY sized to the
+        # largest span actually seen (pow2-rounded), never eagerly the full
+        # _GRAM_CHUNK width: this host class faults fresh pages at ~7 MB/s
+        # (measured: 10 s first-touch for the 67 MB full-width slab, 15 ms
+        # warm), so a fixed full-width slab cost every new actor a 10-30 s
+        # stall on its first batch — 2000 CPU-s across a 28-actor pool for
+        # 1.5 s of real signature work at sf0.1.  Sizing to need makes the
+        # fault bill proportional to data actually processed; reuse (vs
+        # np.empty per batch) still matters because glibc munmaps large
+        # frees and every re-allocation would re-fault.
         self._slab_buf = None
+
+    def _slab(self, span: int) -> np.ndarray:
+        if self._slab_buf is None or self._slab_buf.shape[1] < span:
+            width = 1 << (max(int(span), 1024) - 1).bit_length()
+            self._slab_buf = np.empty((NUM_HASHES, width), dtype=np.uint64)
+        return self._slab_buf[:, :span]
 
     def _signatures(self, texts) -> np.ndarray:
         """(n_docs, NUM_HASHES) uint64 signature matrix, bit-identical to
@@ -250,13 +260,8 @@ class MinHasher:
             docs = nz_idx[i:j]
             lo = starts[docs[0]]
             slab = vals[lo:lo + span]
-            if self._slab_buf is None:
-                self._slab_buf = np.empty((NUM_HASHES, self._GRAM_CHUNK),
-                                          dtype=np.uint64)
-            if span <= self._GRAM_CHUNK:
-                prod = self._slab_buf[:, :span]
-            else:  # single doc with more grams than the slab — rare
-                prod = np.empty((NUM_HASHES, span), dtype=np.uint64)
+            prod = self._slab(span)  # lazily sized; span > _GRAM_CHUNK only
+            # for a single doc with more grams than the chunk cap — rare
             np.multiply(_HASH_A[:, None], slab[None, :], out=prod)
             np.add(prod, _HASH_B[:, None], out=prod)
             np.mod(prod, m, out=prod)
