@@ -72,7 +72,7 @@ def _kg_triples_bucket(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     from lexmapr_ray.pipelines import relational as rel
     from lexmapr_ray.pipelines import windows
-    from lexmapr_ray.stages import dedup, similarity, textstats
+    from lexmapr_ray.stages import dedup, packing, similarity, textstats
     from lexmapr_ray.stages.multimodal import media_features_from_documents
 
     return {
@@ -111,8 +111,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_split": textstats.corpus_split,
         "text_normalize": textstats.text_normalize,
         "pii_scrub": textstats.pii_scrub,
+        "source_cap": textstats.source_cap,
+        "sequence_pack": packing.sequence_pack,
         # deduplication
         "dedup_exact": dedup.dedup_exact,
+        "ngram_decontaminate": dedup.ngram_decontaminate,
         "minhash_dedup_pairs": dedup.minhash_dedup_pairs,
         "near_dup_clusters": dedup.near_dup_clusters,
         "corpus_clean": dedup.corpus_clean,
@@ -543,6 +546,51 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_normalize": _TEXT_NORMALIZE_SQL,
         "pii_scrub": _pii_sql(),
+        "source_cap": """
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY doc_id) AS rn
+                FROM documents) WHERE rn <= 15 ORDER BY doc_id
+        """,
+        "sequence_pack": f"""
+            WITH tok AS (
+                SELECT doc_id,
+                       CAST(CASE WHEN {_trim('text')} = '' THEN 0
+                            ELSE len(string_split_regex({_trim('text')}, '\\s+'))
+                            END AS BIGINT) AS n_tokens
+                FROM documents)
+            SELECT doc_id, n_tokens,
+                   ((SUM(n_tokens) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_tokens) // 512)::BIGINT AS seq_id
+            FROM tok ORDER BY doc_id
+        """,
+        "ngram_decontaminate": f"""
+            WITH h AS (
+                SELECT doc_id, text,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                            AS BIGINT) % 1000 AS hh
+                FROM documents),
+            t AS (
+                SELECT doc_id, hh,
+                       string_split_regex({_trim('text')}, '\\s+') AS tk
+                FROM h WHERE {_trim('text')} <> ''),
+            g AS (
+                SELECT doc_id, hh,
+                       unnest(list_transform(range(1, len(tk) - 8 + 2),
+                              i -> array_to_string(tk[i:i+7], ' '))) AS gram
+                FROM t),
+            cont AS (
+                SELECT DISTINCT doc_id FROM g
+                WHERE hh >= 50
+                  AND gram IN (SELECT gram FROM g WHERE hh < 50))
+            SELECT h.doc_id,
+                   (CASE WHEN cont.doc_id IS NULL THEN 0 ELSE 1 END)::BIGINT
+                       AS contaminated
+            FROM h LEFT JOIN cont ON h.doc_id = cont.doc_id
+            WHERE h.hh >= 50 ORDER BY h.doc_id
+        """,
         "source_stats": f"""
             SELECT source, COUNT(*)::BIGINT AS n_docs,
                    COUNT(DISTINCT text)::BIGINT AS n_unique_texts,

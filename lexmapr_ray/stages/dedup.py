@@ -711,3 +711,85 @@ def corpus_clean(sf_dir: str, min_tokens: int = 5, threshold: float = 0.8,
                          "text": pc.cast(t["text"], pa.string())})
 
     return joined.map_batches(keep, batch_format="pyarrow").sort("doc_id")
+
+
+def ngram_decontaminate(sf_dir: str, k: int = 8, test_permille: int = 50):
+    """Benchmark decontamination: flag every TRAIN document that shares any
+    word ``k``-gram with any TEST document (the n-gram overlap rule the
+    GPT-3 / Gopher data recipes apply before training).  The test set is
+    the deterministic md5(doc_id) permille gate (< ``test_permille``), so
+    the op composes with ``corpus_split`` without shipping a split table.
+
+    Output: (doc_id, contaminated 0/1) for every train doc, doc_id-sorted.
+
+    Scale shape — NO all-pairs document comparison anywhere:
+      * both sides explode to (doc_id, gram) rows with a per-batch
+        duplicate-gram drop (bounded by per-batch distinct grams);
+      * train grams filter through a size-switched
+        :func:`~lexmapr_ray.functions.joins.semi_join` against the distinct
+        test grams — broadcast while the test vocabulary is small, bucketed
+        hash co-location once it is corpus-scale;
+      * surviving rows reduce to distinct contaminated doc_ids (per-batch
+        dedup combiner, tiny after the semi join);
+      * the flag column is a second size-switched semi join of the train
+        doc list against those ids.
+    Tokenization is the engine-wide ASCII-\\s+ definition, grams joined
+    with single spaces; docs with < k tokens produce no grams and cannot
+    be contaminated."""
+    import pyarrow.compute as pc
+
+    from lexmapr_ray.functions.joins import semi_join
+    from lexmapr_ray.stages.textstats import _token_lists, md5_permille
+
+    docs = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def grams_side(test_side: bool):
+        def explode(t: pa.Table) -> pa.Table:
+            h = md5_permille(t["doc_id"])
+            mask = h < test_permille if test_side else h >= test_permille
+            t = t.filter(pa.array(mask))
+            trimmed, toks = _token_lists(t["text"])
+            ids_out, grams_out = [], []
+            for doc_id, trim, tok in zip(t["doc_id"].to_pylist(),
+                                         trimmed.to_pylist(),
+                                         toks.to_pylist()):
+                if not trim or len(tok) < k:
+                    continue
+                seen = set()
+                for i in range(len(tok) - k + 1):
+                    g = " ".join(tok[i:i + k])
+                    if g not in seen:
+                        seen.add(g)
+                        ids_out.append(doc_id)
+                        grams_out.append(g)
+            return pa.table({"doc_id": pa.array(ids_out, pa.int64()),
+                             "gram": pa.array(grams_out, pa.string())})
+        return explode
+
+    test_grams = docs.map_batches(grams_side(True), batch_format="pyarrow") \
+        .map_batches(lambda t: t.select(["gram"]), batch_format="pyarrow")
+    train_grams = docs.map_batches(grams_side(False), batch_format="pyarrow")
+
+    hits = semi_join(train_grams, "gram", test_grams, "gram")
+    contaminated = hits.map_batches(
+        lambda t: pa.table({"doc_id": pc.unique(t["doc_id"])}),
+        batch_format="pyarrow",
+    )
+
+    def train_ids(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.array(md5_permille(t["doc_id"]) >= test_permille))
+        return t.select(["doc_id"])
+
+    train = docs.map_batches(train_ids, batch_format="pyarrow")
+
+    def flag(v: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "contaminated", pa.array(np.full(len(t), v, dtype=np.int64)))
+        return fn
+
+    dirty = semi_join(train, "doc_id", contaminated, "doc_id") \
+        .map_batches(flag(1), batch_format="pyarrow")
+    clean = semi_join(train, "doc_id", contaminated, "doc_id", anti=True) \
+        .map_batches(flag(0), batch_format="pyarrow")
+    return dirty.union(clean).sort("doc_id")

@@ -378,14 +378,19 @@ def corpus_sample(sf_dir: str, permille: int = 100):
     ds = _read_documents(sf_dir, ["doc_id", "text"])
 
     def pick(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_pylist()
-        keep = [
-            int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % 1000 < permille
-            for d in ids
-        ]
-        return t.filter(pa.array(keep, pa.bool_()))
+        return t.filter(pa.array(md5_permille(t["doc_id"]) < permille))
 
     return ds.map_batches(pick, batch_format="pyarrow").sort("doc_id")
+
+
+def md5_permille(ids) -> np.ndarray:
+    """md5(doc_id-as-string) first-8-hex-digits mod 1000 — THE engine-wide
+    deterministic gate (sampling, train/val/test split, decontamination
+    test-set selection); mirrored verbatim by the oracle SQL expression."""
+    return np.array(
+        [int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % 1000
+         for d in (ids.to_pylist() if hasattr(ids, "to_pylist") else ids)],
+        dtype=np.int64)
 
 
 def lang_token_stats(sf_dir: str):
@@ -590,9 +595,7 @@ def corpus_split(sf_dir: str, test_permille: int = 50, val_permille: int = 50):
     ds = _read_documents(sf_dir, ["doc_id"])
 
     def assign(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_pylist()
-        h = np.array([int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % 1000
-                      for d in ids], dtype=np.int64)
+        h = md5_permille(t["doc_id"])
         split = np.where(h < test_permille, "test",
                          np.where(h < test_permille + val_permille, "val", "train"))
         return pa.table({
@@ -656,3 +659,28 @@ def text_normalize(sf_dir: str):
         return pa.table({"doc_id": t["doc_id"], "norm_text": x})
 
     return ds.map_batches(norm, batch_format="pyarrow").sort("doc_id")
+
+
+def source_cap(sf_dir: str, cap: int = 15):
+    """Per-source document cap: keep the first ``cap`` docs (lowest doc_id)
+    of every source — the over-represented-domain throttle every corpus
+    curation recipe applies (cap crawl-heavy domains so one site cannot
+    dominate the training mix).
+
+    Same exact-safe shape as ``top_orders_per_customer``: a per-batch
+    per-source prune to ``cap`` rows is a superset of the global answer, so
+    the sort shuffle moves <= cap rows per (source, batch) instead of the
+    corpus; the identical prune after the source sort is the final answer.
+    """
+    ds = _read_documents(sf_dir, ["doc_id", "source"])
+
+    def keep_block(df):
+        if len(df) == 0:
+            return df
+        df = df.sort_values(["source", "doc_id"], kind="mergesort")
+        return df[df.groupby("source", sort=False).cumcount() < cap]
+
+    pruned = ds.map_batches(keep_block, batch_format="pandas", batch_size=65536)
+    return pruned.sort("source").map_batches(
+        keep_block, batch_format="pandas", batch_size=None
+    ).sort("doc_id")

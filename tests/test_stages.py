@@ -472,9 +472,11 @@ def test_repetition_gopher_source_match_duckdb(ray_session, tmp_path):
     import pyarrow.parquet as pq
 
     import __ray_entry__ as entrymod
+    from lexmapr_ray.stages.dedup import ngram_decontaminate
+    from lexmapr_ray.stages.packing import sequence_pack
     from lexmapr_ray.stages.textstats import (
         corpus_split, gopher_quality_filter, pii_scrub, repetition_stats,
-        source_stats, text_normalize)
+        source_cap, source_stats, text_normalize)
 
     texts = [
         "",                                   # empty
@@ -507,9 +509,82 @@ def test_repetition_gopher_source_match_duckdb(ray_session, tmp_path):
                      ("source_stats", source_stats),
                      ("corpus_split", corpus_split),
                      ("text_normalize", text_normalize),
-                     ("pii_scrub", pii_scrub)]:
+                     ("pii_scrub", pii_scrub),
+                     ("source_cap", source_cap),
+                     ("sequence_pack", sequence_pack),
+                     ("ngram_decontaminate", ngram_decontaminate)]:
         got = fn(str(tmp_path)).to_pandas().reset_index(drop=True)
         exp = con.execute(oracles[name]).fetchdf().reset_index(drop=True)
         pd.testing.assert_frame_equal(
             got[sorted(got.columns)], exp[sorted(exp.columns)],
             check_dtype=False), name
+
+
+def test_ngram_decontaminate_binding_split(ray_session, tmp_path):
+    """Decontamination with a split that actually bites: doc_ids are chosen
+    so the md5 permille gate (at permille=500) puts roughly half the docs in
+    the test set, and train texts deliberately share (or just miss) the
+    k=3 gram overlap with test texts.  Compared against an inline DuckDB
+    mirror of the rule at the same (k, permille)."""
+    import duckdb
+    import hashlib as _h
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lexmapr_ray.stages.dedup import ngram_decontaminate
+
+    def gate(d):
+        return int(_h.md5(str(d).encode()).hexdigest()[:8], 16) % 1000
+
+    ids = list(range(40))
+    test_ids = [d for d in ids if gate(d) < 500]
+    train_ids = [d for d in ids if gate(d) >= 500]
+    assert len(test_ids) >= 5 and len(train_ids) >= 5
+
+    leak = "alpha beta gamma delta"            # shared 3-grams
+    texts = {}
+    for i, d in enumerate(test_ids):
+        texts[d] = f"{leak} unique test tail {i}" if i % 2 == 0 \
+            else f"clean test doc number {i} nothing shared"
+    for i, d in enumerate(train_ids):
+        if i % 3 == 0:
+            texts[d] = f"prefix {leak} suffix {i}"          # contaminated
+        elif i % 3 == 1:
+            texts[d] = f"alpha beta X gamma delta {i}"      # gram broken -> clean
+        else:
+            texts[d] = f"wholly original training text {i}"
+    tbl = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array([texts[d] for d in ids], pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    got = ngram_decontaminate(str(tmp_path), k=3, test_permille=500) \
+        .to_pandas().reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    exp = con.execute("""
+        WITH h AS (
+            SELECT doc_id, text,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 1000 AS hh FROM documents),
+        t AS (SELECT doc_id, hh, string_split_regex(TRIM(text), '\\s+') AS tk
+              FROM h WHERE TRIM(text) <> ''),
+        g AS (SELECT doc_id, hh,
+                     unnest(list_transform(range(1, len(tk) - 3 + 2),
+                            i -> array_to_string(tk[i:i+2], ' '))) AS gram
+              FROM t),
+        cont AS (SELECT DISTINCT doc_id FROM g WHERE hh >= 500
+                 AND gram IN (SELECT gram FROM g WHERE hh < 500))
+        SELECT h.doc_id,
+               (CASE WHEN cont.doc_id IS NULL THEN 0 ELSE 1 END)::BIGINT
+                   AS contaminated
+        FROM h LEFT JOIN cont ON h.doc_id = cont.doc_id
+        WHERE h.hh >= 500 ORDER BY h.doc_id
+    """).fetchdf().reset_index(drop=True)
+
+    assert exp["contaminated"].sum() > 0          # the rule actually fires
+    assert (exp["contaminated"] == 0).any()       # and spares the clean docs
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
