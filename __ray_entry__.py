@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from lexmapr_ray.pipelines import relational as rel
     from lexmapr_ray.pipelines import windows
     from lexmapr_ray.stages import dedup, packing, similarity, textstats
+    from lexmapr_ray.stages import multimodal as mm
     from lexmapr_ray.stages.multimodal import media_features_from_documents
 
     return {
@@ -133,6 +134,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # table, so the decode stage consumes real parquet reads; codec
         # itself remains the documented stub)
         "media_features": media_features_from_documents,
+        "media_resize_features": mm.media_resize_features,
+        "video_frame_features": mm.video_frame_features,
         # knowledge-graph pipeline (the flagship; non-SQL)
         "kg_triples": _kg_triples,
         "kg_entities": _kg_entities,

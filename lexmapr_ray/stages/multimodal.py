@@ -125,3 +125,138 @@ def media_from_documents(sf_dir: str, batch_size: int = 64):
 def media_features_from_documents(sf_dir: str, concurrency: int = 2):
     """sf_dir-driven decode + feature pipeline (the driver's media query)."""
     return _decode_features(media_from_documents(sf_dir), concurrency)
+
+
+class ResizeImage:
+    """Actor-pool resize stage: decode -> integer box-downsample to
+    ``target`` x ``target`` -> per-item features of the RESIZED image.
+
+    The downsample is exact integer math (np.add.reduceat over
+    floor-divided grid boundaries, block mean floored to uint8) so results
+    are engine-independent; a real deployment swaps ``DecodeImage._decode``
+    + this kernel for PIL's ``Image.resize``.  Same small-batch actor-pool
+    shape as decode: payload bytes dominate block memory, so batch_size
+    stays small and the pool scales with ``concurrency``.
+    """
+
+    def __init__(self, target: int = 8, fake: bool = True):
+        if not fake:
+            raise NotImplementedError(
+                "no image codec available in this environment; use fake=True"
+            )
+        self.target = int(target)
+
+    def _resize(self, img: np.ndarray) -> np.ndarray:
+        t = self.target
+        h, w = img.shape
+        rb = (np.arange(t, dtype=np.int64) * h) // t
+        cb = (np.arange(t, dtype=np.int64) * w) // t
+        sums = np.add.reduceat(np.add.reduceat(img.astype(np.int64), rb, axis=0),
+                               cb, axis=1)
+        rc = np.diff(np.append(rb, h))
+        cc = np.diff(np.append(cb, w))
+        return (sums // np.outer(rc, cc)).astype(np.uint8)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        means, mins, maxs = [], [], []
+        for payload in t["payload"].to_pylist():
+            small = self._resize(DecodeImage._decode(payload))
+            means.append(int(small.mean() * 1000))
+            mins.append(int(small.min()))
+            maxs.append(int(small.max()))
+        return pa.table({
+            "media_id": t["media_id"],
+            "resized_mean_milli": pa.array(means, pa.int64()),
+            "resized_min": pa.array(mins, pa.int64()),
+            "resized_max": pa.array(maxs, pa.int64()),
+        })
+
+
+_VMAGIC = b"FAKEVID1"
+
+
+def video_from_documents(sf_dir: str, batch_size: int = 32):
+    """Fake video table derived from testdata: each doc's text bytes are
+    tiled into ``n_frames`` (4-11, a function of doc_id) frames of w*h
+    pixels.  Payload = magic + n,w,h + frame bytes — an opaque binary
+    column with typed metadata, exactly how real video rides a Dataset."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def to_video(t: pa.Table) -> pa.Table:
+        rows = []
+        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            data = text.encode() or b"\x00"
+            n = 4 + (int(doc_id) % 8)
+            w = 8 + (len(data) % 9)
+            h = 8 + (int(doc_id) % 9)
+            need = n * w * h
+            pixels = (data * (need // len(data) + 1))[:need]
+            payload = (_VMAGIC + n.to_bytes(2, "big") + w.to_bytes(2, "big")
+                       + h.to_bytes(2, "big") + pixels)
+            rows.append({"media_id": int(doc_id), "kind": "video",
+                         "payload": payload, "width": w, "height": h})
+        return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+    return ds.map_batches(to_video, batch_format="pyarrow", batch_size=batch_size)
+
+
+class SampleFrames:
+    """Actor-pool frame sampler: every ``stride``-th frame of each video
+    decodes to a per-frame feature row (media_id, frame_idx, mean_milli) —
+    a flat-map, so one input row fans out to len/stride output rows.
+
+    This is the video-ingest shape for a training pipeline: sample frames
+    distributed, THEN treat each frame as an image (the ResizeImage /
+    DecodeImage stages compose downstream).  Small batches; payloads big.
+    """
+
+    def __init__(self, stride: int = 2, fake: bool = True):
+        if not fake:
+            raise NotImplementedError(
+                "no video codec available in this environment; use fake=True"
+            )
+        self.stride = int(stride)
+
+    @staticmethod
+    def _frames(payload: bytes):
+        if not payload.startswith(_VMAGIC):
+            raise ValueError("bad magic")
+        n = int.from_bytes(payload[8:10], "big")
+        w = int.from_bytes(payload[10:12], "big")
+        h = int.from_bytes(payload[12:14], "big")
+        body = np.frombuffer(payload[14:14 + n * w * h], dtype=np.uint8)
+        return body.reshape(n, h, w)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, idxs, means = [], [], []
+        for media_id, payload in zip(t["media_id"].to_pylist(),
+                                     t["payload"].to_pylist()):
+            frames = self._frames(payload)
+            for i in range(0, frames.shape[0], self.stride):
+                ids.append(media_id)
+                idxs.append(i)
+                means.append(int(frames[i].mean() * 1000))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "frame_idx": pa.array(idxs, pa.int64()),
+            "frame_mean_milli": pa.array(means, pa.int64()),
+        })
+
+
+def media_resize_features(sf_dir: str, concurrency: int = 2):
+    """sf_dir-driven decode+resize feature pipeline (driver media query)."""
+    return media_from_documents(sf_dir).map_batches(
+        ResizeImage, batch_format="pyarrow", batch_size=32,
+        concurrency=concurrency,
+    ).sort("media_id")
+
+
+def video_frame_features(sf_dir: str, concurrency: int = 2, stride: int = 2):
+    """sf_dir-driven frame-sample pipeline (driver media query)."""
+    return video_from_documents(sf_dir).map_batches(
+        SampleFrames, batch_format="pyarrow", batch_size=32,
+        fn_constructor_kwargs={"stride": stride},
+        concurrency=concurrency,
+    ).sort(["media_id", "frame_idx"])

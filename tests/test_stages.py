@@ -588,3 +588,39 @@ def test_ngram_decontaminate_binding_split(ray_session, tmp_path):
     assert exp["contaminated"].sum() > 0          # the rule actually fires
     assert (exp["contaminated"] == 0).any()       # and spares the clean docs
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_media_resize_and_frame_sample_match_serial(ray_session, sf_dir):
+    """Resize + frame-sample plumbing vs a serial decode of the same
+    derived payloads: exact integer box-downsample and stride sampling."""
+    import numpy as np
+
+    from lexmapr_ray.stages.multimodal import (
+        DecodeImage, ResizeImage, SampleFrames, media_from_documents,
+        media_resize_features, video_frame_features, video_from_documents,
+    )
+
+    got = media_resize_features(sf_dir).to_pandas().set_index("media_id")
+    serial = media_from_documents(sf_dir).to_pandas()
+    rs = ResizeImage(target=8)
+    for _, row in serial.head(40).iterrows():
+        small = rs._resize(DecodeImage._decode(row.payload))
+        assert got.loc[row.media_id, "resized_mean_milli"] == int(small.mean() * 1000)
+        assert got.loc[row.media_id, "resized_min"] == int(small.min())
+        assert got.loc[row.media_id, "resized_max"] == int(small.max())
+        assert small.shape == (8, 8)
+
+    vf = video_frame_features(sf_dir, stride=2).to_pandas()
+    vids = video_from_documents(sf_dir).to_pandas()
+    by_id = vf.groupby("media_id")
+    for _, row in vids.head(40).iterrows():
+        frames = SampleFrames._frames(row.payload)
+        g = by_id.get_group(row.media_id).sort_values("frame_idx")
+        assert list(g["frame_idx"]) == list(range(0, frames.shape[0], 2))
+        for idx, mean in zip(g["frame_idx"], g["frame_mean_milli"]):
+            assert mean == int(frames[idx].mean() * 1000)
+
+    with pytest.raises(NotImplementedError):
+        ResizeImage(fake=False)
+    with pytest.raises(NotImplementedError):
+        SampleFrames(fake=False)
