@@ -43,8 +43,11 @@ def _configure_data_context() -> None:
     tests/test_stages.py::test_sorted_reduce_survives_tiny_block_target).
     """
     from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
 
-    DataContext.get_current().use_push_based_shuffle = True
+    # the non-deprecated spelling of use_push_based_shuffle = True
+    DataContext.get_current().shuffle_strategy = \
+        ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
 
 
 _configure_data_context()
