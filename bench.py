@@ -97,6 +97,23 @@ def _corpus_dir(n_pages: int) -> str:
     return path
 
 
+def _cpu_jiffies() -> dict:
+    """Box-wide jiffy counters from /proc/stat line 1 (zeros off-Linux).
+
+    ``steal`` is CPU the hypervisor withheld from this VM while it was
+    runnable — the direct, per-window measurement of the host-contention
+    drift that confounds the N-vs-4N scaling protocol."""
+    try:
+        with open("/proc/stat") as f:
+            v = [int(x) for x in f.readline().split()[1:9]]
+    except (OSError, ValueError):
+        return {"busy": 0, "steal": 0, "total": 0}
+    user, nice, sys_, idle, iow, irq, sirq, steal = v
+    busy = user + nice + sys_ + irq + sirq
+    return {"busy": busy, "steal": steal,
+            "total": busy + idle + iow + steal}
+
+
 def run_headline(num_cpus: int, repeats: int | None = None) -> dict:
     """KG pipeline over the materialized Parquet pages corpus.
 
@@ -126,6 +143,7 @@ def run_headline(num_cpus: int, repeats: int | None = None) -> dict:
 
     runs = []
     n_triples = 0
+    j0 = _cpu_jiffies()
     for _ in range(repeats):
         t0 = time.time()
         pages = rd.read_parquet(corpus)
@@ -135,6 +153,8 @@ def run_headline(num_cpus: int, repeats: int | None = None) -> dict:
         )
         n_triples = triples.count()
         runs.append(time.time() - t0)
+    j1 = _cpu_jiffies()
+    jt = max(1, j1["total"] - j0["total"])
     dt = statistics.median(runs)
     return {
         "sec": dt,
@@ -143,6 +163,9 @@ def run_headline(num_cpus: int, repeats: int | None = None) -> dict:
         "n_triples": n_triples,
         "pages_per_sec": BENCH_PAGES / dt,
         "triples_per_sec": n_triples / dt,
+        # host-contention telemetry over the timed window (see _cpu_jiffies)
+        "steal_frac": round((j1["steal"] - j0["steal"]) / jt, 4),
+        "busy_frac": round((j1["busy"] - j0["busy"]) / jt, 4),
     }
 
 
@@ -246,20 +269,37 @@ def main():
         thr_hi = statistics.median(r["pages_per_sec"] for r in samples[hi])
         # per-round ratio median: each lo/hi pair ran back-to-back, so the
         # paired ratio is the drift-cancelled estimator
-        pair_eff = statistics.median(
-            (h["pages_per_sec"] / l["pages_per_sec"]) / (hi / lo)
+        pairs = [
+            round((h["pages_per_sec"] / l["pages_per_sec"]) / (hi / lo), 3)
             for l, h in zip(samples[lo], samples[hi])
-        )
+        ]
+        pair_eff = statistics.median(pairs)
+        # steal-adjusted pairs: each leg reports the hypervisor steal_frac
+        # measured over its own timed window (/proc/stat); wall x
+        # (1 - steal_frac) is the leg's calm-host wall estimate, removing
+        # the one host confound we can measure directly rather than only
+        # interleave away.  Raw pairs stay the headline number; the
+        # adjusted median is the confound-isolated view.
+        adj_pairs = [
+            round((l["sec"] * (1 - l.get("steal_frac", 0)))
+                  / (h["sec"] * (1 - h.get("steal_frac", 0))) / (hi / lo), 3)
+            for l, h in zip(samples[lo], samples[hi])
+        ]
         print(json.dumps({
             "metric": "kg_scaling_efficiency",
             "value": round(pair_eff, 3),
             "unit": "ratio",
             "legs": [lo, hi],
             "median_of_medians_eff": round((thr_hi / thr_lo) / (hi / lo), 3),
+            "pair_effs": pairs,
+            "steal_adjusted_eff": statistics.median(adj_pairs),
+            "steal_adjusted_pairs": adj_pairs,
             f"pages_per_sec_{lo}cpu": round(thr_lo, 1),
             f"pages_per_sec_{hi}cpu": round(thr_hi, 1),
             "runs_lo": [round(r["sec"], 2) for r in samples[lo]],
             "runs_hi": [round(r["sec"], 2) for r in samples[hi]],
+            "steal_lo": [r.get("steal_frac", 0) for r in samples[lo]],
+            "steal_hi": [r.get("steal_frac", 0) for r in samples[hi]],
             "pages": int(scaling_pages),
         }))
         return
