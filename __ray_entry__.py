@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_signatures": dedup.simhash_signatures,
         # similarity search
         "cosine_topk": similarity.cosine_topk_bruteforce,
+        "cosine_topk_multi": similarity.cosine_topk_multi,
         "ann_lsh_topk": similarity.ann_lsh_topk,
         "ann_ivf_topk": similarity.ann_ivf_topk,
         "embedding_near_dup": similarity.embedding_near_dup_pairs,
@@ -702,6 +703,18 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('/root/repo/expected/kg_triples_bucket.parquet')
             WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)
             ORDER BY subj, pred, obj, obj_label, mention, status
+        """,
+        "cosine_topk_multi": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                       FROM embeddings WHERE vec_id < 8),
+            s AS (SELECT q.query_id, e.vec_id,
+                         CAST(ROUND(list_cosine_similarity(e.embedding, q.qe)
+                              * 10000) AS BIGINT) AS sim_bp
+                  FROM embeddings e CROSS JOIN q),
+            r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                         ORDER BY sim_bp DESC, vec_id) AS rn FROM s)
+            SELECT query_id, vec_id, sim_bp FROM r WHERE rn <= 5
+            ORDER BY query_id, sim_bp DESC, vec_id
         """,
         "cosine_topk": """
             SELECT vec_id,

@@ -322,3 +322,66 @@ def ann_ivf_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10,
     ds = _read_embeddings(sf_dir, ["vec_id", "embedding"])
     scored = ds.map_batches(score, batch_format="pyarrow")
     return global_topk(scored, ["sim_bp", "vec_id"], [True, False], k)
+
+
+def cosine_topk_multi(sf_dir: str, n_queries: int = 8, k: int = 5):
+    """Exact cosine top-k for a batch of queries at once: the normalized
+    query MATRIX (vec_ids < n_queries) is ``ray.put`` once and every data
+    batch scores against all of it with ONE matmul — the shape that makes
+    brute-force search viable at scale (amortize the corpus pass over many
+    queries instead of one pipeline per query).
+
+    Per batch, each query's rows are pruned to its local top-k under the
+    final ordering (sim desc, vec_id asc) — an exact-safe superset — so the
+    shuffle moves <= n_queries*k rows per batch; one sort on query_id
+    co-locates each query and the identical reduce emits the answer.
+    Output: (query_id, vec_id, sim_bp), basis-point integer similarity.
+    """
+    import pyarrow.parquet as pq
+    import ray
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    t = t.filter(pa.compute.less(t["vec_id"], n_queries))
+    order = np.argsort(np.asarray(t["vec_id"]))
+    qids = np.asarray(t["vec_id"])[order]
+    qm = np.stack([np.asarray(t["embedding"][int(i)].as_py(), dtype=np.float64)
+                   for i in order])
+    qn = np.linalg.norm(qm, axis=1)
+    qn[qn == 0] = 1.0
+    q_ref = ray.put((qids.astype(np.int64), (qm / qn[:, None]).T))  # (dim, M)
+
+    ds = _read_embeddings(sf_dir, ["vec_id", "embedding"])
+
+    def score_prune(t: pa.Table) -> pa.Table:
+        qids_, qmat = ray.get(q_ref)
+        m = _batch_matrix(t)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        bp = np.round(((m / norms[:, None]) @ qmat) * 10_000).astype(np.int64)
+        vec_ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_q, out_v, out_s = [], [], []
+        for j in range(bp.shape[1]):
+            # ties at the k-boundary resolve by vec_id asc — same ordering
+            # as the final reduce, so the prune is an exact superset
+            top = np.lexsort((vec_ids, -bp[:, j]))[:k]
+            out_q.append(np.full(len(top), qids_[j], dtype=np.int64))
+            out_v.append(vec_ids[top])
+            out_s.append(bp[top, j])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "vec_id": pa.array(np.concatenate(out_v)),
+            "sim_bp": pa.array(np.concatenate(out_s)),
+        })
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        df = df.sort_values(["query_id", "sim_bp", "vec_id"],
+                            ascending=[True, False, True], kind="mergesort")
+        return df[df.groupby("query_id", sort=False).cumcount() < k]
+
+    pruned = ds.map_batches(score_prune, batch_format="pyarrow")
+    return pruned.sort("query_id").map_batches(
+        final_topk, batch_format="pandas", batch_size=None
+    )
