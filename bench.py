@@ -255,16 +255,52 @@ def main():
         # median ratio cancels the drift.
         import statistics
         repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+
+        def leg(ncpu):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_REPEATS="1",
+                       BENCH_PAGES=scaling_pages)
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--headline-only"],
+                env=env, capture_output=True, text=True, check=True,
+            ).stdout
+            return json.loads(out.strip().splitlines()[-1])
+
+        if os.environ.get("SCALING_MODE") == "sandwich":
+            # hi,lo,hi,lo,...,hi: every lo leg is BRACKETED by two hi legs
+            # and compared to their average wall.  The lo leg is ~4x longer
+            # than a hi leg, so in the plain alternation the pair's two
+            # legs sample different host-drift windows; bracketing cancels
+            # drift to first order (a linear speed change across the
+            # sandwich hits the lo leg and the hi-average identically).
+            his = [leg(hi)]
+            pairs = []
+            samples = {lo: [], hi: his}
+            for _ in range(repeats):
+                l = leg(lo)
+                h = leg(hi)
+                samples[lo].append(l)
+                his.append(h)
+                hi_avg = (his[-2]["sec"] + his[-1]["sec"]) / 2
+                pairs.append(round((l["sec"] / hi_avg) / (hi / lo), 3))
+            print(json.dumps({
+                "metric": "kg_scaling_efficiency",
+                "value": statistics.median(pairs),
+                "unit": "ratio",
+                "mode": "sandwich",
+                "legs": [lo, hi],
+                "pair_effs": pairs,
+                "runs_lo": [round(r["sec"], 2) for r in samples[lo]],
+                "runs_hi": [round(r["sec"], 2) for r in his],
+                "steal_lo": [r.get("steal_frac", 0) for r in samples[lo]],
+                "steal_hi": [r.get("steal_frac", 0) for r in his],
+                "pages": int(scaling_pages),
+            }))
+            return
+
         samples = {lo: [], hi: []}
         for _ in range(repeats):
             for ncpu in (lo, hi):
-                env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_REPEATS="1",
-                           BENCH_PAGES=scaling_pages)
-                out = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__), "--headline-only"],
-                    env=env, capture_output=True, text=True, check=True,
-                ).stdout
-                samples[ncpu].append(json.loads(out.strip().splitlines()[-1]))
+                samples[ncpu].append(leg(ncpu))
         thr_lo = statistics.median(r["pages_per_sec"] for r in samples[lo])
         thr_hi = statistics.median(r["pages_per_sec"] for r in samples[hi])
         # per-round ratio median: each lo/hi pair ran back-to-back, so the

@@ -624,3 +624,22 @@ def test_media_resize_and_frame_sample_match_serial(ray_session, sf_dir):
         ResizeImage(fake=False)
     with pytest.raises(NotImplementedError):
         SampleFrames(fake=False)
+
+
+def test_cosine_topk_multi_matches_numpy(ray_session, sf_dir, embs):
+    from lexmapr_ray.stages.similarity import cosine_topk_multi
+
+    got = cosine_topk_multi(sf_dir, n_queries=4, k=3).to_pandas()
+    m = np.stack([np.asarray(e, dtype=np.float64) for e in embs["embedding"]])
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    mn = m / norms[:, None]
+    ids = embs["vec_id"].to_numpy()
+    exp_rows = []
+    for q in range(4):
+        qv = mn[np.flatnonzero(ids == q)[0]]
+        bp = np.round(mn @ qv * 10_000).astype(np.int64)
+        order = sorted(zip(-bp, ids))[:3]
+        exp_rows += [(q, int(v), int(-s)) for s, v in order]
+    assert [tuple(r) for r in got[["query_id", "vec_id", "sim_bp"]]
+            .itertuples(index=False)] == exp_rows
