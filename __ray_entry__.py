@@ -114,8 +114,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": textstats.pii_scrub,
         "source_cap": textstats.source_cap,
         "sequence_pack": packing.sequence_pack,
+        "vocab_topk": textstats.vocab_topk,
+        "stratified_sample": textstats.stratified_sample,
         # deduplication
         "dedup_exact": dedup.dedup_exact,
+        "span_dedup": dedup.span_dedup,
+        "simhash_near_dup_pairs": dedup.simhash_near_dup_pairs,
         "ngram_decontaminate": dedup.ngram_decontaminate,
         "minhash_dedup_pairs": dedup.minhash_dedup_pairs,
         "near_dup_clusters": dedup.near_dup_clusters,
@@ -606,6 +610,47 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_exact": """
             SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text ORDER BY doc_id
+        """,
+        "vocab_topk": f"""
+            SELECT word, COUNT(*)::BIGINT AS cnt
+            FROM (SELECT UNNEST(string_split_regex({_trim('text')}, '\\s+')) AS word
+                  FROM documents WHERE {_trim('text')} <> '')
+            GROUP BY word ORDER BY cnt DESC, word LIMIT 20
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                  % 1000 < CASE lang WHEN 'en' THEN 200 ELSE 500 END
+            ORDER BY doc_id
+        """,
+        "span_dedup": f"""
+            WITH toks AS (
+                SELECT doc_id, string_split_regex({_trim('text')}, '\\s+') AS t
+                FROM documents),
+            spans AS (
+                SELECT doc_id, i AS span_idx,
+                       array_to_string(list_slice(t, i*3 + 1, i*3 + 3), ' ') AS span
+                FROM toks, UNNEST(range(CAST(ceil(len(t) / 3.0) AS BIGINT))) AS u(i)),
+            ranked AS (
+                SELECT *, ROW_NUMBER() OVER
+                    (PARTITION BY span ORDER BY doc_id, span_idx) AS rn
+                FROM spans)
+            SELECT doc_id, string_agg(span, ' ' ORDER BY span_idx) AS text_clean
+            FROM ranked WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id
+        """,
+        # brute-force all-pairs hamming over the scale-tagged expected
+        # signatures — an INDEPENDENT check of the banded recall guarantee
+        # (the engine never enumerates all pairs; DuckDB does)
+        "simhash_near_dup_pairs": """
+            WITH s AS (
+                SELECT doc_id, simhash
+                FROM read_parquet('/root/repo/expected/op_simhash_signatures.parquet')
+                WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents))
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+            ORDER BY doc_a, doc_b
         """,
         # Serial-reimplementation oracles (tools/make_op_expected.py): each
         # no_oracle operator is deterministic, so a plain single-process

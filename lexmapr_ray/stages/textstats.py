@@ -684,3 +684,68 @@ def source_cap(sf_dir: str, cap: int = 15):
     return pruned.sort("source").map_batches(
         keep_block, batch_format="pandas", batch_size=None
     ).sort("doc_id")
+
+
+def vocab_topk(sf_dir: str, k: int = 20):
+    """Corpus-wide top-k word frequencies (the vocabulary-building pass of
+    a tokenizer-training / corpus-analysis pipeline).
+
+    The scale shape matters more than the arithmetic: a naive
+    explode-then-groupby shuffles one row PER TOKEN (~1.5x corpus bytes);
+    here each read batch collapses to at most |batch vocab| partial
+    (word, cnt) rows before the shuffle, the sort co-locates equal words,
+    and a per-block final sum + top-k prune leaves <= k rows per block for
+    the tiny final sort.  Token definition is the engine-wide one
+    (ASCII-ws trim + \\s+ split, see ``_token_lists``)."""
+    import pandas as pd
+
+    from lexmapr_ray.functions.groupagg import sorted_group_reduce
+    from lexmapr_ray.functions.topk import global_topk
+
+    ds = _read_documents(sf_dir, ["text"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        trimmed, splits = _token_lists(t["text"])
+        mask = pc.not_equal(trimmed, "")
+        flat = pc.list_flatten(pc.filter(splits, mask))
+        vc = flat.value_counts()  # StructArray<values, counts>
+        return pa.table({
+            "word": vc.field("values"),
+            "cnt": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    def sum_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("word", as_index=False, sort=False)["cnt"].sum()
+
+    totals = sorted_group_reduce(
+        ds.map_batches(count_partial, batch_format="pyarrow"),
+        "word", sum_partial, sum_partial,
+    )
+    return global_topk(totals, ["cnt", "word"], [True, False], k)
+
+
+# Per-language keep rates (permille) for stratified sampling: downsample the
+# dominant language, keep half of everything else.  Mirrored in the oracle
+# SQL CASE expression — change both together.
+STRATA_PERMILLE = {"en": 200}
+STRATA_DEFAULT_PERMILLE = 500
+
+
+def stratified_sample(sf_dir: str):
+    """Language-stratified deterministic sampling: rebalance the corpus by
+    keeping a per-language fraction of documents (downsample the dominant
+    language instead of uniform thinning).  The gate is the engine-wide
+    ``md5_permille(doc_id)`` — content-independent and reproducible — so
+    the sample is a pure map: no shuffle, no state, and any engine
+    (including the SQL oracle) re-derives the identical subset."""
+    ds = _read_documents(sf_dir, ["doc_id", "lang"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        h = md5_permille(t["doc_id"])
+        langs = t["lang"].to_numpy(zero_copy_only=False)
+        thresh = np.array(
+            [STRATA_PERMILLE.get(l, STRATA_DEFAULT_PERMILLE) for l in langs],
+            dtype=np.int64)
+        return t.filter(pa.array(h < thresh))
+
+    return ds.map_batches(pick, batch_format="pyarrow").sort("doc_id")

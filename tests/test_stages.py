@@ -643,3 +643,89 @@ def test_cosine_topk_multi_matches_numpy(ray_session, sf_dir, embs):
         exp_rows += [(q, int(v), int(-s)) for s, v in order]
     assert [tuple(r) for r in got[["query_id", "vec_id", "sim_bp"]]
             .itertuples(index=False)] == exp_rows
+
+
+def test_new_curation_ops_adversarial_oracle(ray_session, tmp_path):
+    """vocab_topk / stratified_sample / span_dedup vs their DuckDB oracles
+    on a corpus built to bite: edge \t/\n whitespace, an exact-duplicate
+    document (every span loses -> the doc vanishes from span_dedup), a
+    shared 3-token prefix across docs, and empty/whitespace-only texts."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+    from lexmapr_ray.stages.dedup import span_dedup
+    from lexmapr_ray.stages.textstats import stratified_sample, vocab_topk
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota",
+        "alpha beta gamma OTHER tail words here now",   # shares span 0
+        "alpha beta gamma delta epsilon zeta eta theta iota",  # exact dup
+        "\t leading ws alpha beta gamma delta epsilon zeta \n",
+        "", "   ", "solo",
+        "x y z x y z x y z",  # internal span repeats
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en", "de", "en", "zh", "en", "de", "en", "es"],
+                         pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    oracles = entrymod.oracle_sql()
+    for name, fn in [("vocab_topk", vocab_topk),
+                     ("stratified_sample", stratified_sample),
+                     ("span_dedup", span_dedup)]:
+        got = fn(str(tmp_path)).to_pandas().reset_index(drop=True)
+        exp = con.execute(oracles[name]).fetchdf().reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[sorted(got.columns)], exp[sorted(exp.columns)],
+            check_dtype=False), name
+    # the exact-duplicate doc 2 must vanish (all its spans lose to doc 0)
+    out = span_dedup(str(tmp_path)).to_pandas()
+    assert 2 not in set(out["doc_id"])
+    # internal repeats: doc 7's later "x y z" spans lose to its own span 0
+    assert out.set_index("doc_id").loc[7, "text_clean"] == "x y z"
+
+
+def test_simhash_near_dup_pairs_vs_bruteforce(ray_session, tmp_path):
+    """Banded hamming search vs an in-test all-pairs popcount: recall for
+    hamming <= 3 is guaranteed by the 4x16-bit pigeonhole, precision by the
+    SWAR verify; includes an exact-dup pair (hamming 0), a one-token edit
+    (small hamming), and unrelated docs (filtered)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lexmapr_ray.stages.dedup import (_popcount64, _simhash_block,
+                                          simhash_near_dup_pairs)
+
+    base = ("w%d " * 40) % tuple(range(40))
+    texts = [
+        base,
+        base,                                # dup of 0 -> hamming 0
+        base.replace("w7 ", "EDIT "),        # one-token edit of 0
+        "completely different vocabulary entirely unrelated words",
+        " ".join(f"v{i}" for i in range(50)),
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    got = simhash_near_dup_pairs(str(tmp_path), max_hamming=3).to_pandas()
+
+    sigs = _simhash_block(tbl).column("simhash").to_numpy().view(np.uint64)
+    exp = []
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            h = int(_popcount64(np.array([sigs[a] ^ sigs[b]], np.uint64))[0])
+            if h <= 3:
+                exp.append((a, b, h))
+    assert [tuple(r) for r in got.itertuples(index=False)] == exp
+    assert (0, 1, 0) in exp  # the exact-dup pair really is in the answer
