@@ -132,6 +132,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": similarity.ann_lsh_topk,
         "ann_ivf_topk": similarity.ann_ivf_topk,
         "embedding_near_dup": similarity.embedding_near_dup_pairs,
+        # exact grouped quantiles (histogram-first; functions/quantiles.py)
+        "doc_length_quantiles": textstats.doc_length_quantiles,
+        "event_value_quantiles": rel.event_value_quantiles,
+        # full outer bucketed join
+        "customer_event_activity": rel.customer_event_activity,
+        # per-label exact integer centroids over the embedding column
+        "embedding_centroids": similarity.embedding_centroids,
         # text heuristics / fingerprints (non-SQL)
         "lang_id_heuristic": textstats.lang_id,
         "rolling_fingerprint": textstats.rolling_fingerprint,
@@ -769,5 +776,55 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
             ORDER BY sim_bp DESC, vec_id
             LIMIT 10
+        """,
+        # quantile_disc == the engine's exact-rational ceil(q*n) rank
+        # (functions/quantiles.py; verified equal for n up to 60000)
+        "doc_length_quantiles": """
+            SELECT lang,
+                   quantile_disc(n_chars, 0.25)::BIGINT AS p25,
+                   quantile_disc(n_chars, 0.50)::BIGINT AS p50,
+                   quantile_disc(n_chars, 0.75)::BIGINT AS p75,
+                   quantile_disc(n_chars, 0.95)::BIGINT AS p95
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "event_value_quantiles": """
+            WITH e AS (SELECT event_type,
+                              CAST(ROUND(value*100) AS BIGINT) AS cents
+                       FROM events)
+            SELECT event_type,
+                   quantile_disc(cents, 0.25)::BIGINT AS p25,
+                   quantile_disc(cents, 0.50)::BIGINT AS p50,
+                   quantile_disc(cents, 0.75)::BIGINT AS p75,
+                   quantile_disc(cents, 0.95)::BIGINT AS p95
+            FROM e GROUP BY event_type ORDER BY event_type
+        """,
+        "customer_event_activity": """
+            WITH ev AS (SELECT user_id, COUNT(*)::BIGINT AS n_events
+                        FROM events GROUP BY user_id)
+            SELECT COALESCE(c.c_custkey, ev.user_id)::BIGINT AS entity_id,
+                   COALESCE(CAST(ROUND(c.c_acctbal*100) AS BIGINT), -1)::BIGINT
+                       AS acctbal_cents,
+                   COALESCE(ev.n_events, 0)::BIGINT AS n_events
+            FROM customer c FULL OUTER JOIN ev ON c.c_custkey = ev.user_id
+            ORDER BY entity_id
+        """,
+        # FLOOR (not ROUND) micro-units: floor has no tie, so SQL
+        # half-away vs numpy half-even rounding can never diverge; the mean
+        # is mod-adjusted exact integer floor division (matches numpy //)
+        "embedding_centroids": """
+            WITH u AS (SELECT label,
+                              UNNEST(range(1, len(embedding)+1)) AS dim,
+                              UNNEST(embedding) AS val
+                       FROM embeddings),
+            s AS (SELECT CAST(label AS BIGINT) AS label,
+                         CAST(dim AS BIGINT) AS dim,
+                         COUNT(*)::BIGINT AS n_vecs,
+                         SUM(CAST(FLOOR(CAST(val AS DOUBLE)*1000000) AS BIGINT))
+                             ::BIGINT AS s
+                  FROM u GROUP BY label, dim)
+            SELECT label, dim, n_vecs,
+                   ((s - (((s % n_vecs) + n_vecs) % n_vecs)) // n_vecs)::BIGINT
+                       AS mean_micro
+            FROM s ORDER BY label, dim
         """,
     }

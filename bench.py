@@ -170,9 +170,22 @@ def run_headline(num_cpus: int, repeats: int | None = None) -> dict:
 
 
 def run_queries(sf_dir: str) -> dict:
-    """Time a representative subset of the operator suite."""
+    """Time a representative subset of the operator suite.
+
+    Runs in a FRESH Ray session (main() re-inits after the headline): the
+    1M-page headline leaves the object store full of spilled triple blocks
+    whose draining contended the first document-table queries for tens of
+    seconds (r3: minhash measured 51 s right after the headline vs 9 s in a
+    fresh session).  A small untimed warm-up absorbs the remaining
+    first-read costs (worker imports, parquet footer cache) that are fixed
+    per session, not per query."""
     from lexmapr_ray.pipelines import relational as rel
     from lexmapr_ray.stages import dedup, similarity, textstats
+
+    import ray.data as rd
+
+    for tbl in ("documents", "embeddings"):
+        rd.read_parquet(f"{sf_dir}/{tbl}.parquet").count()
 
     timings = {}
     for name, fn in [
@@ -190,6 +203,8 @@ def run_queries(sf_dir: str) -> dict:
         ("tfidf_top_terms", textstats.tfidf_top_terms),
         ("gopher_quality_filter", textstats.gopher_quality_filter),
         ("source_stats", textstats.source_stats),
+        ("event_value_quantiles", rel.event_value_quantiles),
+        ("customer_event_activity", rel.customer_event_activity),
     ]:
         t0 = time.time()
         res = fn(sf_dir)
@@ -355,6 +370,10 @@ def main():
         ray.shutdown()
         return
 
+    # fresh session for the query suite: drop the headline's spilled
+    # object-store residue (see run_queries docstring)
+    ray.shutdown()
+    _init_ray(NUM_CPUS)
     queries = run_queries(SF_DIR)
     print(json.dumps({
         "metric": "kg_pipeline_sec",

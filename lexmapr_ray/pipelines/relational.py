@@ -477,3 +477,64 @@ def customers_without_events(sf_dir: str, broadcast_limit: int = 2_000_000):
     custs = _distinct_keys(sf_dir, "orders", "o_custkey", "o_custkey")
     return semi_join(custs, "o_custkey", users, "user_id", anti=True,
                      broadcast_limit=broadcast_limit)
+
+
+def event_value_quantiles(sf_dir: str):
+    """Exact per-event-type value quantiles over integer cents.
+
+    Same histogram-first plan as ``doc_length_quantiles`` — the cents
+    domain is bounded (price range x 100) no matter how many events exist,
+    so the shuffle input is |event_types| x |distinct cents| rows."""
+    from lexmapr_ray.functions.quantiles import grouped_exact_quantiles
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "cents": _cents(t["value"]),
+        })
+
+    return grouped_exact_quantiles(
+        ds.map_batches(prep, batch_format="pyarrow"), "event_type", "cents"
+    )
+
+
+def customer_event_activity(sf_dir: str, num_buckets: int = 32):
+    """FULL OUTER join: every customer and every event user, with per-user
+    event counts — customers without events keep n_events=0, event users
+    with no customer row keep acctbal_cents=-1.
+
+    Both inputs are corpus-scale at 100 TB, so this is a bucketed hash
+    join (outer merge per co-located bucket == global outer); the event
+    side is pre-shrunk to one count row per user by ``grouped_sum_count``
+    BEFORE the join shuffle.  Typed -1/0 sentinels replace nulls so the
+    output is null-free int64 (exact oracle hashing)."""
+    from lexmapr_ray.functions.groupagg import grouped_sum_count
+    from lexmapr_ray.functions.joins import bucketed_hash_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def prep_cust(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+            "acctbal_cents": _cents(t["c_acctbal"]),
+        })
+
+    ev_counts = grouped_sum_count(
+        _read(sf_dir, "events", ["user_id"]), "user_id", count_alias="n_events"
+    )
+    j = bucketed_hash_join(
+        cust.map_batches(prep_cust, batch_format="pyarrow"),
+        ev_counts, on="c_custkey", right_on="user_id",
+        num_buckets=num_buckets, how="outer",
+    )
+
+    def fill(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "entity_id": pc.cast(t["c_custkey"], pa.int64()),
+            "acctbal_cents": pc.fill_null(pc.cast(t["acctbal_cents"], pa.int64()), -1),
+            "n_events": pc.fill_null(pc.cast(t["n_events"], pa.int64()), 0),
+        })
+
+    return j.map_batches(fill, batch_format="pyarrow")

@@ -385,3 +385,59 @@ def cosine_topk_multi(sf_dir: str, n_queries: int = 8, k: int = 5):
     return pruned.sort("query_id").map_batches(
         final_topk, batch_format="pandas", batch_size=None
     )
+
+
+def embedding_centroids(sf_dir: str):
+    """Per-label centroid of the embedding column, integer-exact.
+
+    Embedding floats are mapped to micro-units with ``floor(v * 1e6)`` —
+    float32 -> float64 promotion, the multiply and the floor are the
+    identical IEEE ops DuckDB's ``FLOOR(CAST(x AS DOUBLE) * 1000000)``
+    performs, so engine and oracle agree bit-for-bit with no rounding-mode
+    hazard (ROUND ties: SQL half-away vs numpy half-even).  Each batch
+    reduces to one row per (label-in-batch, dim) via a stable label sort +
+    ``np.add.reduceat`` over the whole matrix (no per-vector Python);
+    the shuffle then moves |labels| x dim partial rows per batch, and the
+    mean is an exact int64 floor division after the grouped sum."""
+    from lexmapr_ray.functions.groupagg import grouped_sum_count
+
+    ds = _read_embeddings(sf_dir, ["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _batch_matrix(t)                      # float64, exact from float32
+        micro = np.floor(m * 1e6).astype(np.int64)
+        labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(labels, kind="stable")
+        sl = labels[order]
+        uniq, starts = np.unique(sl, return_index=True)
+        sums = np.add.reduceat(micro[order], starts, axis=0)
+        counts = np.diff(np.append(starts, len(sl))).astype(np.int64)
+        n_labels, dim = sums.shape
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, dim)),
+            "dim": pa.array(np.tile(np.arange(1, dim + 1, dtype=np.int64), n_labels)),
+            "sum_micro": pa.array(sums.reshape(-1)),
+            "n_part": pa.array(np.repeat(counts, dim)),
+        })
+
+    part = ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+    summed = grouped_sum_count(
+        part, ["label", "dim"],
+        {"sum_micro": "sum_micro", "n_vecs": "n_part"},
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in ("label", "dim", "n_vecs", "mean_micro")})
+        out = pd.DataFrame({
+            "label": df["label"].astype("int64"),
+            "dim": df["dim"].astype("int64"),
+            "n_vecs": df["n_vecs"].astype("int64"),
+            # int64 // floors (matches the oracle's mod-adjusted exact division)
+            "mean_micro": (df["sum_micro"].astype("int64")
+                           // df["n_vecs"].astype("int64")),
+        })
+        return out
+
+    return summed.map_batches(finish, batch_format="pandas")

@@ -749,3 +749,16 @@ def stratified_sample(sf_dir: str):
         return t.filter(pa.array(h < thresh))
 
     return ds.map_batches(pick, batch_format="pyarrow").sort("doc_id")
+
+
+def doc_length_quantiles(sf_dir: str):
+    """Exact per-language length quantiles (p25/p50/p75/p95 of n_chars).
+
+    Histogram-first (see ``functions/quantiles.py``): the shuffle moves one
+    row per distinct (lang, n_chars) pair — value-domain-bounded, never
+    corpus-scale — and the quantile semantics are bit-equal to DuckDB's
+    ``quantile_disc``."""
+    from lexmapr_ray.functions.quantiles import grouped_exact_quantiles
+
+    ds = _read_documents(sf_dir, ["lang", "n_chars"])
+    return grouped_exact_quantiles(ds, "lang", "n_chars")

@@ -729,3 +729,86 @@ def test_simhash_near_dup_pairs_vs_bruteforce(ray_session, tmp_path):
                 exp.append((a, b, h))
     assert [tuple(r) for r in got.itertuples(index=False)] == exp
     assert (0, 1, 0) in exp  # the exact-dup pair really is in the answer
+
+
+def test_quantiles_centroids_fullouter_adversarial_oracle(ray_session, tmp_path):
+    """doc_length_quantiles / event_value_quantiles / customer_event_activity
+    / embedding_centroids vs their DuckDB oracles on data built to bite:
+    single-member groups, tied values, rank-boundary group sizes (n=4, n=20
+    where ceil(q*n) lands exactly on an integer), negative money, negative
+    embedding values (floor-toward--inf semantics), and users present on
+    only one side of the full outer join."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+    from lexmapr_ray.pipelines.relational import (
+        customer_event_activity, event_value_quantiles)
+    from lexmapr_ray.stages.similarity import embedding_centroids
+    from lexmapr_ray.stages.textstats import doc_length_quantiles
+
+    # documents: lang 'a' has n=4 (rank boundaries exact), 'b' n=20 with
+    # heavy ties, 'c' a singleton
+    langs, lens = [], []
+    for l in (10, 20, 30, 40):
+        langs.append("a"); lens.append(l)
+    for i in range(20):
+        langs.append("b"); lens.append(5 if i < 15 else 100 + i)
+    langs.append("c"); lens.append(7)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(langs)), pa.int64()),
+        "text": pa.array(["x" * n for n in lens], pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "n_chars": pa.array(lens, pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+
+    # events: user 1 shared with customer, user 999 event-only; one type
+    # with a single event; negative values
+    import pandas as pd_
+    ev = pd_.DataFrame({
+        "event_id": range(8),
+        "ts": pd_.to_datetime([1_000_000_000 + i * 3600 for i in range(8)], unit="s"),
+        "user_id": [1, 1, 1, 999, 999, 2, 2, 2],
+        "event_type": ["x", "x", "x", "x", "y", "x", "x", "x"],
+        "value": [1.25, -2.5, 3.75, 10.0, -0.25, 5.5, 5.5, 5.5],
+    })
+    pq.write_table(pa.Table.from_pandas(ev, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+
+    # customers: 1 (has events), 2 (has events), 3 (no events, negative bal)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3], pa.int64()),
+        "c_acctbal": pa.array([12.34, 0.0, -987.65], pa.float64()),
+    }), str(tmp_path / "customer.parquet"))
+
+    # embeddings: label 0 singleton with negatives, label 1 two vectors
+    rng = np.random.RandomState(7)
+    embs = [(-rng.rand(8)).astype(np.float32),
+            rng.standard_normal(8).astype(np.float32),
+            rng.standard_normal(8).astype(np.float32)]
+    pq.write_table(pa.table({
+        "vec_id": pa.array([0, 1, 2], pa.int64()),
+        "embedding": pa.array([e.tolist() for e in embs],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0, 1, 1], pa.int32()),
+    }), str(tmp_path / "embeddings.parquet"))
+
+    con = duckdb.connect()
+    for tbl in ("documents", "events", "customer", "embeddings"):
+        con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/{tbl}.parquet')")
+    oracles = entrymod.oracle_sql()
+    for name, fn in [
+        ("doc_length_quantiles", doc_length_quantiles),
+        ("event_value_quantiles", event_value_quantiles),
+        ("customer_event_activity", customer_event_activity),
+        ("embedding_centroids", embedding_centroids),
+    ]:
+        got = fn(str(tmp_path)).to_pandas()
+        got = got[sorted(got.columns)].sort_values(sorted(got.columns)) \
+            .reset_index(drop=True)
+        exp = con.execute(oracles[name]).fetchdf()
+        exp = exp[sorted(exp.columns)].sort_values(sorted(exp.columns)) \
+            .reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False), name
