@@ -135,6 +135,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact grouped quantiles (histogram-first; functions/quantiles.py)
         "doc_length_quantiles": textstats.doc_length_quantiles,
         "event_value_quantiles": rel.event_value_quantiles,
+        "length_trim": textstats.length_trim,
+        # deterministic global training-order shuffle (prefix-sum ranks)
+        "corpus_shuffle_order": textstats.corpus_shuffle_order,
         # full outer bucketed join
         "customer_event_activity": rel.customer_event_activity,
         # per-label exact integer centroids over the embedding column
@@ -776,6 +779,23 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
             ORDER BY sim_bp DESC, vec_id
             LIMIT 10
+        """,
+        "length_trim": """
+            WITH b AS (SELECT lang,
+                              quantile_disc(n_chars, 0.05)::BIGINT AS lo,
+                              quantile_disc(n_chars, 0.95)::BIGINT AS hi
+                       FROM documents GROUP BY lang)
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d JOIN b USING (lang)
+            WHERE d.n_chars BETWEEN b.lo AND b.hi
+            ORDER BY d.doc_id
+        """,
+        "corpus_shuffle_order": """
+            SELECT doc_id,
+                   (ROW_NUMBER() OVER (
+                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+                   )::BIGINT AS shuffle_rank
+            FROM documents ORDER BY doc_id
         """,
         # quantile_disc == the engine's exact-rational ceil(q*n) rank
         # (functions/quantiles.py; verified equal for n up to 60000)

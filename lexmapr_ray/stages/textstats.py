@@ -762,3 +762,95 @@ def doc_length_quantiles(sf_dir: str):
 
     ds = _read_documents(sf_dir, ["lang", "n_chars"])
     return grouped_exact_quantiles(ds, "lang", "n_chars")
+
+
+def length_trim(sf_dir: str):
+    """Percentile-based outlier trimming: keep documents whose n_chars lies
+    within [p05, p95] of THEIR OWN language's length distribution.
+
+    Composes the histogram quantile op: the per-language bounds table is
+    |languages| rows — tiny by construction, the one result size that IS
+    safe to materialize on the driver — broadcast once via ``ray.put`` and
+    probed vectorized (pc.index_in) in a pure filter map.  No second
+    shuffle: the corpus-scale side never moves."""
+    import ray
+
+    from lexmapr_ray.functions.quantiles import grouped_exact_quantiles
+
+    ds = _read_documents(sf_dir, ["doc_id", "lang", "n_chars"])
+    bounds = grouped_exact_quantiles(
+        ds.select_columns(["lang", "n_chars"]), "lang", "n_chars",
+        qs=(("lo", 1, 20), ("hi", 19, 20)),
+    ).to_pandas()
+    bounds_ref = ray.put((
+        pa.array(bounds["lang"].tolist(), pa.string()),
+        bounds["lo"].to_numpy(dtype=np.int64),
+        bounds["hi"].to_numpy(dtype=np.int64),
+    ))
+
+    def keep(t: pa.Table) -> pa.Table:
+        langs_arr, lo, hi = ray.get(bounds_ref)
+        idx = pc.index_in(t["lang"], value_set=langs_arr) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = (n >= lo[idx]) & (n <= hi[idx])
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def corpus_shuffle_order(sf_dir: str):
+    """Deterministic global training-order shuffle: every document gets a
+    dense rank 0..N-1 in md5(doc_id) order — the order an LM training run
+    would stream the corpus in, reproducible by any engine from doc_id
+    alone (no RNG state to ship).
+
+    Same distributed prefix-sum shape as ``packing.sequence_pack``: sort on
+    the hash key, one tiny stats row per block (driver holds one row per
+    block, never per doc), exclusive cumsum, broadcast offsets, per-block
+    local ranks.  The sort key embeds the zero-padded doc_id so it is
+    unique even under an md5 collision."""
+    import pandas as pd
+
+    import ray
+
+    ds = _read_documents(sf_dir, ["doc_id"])
+
+    def key(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "k": pa.array(
+                [f"{hashlib.md5(str(d).encode()).hexdigest()}{d:020d}"
+                 for d in ids], pa.string()),
+        })
+
+    keyed = ds.map_batches(key, batch_format="pyarrow").sort("k").materialize()
+
+    def block_stats(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"min_k": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"min_k": [df["k"].min()], "n": [len(df)]})
+
+    stats = keyed.map_batches(block_stats, batch_format="pandas",
+                              batch_size=None).to_pandas()
+    stats = stats.sort_values("min_k").reset_index(drop=True)
+    offsets_ref = ray.put((
+        np.array(stats["min_k"].tolist(), dtype=object),
+        stats["n"].cumsum().shift(fill_value=0).to_numpy(dtype=np.int64),
+    ))
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "shuffle_rank": pd.Series([], dtype="int64")})
+        min_ks, offs = ray.get(offsets_ref)
+        df = df.sort_values("k", kind="mergesort")
+        i = int(np.searchsorted(min_ks, df["k"].iloc[0]))
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64").to_numpy(),
+            "shuffle_rank": int(offs[i]) + np.arange(len(df), dtype=np.int64),
+        })
+
+    return keyed.map_batches(rank, batch_format="pandas", batch_size=None)

@@ -812,3 +812,48 @@ def test_quantiles_centroids_fullouter_adversarial_oracle(ray_session, tmp_path)
         exp = exp[sorted(exp.columns)].sort_values(sorted(exp.columns)) \
             .reset_index(drop=True)
         pd.testing.assert_frame_equal(got, exp, check_dtype=False), name
+
+
+def test_length_trim_and_shuffle_order_adversarial_oracle(ray_session, tmp_path):
+    """length_trim / corpus_shuffle_order vs their DuckDB oracles on a
+    corpus with a singleton language (its only doc must survive its own
+    p05..p95), heavy length ties, and doc_ids dense from 0 (md5-order
+    ranks are a full permutation 0..N-1)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+    from lexmapr_ray.stages.textstats import corpus_shuffle_order, length_trim
+
+    langs, lens = [], []
+    for i in range(40):  # 'a': outliers at both ends, ties in the middle
+        langs.append("a")
+        lens.append(1 if i == 0 else (9999 if i >= 38 else 50))
+    langs.append("b"); lens.append(7)  # singleton language
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(langs)), pa.int64()),
+        "text": pa.array(["x" * min(n, 100) for n in lens], pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "n_chars": pa.array(lens, pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    oracles = entrymod.oracle_sql()
+    for name, fn in [("length_trim", length_trim),
+                     ("corpus_shuffle_order", corpus_shuffle_order)]:
+        got = fn(str(tmp_path)).to_pandas()
+        got = got[sorted(got.columns)].sort_values(sorted(got.columns)) \
+            .reset_index(drop=True)
+        exp = con.execute(oracles[name]).fetchdf()
+        exp = exp[sorted(exp.columns)].sort_values(sorted(exp.columns)) \
+            .reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False), name
+    # the singleton language survives its own trivial quantile window
+    out = length_trim(str(tmp_path)).to_pandas()
+    assert 40 in set(out["doc_id"])
+    # ranks are a dense permutation
+    ranks = corpus_shuffle_order(str(tmp_path)).to_pandas()["shuffle_rank"]
+    assert sorted(ranks) == list(range(41))
