@@ -72,7 +72,7 @@ def _kg_triples_bucket(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     from lexmapr_ray.pipelines import relational as rel
     from lexmapr_ray.pipelines import windows
-    from lexmapr_ray.stages import dedup, packing, similarity, textstats
+    from lexmapr_ray.stages import dedup, packing, similarity, sketches, textstats
     from lexmapr_ray.stages import multimodal as mm
     from lexmapr_ray.stages.multimodal import media_features_from_documents
 
@@ -116,6 +116,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_pack": packing.sequence_pack,
         "vocab_topk": textstats.vocab_topk,
         "stratified_sample": textstats.stratified_sample,
+        "token_rarity": textstats.token_rarity,
+        "inverted_index": textstats.inverted_index,
+        # mergeable sketches (register rows, constant shuffle per group)
+        "hll_distinct_tokens": sketches.hll_distinct_tokens,
         # deduplication
         "dedup_exact": dedup.dedup_exact,
         "span_dedup": dedup.span_dedup,
@@ -627,6 +631,30 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents WHERE {_trim('text')} <> '')
             GROUP BY word ORDER BY cnt DESC, word LIMIT 20
         """,
+        "token_rarity": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       UNNEST(string_split_regex({_trim('text')}, '\\s+')) AS term
+                FROM documents WHERE {_trim('text')} <> ''),
+            cnts AS (SELECT term, COUNT(*)::BIGINT AS cnt FROM toks GROUP BY term),
+            tot AS (SELECT COUNT(*)::BIGINT AS t FROM toks)
+            SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+                   (SUM((1000 * tot.t) // cnt)::BIGINT // COUNT(*)::BIGINT)::BIGINT
+                       AS rarity_e3
+            FROM toks JOIN cnts USING (term), tot
+            GROUP BY doc_id ORDER BY doc_id
+        """,
+        "inverted_index": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       UNNEST(string_split_regex({_trim('text')}, '\\s+')) AS term
+                FROM documents WHERE {_trim('text')} <> ''),
+            pairs AS (SELECT DISTINCT term, doc_id FROM toks)
+            SELECT term, COUNT(*)::BIGINT AS df,
+                   STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                       AS postings
+            FROM pairs GROUP BY term HAVING COUNT(*) >= 5 ORDER BY term
+        """,
         "stratified_sample": """
             SELECT doc_id, lang FROM documents
             WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
@@ -698,6 +726,12 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('/root/repo/expected/op_lang_id_heuristic.parquet')
             WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)
             ORDER BY doc_id
+        """,
+        "hll_distinct_tokens": """
+            SELECT lang, approx_distinct
+            FROM read_parquet('/root/repo/expected/op_hll_distinct_tokens.parquet')
+            WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)
+            ORDER BY lang
         """,
         "rolling_fingerprint": """
             SELECT doc_id, fp_min, fp_max

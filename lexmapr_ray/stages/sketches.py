@@ -1,0 +1,130 @@
+"""Mergeable sketch operators: HyperLogLog approximate distinct counting.
+
+Why a sketch in a corpus engine: the exact distinct-token passes in this
+repo (``source_stats``, ``vocab_topk``) shuffle one row per distinct
+value — correct, but at 10^12 documents the distinct-token space is
+itself corpus-scale.  A register sketch bounds the shuffle at a CONSTANT
+per group: each read batch collapses to one 4096-byte register row per
+(group, batch), register merge is an associative element-wise max (so
+the engine's standard combiner -> sort-co-located final-merge shape
+applies unchanged), and the estimate is computed once per group at the
+end.  At 100 TB the HLL pass moves ~n_batches x |groups| x 4 KiB —
+independent of cardinality.
+
+Determinism: token hashing is blake2b-8 (engine-wide stable hash), the
+estimator is the classic Flajolet HLL with linear-counting small-range
+correction, and every float step (2^-register sum, log) runs the same
+numpy ops over the same 4096-length arrays in the engine and in the
+serial oracle (tools/make_op_expected.py), so the driver gate compares
+bit-identical integers.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+HLL_P = 12
+HLL_M = 1 << HLL_P  # 4096 registers, 4 KiB per group row
+_IDX_SHIFT = np.uint64(64 - HLL_P)
+_LOW_MASK = np.uint64((1 << (64 - HLL_P)) - 1)
+_MAX_RANK = 64 - HLL_P + 1  # all-zero low bits
+_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def hash_tokens(tokens) -> np.ndarray:
+    """blake2b-8 of each token, one big-endian uint64 per token."""
+    blake = hashlib.blake2b
+    buf = b"".join(blake(t.encode(), digest_size=8).digest() for t in tokens)
+    return np.frombuffer(buf, dtype=">u8").astype(np.uint64)
+
+
+def hll_update(registers: np.ndarray, hashes: np.ndarray) -> None:
+    """Fold 64-bit hashes into a 4096-register uint8 sketch, in place.
+
+    Register index = top 12 bits; rank = leading-zero count of the low 52
+    bits + 1.  The bit length of the low part is recovered EXACTLY via
+    ``np.frexp`` — every value below 2^52 is exactly representable as a
+    float64, so the returned exponent IS the integer bit length (no
+    log2 rounding hazard)."""
+    idx = (hashes >> _IDX_SHIFT).astype(np.int64)
+    low = hashes & _LOW_MASK
+    _, exp = np.frexp(low.astype(np.float64))
+    rank = np.where(low == 0, _MAX_RANK, (64 - HLL_P) - exp + 1).astype(np.uint8)
+    np.maximum.at(registers, idx, rank)
+
+
+def hll_estimate(registers: np.ndarray) -> int:
+    """Classic HLL estimate with linear-counting small-range correction,
+    floored to int64 (the 64-bit hash space needs no large-range term)."""
+    regs = registers.astype(np.float64)
+    raw = _ALPHA * HLL_M * HLL_M / np.sum(np.exp2(-regs))
+    zeros = int(np.count_nonzero(registers == 0))
+    if raw <= 2.5 * HLL_M and zeros:
+        raw = HLL_M * np.log(HLL_M / np.float64(zeros))
+    return int(raw)
+
+
+def hll_distinct_tokens(sf_dir: str):
+    """Per-language approximate distinct-token count (HyperLogLog p=12).
+
+    Shape: map_batches folds each batch's tokens into one register row per
+    language (4 KiB, regardless of how many tokens the batch held); the
+    grouped reduce merges rows with element-wise max and the final block
+    computes the estimate.  The shuffle carries |langs| x n_batches rows
+    of 4 KiB — the whole point of the sketch vs the exact distinct pass in
+    ``source_stats`` (one row per distinct value).  Token definition is
+    the engine-wide one (ASCII-ws trim + \\s+ split)."""
+    import pandas as pd
+
+    from lexmapr_ray.functions.groupagg import sorted_group_reduce
+    from lexmapr_ray.stages.textstats import _read_documents, _token_lists
+
+    ds = _read_documents(sf_dir, ["lang", "text"])
+
+    def sketch_partial(t: pa.Table) -> pa.Table:
+        trimmed, splits = _token_lists(t["text"])
+        mask = pc.not_equal(trimmed, "")
+        langs = t["lang"].to_numpy(zero_copy_only=False)
+        out_lang, out_regs = [], []
+        for lang in np.unique(langs):
+            lmask = pa.array(langs == lang)
+            flat = pc.list_flatten(pc.filter(splits, pc.and_(lmask, mask)))
+            # batch-local distinct first: hashing each distinct token once
+            # is cheaper than hashing every occurrence, and max-folding is
+            # multiplicity-blind anyway
+            vocab = pc.unique(flat).to_pylist()
+            regs = np.zeros(HLL_M, dtype=np.uint8)
+            if vocab:
+                hll_update(regs, hash_tokens(vocab))
+            out_lang.append(lang)
+            out_regs.append(regs.tobytes())
+        return pa.table({
+            "lang": pa.array(out_lang, pa.string()),
+            "regs": pa.array(out_regs, pa.binary()),
+        })
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for lang, grp in df.groupby("lang", sort=False):
+            stack = np.frombuffer(b"".join(grp["regs"]), dtype=np.uint8)
+            merged = stack.reshape(-1, HLL_M).max(axis=0)
+            rows.append((lang, merged.tobytes()))
+        return pd.DataFrame(rows, columns=["lang", "regs"])
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        merged = merge(df)
+        merged["approx_distinct"] = [
+            hll_estimate(np.frombuffer(r, dtype=np.uint8)) for r in merged["regs"]
+        ]
+        out = merged[["lang", "approx_distinct"]].copy()
+        out["approx_distinct"] = out["approx_distinct"].astype("int64")
+        return out.sort_values("lang")
+
+    return sorted_group_reduce(
+        ds.map_batches(sketch_partial, batch_format="pyarrow"),
+        "lang", merge, finalize,
+    )

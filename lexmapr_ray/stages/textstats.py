@@ -854,3 +854,138 @@ def corpus_shuffle_order(sf_dir: str):
         })
 
     return keyed.map_batches(rank, batch_format="pandas", batch_size=None)
+
+
+def token_rarity(sf_dir: str, vocab_broadcast_limit: int = 10_000_000):
+    """Per-document mean token rarity under a corpus unigram model — the
+    model-based cousin of ``quality_score`` (a document of globally rare
+    tokens scores high; boilerplate scores low).
+
+    Integer-exact by construction (the tf-idf lesson at
+    :func:`tfidf_top_terms`): rarity of a token with corpus count ``cnt``
+    is ``(1000 * T) // cnt`` (T = total corpus tokens) — milli-units keep
+    ``1000 * T`` inside int64 up to ~9e15 tokens (PB-scale text); a
+    float ``ln`` would differ by 1 ulp between libms and break the driver
+    gate.  Document score = floor-mean of its tokens' rarities.
+
+    Shape: pass 1 builds the unigram table with the per-batch-combine ->
+    sorted-reduce shape; it attaches back size-switched exactly like
+    tf-idf (broadcast aligned Arrow arrays under the limit, bucketed hash
+    join on term above).  Pass 2 re-reduces per-doc partial sums through
+    one doc_id sort, so a document split across blocks still sums exactly
+    once."""
+    import pandas as pd
+
+    from lexmapr_ray.functions.broadcast import get_once, put_lookup
+    from lexmapr_ray.functions.groupagg import grouped_sum_count, sorted_group_reduce
+    from lexmapr_ray.functions.joins import bucketed_hash_join
+
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def doc_terms(t: pa.Table) -> "pd.DataFrame":
+        trimmed, splits = _token_lists(t["text"])
+        mask = pc.not_equal(trimmed, "")
+        flat = pc.list_flatten(pc.filter(splits, mask))
+        doc_ids = pc.take(pc.filter(t["doc_id"], mask),
+                          pc.list_parent_indices(pc.filter(splits, mask)))
+        ex = pa.table({"doc_id": doc_ids, "term": flat}).to_pandas()
+        return ex.groupby(["doc_id", "term"], sort=False).size().reset_index(name="tf")
+
+    tf = ds.map_batches(doc_terms, batch_format="pyarrow", batch_size=65536)
+    cnts = grouped_sum_count(
+        tf.map_batches(lambda d: d[["term", "tf"]], batch_format="pandas"),
+        "term", sum_cols={"cnt": "tf"},
+    ).materialize()
+    total = int(cnts.map_batches(
+        lambda d: pd.DataFrame({"t": [d["cnt"].sum()]}), batch_format="pandas"
+    ).to_pandas()["t"].sum())
+
+    def doc_partial(d: pd.DataFrame) -> pd.DataFrame:
+        g = d.groupby("doc_id", as_index=False, sort=False).agg(
+            n_tokens=("tf", "sum"), rsum=("rtot", "sum"))
+        return g
+
+    def doc_final(d: pd.DataFrame) -> pd.DataFrame:
+        g = d.groupby("doc_id", as_index=False, sort=False).agg(
+            n_tokens=("n_tokens", "sum"), rsum=("rsum", "sum"))
+        g["rarity_e3"] = (g["rsum"] // g["n_tokens"]).astype("int64")
+        return g[["doc_id", "n_tokens", "rarity_e3"]]
+
+    if cnts.count() <= vocab_broadcast_limit:
+        vocab = cnts.to_pandas()
+        rarity = (1000 * total) // vocab["cnt"].to_numpy(dtype="int64")
+        ref = put_lookup(vocab["term"].to_numpy(), rarity)
+
+        def attach(d: pd.DataFrame) -> pd.DataFrame:
+            if len(d) == 0:
+                return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                     "tf": pd.Series([], dtype="int64"),
+                                     "rtot": pd.Series([], dtype="int64")})
+            keys, vals = get_once(ref)
+            idx = pc.index_in(pa.array(d["term"].to_numpy(dtype=object)),
+                              value_set=keys)
+            r = pc.take(vals, idx).to_numpy(zero_copy_only=False)
+            return d.assign(rtot=(d["tf"].to_numpy(dtype="int64") * r)
+                            .astype("int64"))[["doc_id", "tf", "rtot"]]
+
+        scored = tf.map_batches(attach, batch_format="pandas", batch_size=65536)
+    else:
+        joined = bucketed_hash_join(tf, cnts, on="term")
+
+        def attach_joined(d: pd.DataFrame) -> pd.DataFrame:
+            r = (1000 * total) // d["cnt"].to_numpy(dtype="int64")
+            return d.assign(rtot=(d["tf"].to_numpy(dtype="int64") * r)
+                            .astype("int64"))[["doc_id", "tf", "rtot"]]
+
+        scored = joined.map_batches(attach_joined, batch_format="pandas",
+                                    batch_size=65536)
+    return sorted_group_reduce(scored, "doc_id", doc_partial, doc_final)
+
+
+def inverted_index(sf_dir: str, min_df: int = 5):
+    """Materialize an inverted index: term -> document frequency + the
+    sorted posting list (comma-joined doc_ids — a flat string column so
+    the artifact is engine-portable and driver-hashable).
+
+    Scale shape: the shuffle moves one row per DISTINCT (term, doc) pair —
+    that is the size of the index being built, so it is the information-
+    theoretic floor for this op (within-doc duplicate tokens collapse in
+    the per-batch combine).  ``min_df`` prunes the hapax tail AFTER the
+    grouped reduce (the filter is on a post-aggregation value, so unlike
+    the LSH singleton prefilter there is no second pass to save — df is
+    only known at the end)."""
+    import pandas as pd
+
+    from lexmapr_ray.functions.groupagg import sorted_group_reduce
+
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def pairs(t: pa.Table) -> pd.DataFrame:
+        trimmed, splits = _token_lists(t["text"])
+        mask = pc.not_equal(trimmed, "")
+        flat = pc.list_flatten(pc.filter(splits, mask))
+        doc_ids = pc.take(pc.filter(t["doc_id"], mask),
+                          pc.list_parent_indices(pc.filter(splits, mask)))
+        ex = pa.table({"term": flat, "doc_id": doc_ids}).to_pandas()
+        return ex.drop_duplicates()
+
+    def partial(d: pd.DataFrame) -> pd.DataFrame:
+        return d.drop_duplicates()
+
+    def finalize(d: pd.DataFrame) -> pd.DataFrame:
+        if len(d) == 0:
+            return pd.DataFrame({"term": pd.Series([], dtype="object"),
+                                 "df": pd.Series([], dtype="int64"),
+                                 "postings": pd.Series([], dtype="object")})
+        d = d.sort_values(["term", "doc_id"], kind="mergesort")
+        g = d.groupby("term", sort=False).agg(
+            df=("doc_id", "size"),
+            postings=("doc_id", lambda s: ",".join(map(str, s))))
+        g = g.reset_index()
+        g["df"] = g["df"].astype("int64")
+        return g[g["df"] >= min_df]
+
+    return sorted_group_reduce(
+        ds.map_batches(pairs, batch_format="pyarrow", batch_size=65536),
+        "term", partial, finalize,
+    )

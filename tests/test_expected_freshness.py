@@ -36,6 +36,11 @@ def _docs():
     return d["doc_id"].to_pylist(), d["text"].to_pylist()
 
 
+def _langs():
+    return pq.read_table(f"{SF}/documents.parquet",
+                         columns=["lang"])["lang"].to_pylist()
+
+
 @pytest.fixture(scope="module")
 def corpus():
     ids, texts = _docs()
@@ -55,6 +60,7 @@ def test_op_expected_fresh(corpus):
             ids, texts, ops.word_shingles, b"word", 0.8),
         "op_ngram_jaccard_pairs": ops.serial_lsh_pairs(
             ids, texts, ops.char_shingles, b"char", 0.5),
+        "op_hll_distinct_tokens": ops.serial_hll_distinct(_langs(), texts),
     }
     word_pairs = checks["op_minhash_dedup_pairs"]
     checks["op_near_dup_clusters"] = ops.serial_union_find_clusters(ids, word_pairs)

@@ -857,3 +857,90 @@ def test_length_trim_and_shuffle_order_adversarial_oracle(ray_session, tmp_path)
     # ranks are a dense permutation
     ranks = corpus_shuffle_order(str(tmp_path)).to_pandas()["shuffle_rank"]
     assert sorted(ranks) == list(range(41))
+
+
+def test_rarity_index_hll_adversarial_oracle(ray_session, tmp_path):
+    """token_rarity / inverted_index vs their DuckDB oracles, and the HLL
+    sketch vs exact distinct counts, on a corpus with edge whitespace,
+    exact duplicates, a high-repetition doc, and empty texts.  min_df is
+    lowered so the index keeps multi-doc terms of this tiny corpus."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+    from lexmapr_ray.stages.sketches import hll_distinct_tokens
+    from lexmapr_ray.stages.textstats import inverted_index, token_rarity
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog",   # exact dup
+        "\t the rare xylophone quetzal \n",               # edge ws + hapax
+        "spam spam spam spam spam",                      # repetition
+        "", "   ",                                       # tokenless
+        "the of and to in it is was",                    # all-common
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en", "en", "en", "de", "en", "de", "en"],
+                         pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    oracles = entrymod.oracle_sql()
+    for name, fn in [("token_rarity", token_rarity),
+                     ("inverted_index", lambda d: inverted_index(d, min_df=2))]:
+        got = fn(str(tmp_path)).to_pandas().reset_index(drop=True)
+        sql = oracles[name].replace(">= 5", ">= 2")
+        exp = con.execute(sql).fetchdf().reset_index(drop=True)
+        got = got[sorted(got.columns)].sort_values(sorted(got.columns)) \
+            .reset_index(drop=True)
+        exp = exp[sorted(exp.columns)].sort_values(sorted(exp.columns)) \
+            .reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False), name
+
+    # HLL: per-lang estimates land within the p=12 error envelope of the
+    # exact distinct counts (tiny cardinalities -> linear counting regime,
+    # which is near-exact)
+    got = hll_distinct_tokens(str(tmp_path)).to_pandas().set_index("lang")
+    exact = con.execute("""
+        SELECT lang, COUNT(DISTINCT term) AS n FROM (
+            SELECT lang, UNNEST(string_split_regex(
+                TRIM(text, concat(' ', chr(9), chr(10), chr(12), chr(13))),
+                '\\s+')) AS term
+            FROM documents
+            WHERE TRIM(text, concat(' ', chr(9), chr(10), chr(12), chr(13))) <> ''
+        ) GROUP BY lang""").fetchdf().set_index("lang")
+    for lang in exact.index:
+        e, a = int(exact.loc[lang, "n"]), int(got.loc[lang, "approx_distinct"])
+        assert abs(a - e) <= max(2, int(0.05 * e)), (lang, e, a)
+
+
+def test_hll_sketch_merge_and_accuracy():
+    """Register-level properties, no Ray: (1) folding a token stream in
+    any batching yields identical registers (the merge is an element-wise
+    max, so the distributed combine is exact); (2) the estimate is within
+    ~3 sigma of the p=12 standard error (1.04/sqrt(4096) ~ 1.6%) at 50k
+    distinct values."""
+    import numpy as np
+
+    from lexmapr_ray.stages.sketches import (
+        HLL_M, hash_tokens, hll_estimate, hll_update)
+
+    toks = [f"token-{i}" for i in range(50_000)]
+    whole = np.zeros(HLL_M, dtype=np.uint8)
+    hll_update(whole, hash_tokens(toks))
+
+    merged = np.zeros(HLL_M, dtype=np.uint8)
+    for lo in range(0, len(toks), 1337):
+        part = np.zeros(HLL_M, dtype=np.uint8)
+        hll_update(part, hash_tokens(toks[lo:lo + 1337]))
+        np.maximum(merged, part, out=merged)
+    assert np.array_equal(whole, merged)
+
+    est = hll_estimate(whole)
+    assert abs(est - 50_000) < 0.05 * 50_000, est

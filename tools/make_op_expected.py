@@ -158,6 +158,40 @@ def serial_lang_id(doc_ids, texts):
     return rows
 
 
+def serial_hll_distinct(langs, texts, p: int = 12):
+    """Pure-Python-int HyperLogLog per language: registers built with
+    ``int.bit_length`` (no numpy frexp trick), then the estimator formula
+    evaluated with the SAME numpy ops over the same 4096-length register
+    array the engine finalizes with — the float steps must be bit-equal,
+    the register construction is the independent check."""
+    import re
+
+    m = 1 << p
+    low_mask = (1 << (64 - p)) - 1
+    regs: dict[str, list] = {}
+    for lang, text in zip(langs, texts):
+        trimmed = text.strip(" \t\n\f\r")
+        toks = re.split(r"[ \t\n\f\r]+", trimmed) if trimmed else []
+        r = regs.setdefault(lang, [0] * m)
+        for tok in set(toks):
+            h = _h64(tok.encode())
+            idx = h >> (64 - p)
+            low = h & low_mask
+            rank = (64 - p) - low.bit_length() + 1
+            if rank > r[idx]:
+                r[idx] = rank
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    rows = []
+    for lang in sorted(regs):
+        arr = np.array(regs[lang], dtype=np.uint8)
+        raw = alpha * m * m / np.sum(np.exp2(-arr.astype(np.float64)))
+        zeros = int(np.count_nonzero(arr == 0))
+        if raw <= 2.5 * m and zeros:
+            raw = m * np.log(m / np.float64(zeros))
+        rows.append((lang, int(raw)))
+    return rows
+
+
 def serial_rolling_fp(doc_ids, texts, window: int = 16, mod: int = 1 << 61):
     """Plain-python Rabin-Karp rolling hash (mod 2^64 arithmetic) — the
     independent check of the engine's closed-form modular-inverse cumsum."""
@@ -292,9 +326,11 @@ def main():
     acc: dict[str, list] = {}
 
     for sf_dir in sf_dirs:
-        docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text", "lang"])
         doc_ids = docs["doc_id"].to_pylist()
         texts = docs["text"].to_pylist()
+        doc_langs = docs["lang"].to_pylist()
         corpus_len = sum(len(t) for t in texts)
 
         embt = pq.read_table(f"{sf_dir}/embeddings.parquet",
@@ -321,6 +357,8 @@ def main():
              ("doc_id", "lang_pred"), (i64, s), "corpus_len", corpus_len),
             ("op_rolling_fingerprint", serial_rolling_fp(doc_ids, texts),
              ("doc_id", "fp_min", "fp_max"), (i64, i64, i64), "corpus_len", corpus_len),
+            ("op_hll_distinct_tokens", serial_hll_distinct(doc_langs, texts),
+             ("lang", "approx_distinct"), (s, i64), "corpus_len", corpus_len),
             ("op_media_features", serial_media_features(doc_ids, texts),
              ("media_id", "mean_milli", "std_milli"), (i64, i64, i64),
              "corpus_len", corpus_len),
