@@ -52,6 +52,17 @@ def _kg_entities(sf_dir: str):
     return canonicalize_mentions(triples)
 
 
+def _kg_degree_stats(sf_dir: str):
+    """Graph-analytics pass over the flagship output: per ontology term,
+    distinct-triple and distinct-page fan-in (pipelines/kg.py::degree_stats).
+    Oracled by plain SQL over the committed serial expected triples — the
+    engine recomputes the triples distributed from scratch."""
+    from lexmapr_ray.pipelines.kg import degree_stats, extract_triples
+    from lexmapr_ray.sources.pages import pages_from_documents
+
+    return degree_stats(extract_triples(pages_from_documents(sf_dir), _lexicon_ref()))
+
+
 _BUCKET_LEXICON_REF = None
 
 
@@ -120,11 +131,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": textstats.inverted_index,
         # mergeable sketches (register rows, constant shuffle per group)
         "hll_distinct_tokens": sketches.hll_distinct_tokens,
+        "cms_heavy_hitters": sketches.cms_heavy_hitters,
         # deduplication
         "dedup_exact": dedup.dedup_exact,
         "span_dedup": dedup.span_dedup,
         "simhash_near_dup_pairs": dedup.simhash_near_dup_pairs,
         "ngram_decontaminate": dedup.ngram_decontaminate,
+        "bloom_decontaminate": dedup.bloom_decontaminate,
         "minhash_dedup_pairs": dedup.minhash_dedup_pairs,
         "near_dup_clusters": dedup.near_dup_clusters,
         "corpus_clean": dedup.corpus_clean,
@@ -159,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": _kg_triples,
         "kg_entities": _kg_entities,
         "kg_triples_bucket": _kg_triples_bucket,
+        "kg_degree_stats": _kg_degree_stats,
     }
 
 
@@ -613,6 +627,31 @@ def oracle_sql() -> dict[str, str]:
             FROM h LEFT JOIN cont ON h.doc_id = cont.doc_id
             WHERE h.hh >= 50 ORDER BY h.doc_id
         """,
+        "bloom_decontaminate": f"""
+            WITH h AS (
+                SELECT doc_id, text,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                            AS BIGINT) % 1000 AS hh
+                FROM documents),
+            t AS (
+                SELECT doc_id, hh,
+                       string_split_regex({_trim('text')}, '\\s+') AS tk
+                FROM h WHERE {_trim('text')} <> ''),
+            g AS (
+                SELECT doc_id, hh,
+                       unnest(list_transform(range(1, len(tk) - 8 + 2),
+                              i -> array_to_string(tk[i:i+7], ' '))) AS gram
+                FROM t),
+            cont AS (
+                SELECT DISTINCT doc_id FROM g
+                WHERE hh >= 50
+                  AND gram IN (SELECT gram FROM g WHERE hh < 50))
+            SELECT h.doc_id,
+                   (CASE WHEN cont.doc_id IS NULL THEN 0 ELSE 1 END)::BIGINT
+                       AS contaminated
+            FROM h LEFT JOIN cont ON h.doc_id = cont.doc_id
+            WHERE h.hh >= 50 ORDER BY h.doc_id
+        """,
         "source_stats": f"""
             SELECT source, COUNT(*)::BIGINT AS n_docs,
                    COUNT(DISTINCT text)::BIGINT AS n_unique_texts,
@@ -733,6 +772,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)
             ORDER BY lang
         """,
+        "cms_heavy_hitters": """
+            SELECT word, cnt, cms_est
+            FROM read_parquet('/root/repo/expected/op_cms_heavy_hitters.parquet')
+            WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)
+            ORDER BY cnt DESC, word
+        """,
         "rolling_fingerprint": """
             SELECT doc_id, fp_min, fp_max
             FROM read_parquet('/root/repo/expected/op_rolling_fingerprint.parquet')
@@ -779,6 +824,13 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('/root/repo/expected/kg_triples.parquet')
             WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)
             ORDER BY subj, pred, obj
+        """,
+        "kg_degree_stats": """
+            SELECT obj, COUNT(*)::BIGINT AS n_triples,
+                   COUNT(DISTINCT subj)::BIGINT AS n_pages
+            FROM read_parquet('/root/repo/expected/kg_triples.parquet')
+            WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)
+            GROUP BY obj ORDER BY obj
         """,
         "kg_entities": """
             SELECT mention, canonical_obj, canonical_label,

@@ -297,6 +297,48 @@ def materialize_graph(triples_ds, out_dir: str | None = None):
     return ds
 
 
+def degree_stats(triples_ds):
+    """Per-ontology-term graph degree over the DEDUPED triple set: total
+    distinct triples naming the term and distinct subject pages linking to
+    it — the fan-in profile that drives KG skew decisions (hot terms are
+    exactly the salted-key candidates in canonicalization).
+
+    Shape: triple dedup leaves unique (subj, pred, obj) rows; a per-batch
+    (obj, subj) partial count collapses the pred dimension before the ONE
+    obj sort, and the co-located final block computes the exact distinct
+    subject count (equal obj provably lives in one block, see
+    functions/groupagg.py).  Shuffle volume is <= one row per distinct
+    (obj, subj) pair per batch — never triple-scale."""
+    import pandas as pd
+
+    from lexmapr_ray.functions.groupagg import sorted_group_reduce
+
+    deduped = dedup_triples(triples_ds).map_batches(
+        lambda t: t.select(["subj", "obj"]), batch_format="pyarrow"
+    )
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"obj": pd.Series([], dtype="object"),
+                                 "subj": pd.Series([], dtype="object"),
+                                 "cnt": pd.Series([], dtype="int64")})
+        return df.groupby(["obj", "subj"], as_index=False, sort=False) \
+            .size().rename(columns={"size": "cnt"})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"obj": pd.Series([], dtype="object"),
+                                 "n_triples": pd.Series([], dtype="int64"),
+                                 "n_pages": pd.Series([], dtype="int64")})
+        g = df.groupby("obj", sort=True).agg(
+            n_triples=("cnt", "sum"), n_pages=("subj", "nunique")).reset_index()
+        g["n_triples"] = g["n_triples"].astype("int64")
+        g["n_pages"] = g["n_pages"].astype("int64")
+        return g
+
+    return sorted_group_reduce(deduped, "obj", pair_partial, final)
+
+
 def run_kg_pipeline(
     pages_ds,
     *,

@@ -768,39 +768,54 @@ def ngram_decontaminate(sf_dir: str, k: int = 8, test_permille: int = 50):
     from lexmapr_ray.stages.textstats import _token_lists, md5_permille
 
     docs = _read_documents(sf_dir, ["doc_id", "text"])
-
-    def grams_side(test_side: bool):
-        def explode(t: pa.Table) -> pa.Table:
-            h = md5_permille(t["doc_id"])
-            mask = h < test_permille if test_side else h >= test_permille
-            t = t.filter(pa.array(mask))
-            trimmed, toks = _token_lists(t["text"])
-            ids_out, grams_out = [], []
-            for doc_id, trim, tok in zip(t["doc_id"].to_pylist(),
-                                         trimmed.to_pylist(),
-                                         toks.to_pylist()):
-                if not trim or len(tok) < k:
-                    continue
-                seen = set()
-                for i in range(len(tok) - k + 1):
-                    g = " ".join(tok[i:i + k])
-                    if g not in seen:
-                        seen.add(g)
-                        ids_out.append(doc_id)
-                        grams_out.append(g)
-            return pa.table({"doc_id": pa.array(ids_out, pa.int64()),
-                             "gram": pa.array(grams_out, pa.string())})
-        return explode
-
-    test_grams = docs.map_batches(grams_side(True), batch_format="pyarrow") \
+    test_grams = docs.map_batches(_gram_explode(k, True, test_permille),
+                                  batch_format="pyarrow") \
         .map_batches(lambda t: t.select(["gram"]), batch_format="pyarrow")
-    train_grams = docs.map_batches(grams_side(False), batch_format="pyarrow")
+    train_grams = docs.map_batches(_gram_explode(k, False, test_permille),
+                                   batch_format="pyarrow")
 
     hits = semi_join(train_grams, "gram", test_grams, "gram")
     contaminated = hits.map_batches(
         lambda t: pa.table({"doc_id": pc.unique(t["doc_id"])}),
         batch_format="pyarrow",
     )
+    return _decontaminate_flags(docs, contaminated, test_permille)
+
+
+def _gram_explode(k: int, test_side: bool, test_permille: int):
+    """map_batches fn: one (doc_id, gram) row per DISTINCT word k-gram of
+    each doc on the requested split side (shared by the exact and the
+    bloom-pruned decontamination paths)."""
+    from lexmapr_ray.stages.textstats import _token_lists, md5_permille
+
+    def explode(t: pa.Table) -> pa.Table:
+        h = md5_permille(t["doc_id"])
+        mask = h < test_permille if test_side else h >= test_permille
+        t = t.filter(pa.array(mask))
+        trimmed, toks = _token_lists(t["text"])
+        ids_out, grams_out = [], []
+        for doc_id, trim, tok in zip(t["doc_id"].to_pylist(),
+                                     trimmed.to_pylist(),
+                                     toks.to_pylist()):
+            if not trim or len(tok) < k:
+                continue
+            seen = set()
+            for i in range(len(tok) - k + 1):
+                g = " ".join(tok[i:i + k])
+                if g not in seen:
+                    seen.add(g)
+                    ids_out.append(doc_id)
+                    grams_out.append(g)
+        return pa.table({"doc_id": pa.array(ids_out, pa.int64()),
+                         "gram": pa.array(grams_out, pa.string())})
+    return explode
+
+
+def _decontaminate_flags(docs, contaminated, test_permille: int):
+    """(doc_id, contaminated 0/1) for every train doc, doc_id-sorted, from
+    a Dataset of contaminated doc_ids (shared flag tail)."""
+    from lexmapr_ray.functions.joins import semi_join
+    from lexmapr_ray.stages.textstats import md5_permille
 
     def train_ids(t: pa.Table) -> pa.Table:
         t = t.filter(pa.array(md5_permille(t["doc_id"]) >= test_permille))
@@ -819,6 +834,116 @@ def ngram_decontaminate(sf_dir: str, k: int = 8, test_permille: int = 50):
     clean = semi_join(train, "doc_id", contaminated, "doc_id", anti=True) \
         .map_batches(flag(0), batch_format="pyarrow")
     return dirty.union(clean).sort("doc_id")
+
+
+# Bloom filter parameters: 2^23 bits (1 MiB) x 4 probes.  At the documented
+# design point (~1e6 distinct test grams) the fill is ~38% and the per-gram
+# false-positive rate ~2% — the exact verify join then touches ~2% of train
+# grams instead of all of them.  Scale the log2 up with the test corpus
+# (each +1 doubles the bitmap and halves the fill).
+BLOOM_BITS_LOG2 = 23
+BLOOM_HASHES = 4
+
+
+def _bloom_positions(h: np.ndarray) -> np.ndarray:
+    """(n, BLOOM_HASHES) bit positions from 64-bit gram hashes via the
+    Kirsch-Mitzenmacher double-hashing scheme g_i = h1 + i*h2 (published
+    construction; both halves come from the one blake2b-8 digest)."""
+    mask = np.uint64((1 << BLOOM_BITS_LOG2) - 1)
+    h1 = h >> np.uint64(32)
+    h2 = h | np.uint64(1)  # odd -> full-period stride
+    i = np.arange(BLOOM_HASHES, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None]) & mask).astype(np.int64)
+
+
+def _gram_hash64(grams: list) -> np.ndarray:
+    blake = hashlib.blake2b
+    buf = b"".join(blake(g.encode(), digest_size=8).digest() for g in grams)
+    return np.frombuffer(buf, dtype=">u8").astype(np.uint64)
+
+
+def bloom_decontaminate(sf_dir: str, k: int = 8, test_permille: int = 50):
+    """Bloom-pruned n-gram decontamination: OUTPUT-IDENTICAL to
+    :func:`ngram_decontaminate` (same oracle SQL), but the train side is
+    prefiltered through a broadcast Bloom filter of the test grams, so the
+    exact-verification join only ever sees the bloom-positive sliver.
+
+    Why this is the 100-TB shape: the exact path's semi join moves every
+    distinct train gram through a shuffle (or probes a broadcast test-gram
+    set that grows with the test corpus); the Bloom bitmap is CONSTANT
+    SIZE (1 MiB at 2^23 bits), built with the engine's standard
+    combine-then-merge shape (per-batch bitmaps, one OR-merge), shipped
+    once via ray.put, and probed with pure numpy.  Bloom filters have no
+    false negatives, so pruning before the exact join cannot change the
+    answer; false positives (~2% at design fill) only waste verify work."""
+    import pyarrow.compute as pc
+
+    import ray
+
+    from lexmapr_ray.functions.joins import semi_join
+
+    docs = _read_documents(sf_dir, ["doc_id", "text"])
+
+    # pass A: test-gram bitmap (per-batch combine -> one OR-merge)
+    def batch_bitmap(t: pa.Table) -> pa.Table:
+        g = _gram_explode(k, True, test_permille)(t)
+        bm = np.zeros(1 << (BLOOM_BITS_LOG2 - 3), dtype=np.uint8)
+        grams = g["gram"].to_pylist()
+        if grams:
+            pos = _bloom_positions(_gram_hash64(grams)).ravel()
+            np.bitwise_or.at(bm, pos >> 3,
+                             np.uint8(1) << (pos & 7).astype(np.uint8))
+        return pa.table({"bitmap": pa.array([bm.tobytes()], pa.binary())})
+
+    # OR-merge through the standard combine -> sorted-reduce shape: the
+    # per-batch bitmaps fold 32-at-a-time in combiner tasks, the constant
+    # key co-locates the survivors in ONE final block, and the driver only
+    # ever receives the single merged 1 MiB row (never n_batches of them)
+    import pandas as pd
+
+    from lexmapr_ray.functions.groupagg import sorted_group_reduce
+
+    def or_merge(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"b": pd.Series([], dtype="int64"),
+                                 "bitmap": pd.Series([], dtype="object")})
+        acc = np.frombuffer(b"".join(df["bitmap"]), dtype=np.uint8) \
+            .reshape(len(df), -1)
+        out = np.bitwise_or.reduce(acc, axis=0)
+        return pd.DataFrame({"b": [0], "bitmap": [out.tobytes()]})
+
+    bitmaps = docs.map_batches(batch_bitmap, batch_format="pyarrow") \
+        .map_batches(lambda t: t.append_column(
+            "b", pa.array(np.zeros(len(t), dtype=np.int64))),
+            batch_format="pyarrow")
+    final = sorted_group_reduce(bitmaps, "b", or_merge, or_merge,
+                                bundle=32).take_all()
+    merged = np.frombuffer(final[0]["bitmap"], dtype=np.uint8)
+    bloom_ref = ray.put(merged)
+
+    # pass B: bloom-positive train grams only (the candidate sliver)
+    def probe(t: pa.Table) -> pa.Table:
+        g = _gram_explode(k, False, test_permille)(t)
+        grams = g["gram"].to_pylist()
+        if not grams:
+            return g
+        bm = ray.get(bloom_ref)
+        pos = _bloom_positions(_gram_hash64(grams))
+        hit = ((bm[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1).all(axis=1)
+        return g.filter(pa.array(hit))
+
+    cand_grams = docs.map_batches(probe, batch_format="pyarrow")
+
+    # pass C: exact verify of the sliver (no false negatives upstream)
+    test_grams = docs.map_batches(_gram_explode(k, True, test_permille),
+                                  batch_format="pyarrow") \
+        .map_batches(lambda t: t.select(["gram"]), batch_format="pyarrow")
+    hits = semi_join(cand_grams, "gram", test_grams, "gram")
+    contaminated = hits.map_batches(
+        lambda t: pa.table({"doc_id": pc.unique(t["doc_id"])}),
+        batch_format="pyarrow",
+    )
+    return _decontaminate_flags(docs, contaminated, test_permille)
 
 
 # ---------------------------------------------------------------------------

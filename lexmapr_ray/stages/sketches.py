@@ -128,3 +128,86 @@ def hll_distinct_tokens(sf_dir: str):
         ds.map_batches(sketch_partial, batch_format="pyarrow"),
         "lang", merge, finalize,
     )
+
+
+# Count-min sketch parameters: 4 rows x 16384 counters (512 KiB of int64).
+# Overestimate bound: est <= true + eps*T with eps = e/w (~1.7e-4) at
+# delta = e^-d (~1.8%); widen w with corpus size to hold the bound.
+CMS_D = 4
+CMS_W = 16384
+
+
+def _cms_positions(h: np.ndarray) -> np.ndarray:
+    """(n, CMS_D) counter indices via Kirsch-Mitzenmacher double hashing
+    (same published construction the Bloom stage uses)."""
+    mask = np.uint64(CMS_W - 1)
+    h1 = h >> np.uint64(32)
+    h2 = h | np.uint64(1)
+    r = np.arange(CMS_D, dtype=np.uint64)
+    return ((h1[:, None] + r[None, :] * h2[:, None]) & mask).astype(np.int64)
+
+
+def cms_heavy_hitters(sf_dir: str, k: int = 20):
+    """Count-min-sketch corpus heavy hitters: the exact top-k words (from
+    the distributed exact pass, :func:`~...textstats.vocab_topk`) each
+    annotated with the CMS estimate of its count — the sketch's
+    one-sided-error contract (est >= cnt, est <= cnt + eps*T) made
+    inspectable per word.
+
+    Scale shape: the sketch is a CONSTANT 4 x 16384 int64 grid; each batch
+    folds its token counts into one grid (pure numpy add.at over hashed
+    positions), grids merge by element-wise SUM through the standard
+    combiner -> sorted-reduce shape (addition commutes, so the result is
+    independent of batching), and only the final 512 KiB grid reaches the
+    driver to answer the k point queries.  Against an exact top-k pass
+    the CMS trades a bounded overestimate for a shuffle that never grows
+    with the vocabulary."""
+    import pandas as pd
+
+    from lexmapr_ray.functions.groupagg import sorted_group_reduce
+    from lexmapr_ray.stages.textstats import _read_documents, _token_lists, vocab_topk
+
+    ds = _read_documents(sf_dir, ["text"])
+
+    def sketch_partial(t: pa.Table) -> pa.Table:
+        trimmed, splits = _token_lists(t["text"])
+        mask = pc.not_equal(trimmed, "")
+        flat = pc.list_flatten(pc.filter(splits, mask))
+        grid = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+        if len(flat):
+            vc = flat.value_counts()
+            words = vc.field("values").to_pylist()
+            cnts = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = _cms_positions(hash_tokens(words))  # (n, d)
+            for r in range(CMS_D):
+                np.add.at(grid[r], pos[:, r], cnts)
+        return pa.table({
+            "row": pa.array(np.arange(CMS_D, dtype=np.int64)),
+            "regs": pa.array([grid[r].tobytes() for r in range(CMS_D)],
+                             pa.binary()),
+        })
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for row, grp in df.groupby("row", sort=True):
+            acc = np.frombuffer(b"".join(grp["regs"]), dtype=np.int64) \
+                .reshape(len(grp), CMS_W).sum(axis=0)
+            rows.append((row, acc.tobytes()))
+        return pd.DataFrame(rows, columns=["row", "regs"])
+
+    grid_rows = sorted_group_reduce(
+        ds.map_batches(sketch_partial, batch_format="pyarrow"),
+        "row", merge, merge,
+    ).take_all()  # exactly CMS_D rows x 128 KiB
+    grid = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    for r in grid_rows:
+        grid[int(r["row"])] = np.frombuffer(r["regs"], dtype=np.int64)
+
+    top = vocab_topk(sf_dir, k=k).to_pandas()
+    pos = _cms_positions(hash_tokens(top["word"].tolist()))
+    est = grid[np.arange(CMS_D)[None, :], pos].min(axis=1).astype("int64")
+    top = top.assign(cms_est=est)
+
+    import ray.data as rd
+
+    return rd.from_pandas(top[["word", "cnt", "cms_est"]])

@@ -61,6 +61,7 @@ def test_op_expected_fresh(corpus):
         "op_ngram_jaccard_pairs": ops.serial_lsh_pairs(
             ids, texts, ops.char_shingles, b"char", 0.5),
         "op_hll_distinct_tokens": ops.serial_hll_distinct(_langs(), texts),
+        "op_cms_heavy_hitters": ops.serial_cms_heavy_hitters(texts),
     }
     word_pairs = checks["op_minhash_dedup_pairs"]
     checks["op_near_dup_clusters"] = ops.serial_union_find_clusters(ids, word_pairs)

@@ -944,3 +944,62 @@ def test_hll_sketch_merge_and_accuracy():
 
     est = hll_estimate(whole)
     assert abs(est - 50_000) < 0.05 * 50_000, est
+
+
+def test_bloom_decontaminate_equals_exact(ray_session, tmp_path):
+    """The Bloom-pruned path must be output-identical to the exact n-gram
+    path (no false negatives by construction; false positives die in the
+    exact verify).  Corpus engineered so the md5 permille gate puts at
+    least one doc in the test split that shares an 8-gram with a train
+    doc, plus clean train docs and short no-gram docs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lexmapr_ray.stages.dedup import bloom_decontaminate, ngram_decontaminate
+    from lexmapr_ray.stages.textstats import md5_permille
+
+    shared = "one two three four five six seven eight"
+    texts, langs = [], []
+    for i in range(40):
+        if i % 3 == 0:
+            texts.append(f"{shared} tail-{i} filler words beyond the gram")
+        elif i % 3 == 1:
+            texts.append(f"unique-{i} " * 12)
+        else:
+            texts.append("short text")  # < 8 tokens, no grams
+        langs.append("en")
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    # the gate must split the shared-gram docs across test/train for the
+    # case to bind
+    h = md5_permille(tbl["doc_id"])
+    shared_ids = [i for i in range(40) if i % 3 == 0]
+    assert any(h[i] < 500 for i in shared_ids) and \
+        any(h[i] >= 500 for i in shared_ids)
+
+    exact = ngram_decontaminate(str(tmp_path), test_permille=500).to_pandas()
+    bloom = bloom_decontaminate(str(tmp_path), test_permille=500).to_pandas()
+    pd.testing.assert_frame_equal(exact, bloom)
+    assert exact["contaminated"].sum() > 0  # the case actually binds
+
+
+def test_cms_heavy_hitters_overestimate_contract(ray_session, sf_dir):
+    """CMS point estimates are one-sided: est >= exact count for every
+    reported word, and within the eps*T bound (eps = e/w)."""
+    import math
+
+    from lexmapr_ray.stages.sketches import CMS_W, cms_heavy_hitters
+    from lexmapr_ray.stages.textstats import _read_documents
+
+    out = cms_heavy_hitters(sf_dir, k=10).to_pandas()
+    assert len(out) == 10
+    assert (out["cms_est"] >= out["cnt"]).all()
+    total_tokens = int(
+        _read_documents(sf_dir, ["text"]).to_pandas()["text"]
+        .str.split().map(len).sum())
+    eps = math.e / CMS_W
+    assert (out["cms_est"] - out["cnt"] <= eps * total_tokens * 3).all()

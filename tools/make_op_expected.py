@@ -192,6 +192,30 @@ def serial_hll_distinct(langs, texts, p: int = 12):
     return rows
 
 
+def serial_cms_heavy_hitters(texts, k: int = 20, d: int = 4, w: int = 16384):
+    """Pure-Python count-min sketch + exact top-k: dict counts, int-only
+    Kirsch-Mitzenmacher positions, min-over-rows point queries."""
+    import re
+
+    counts: dict[str, int] = {}
+    for text in texts:
+        trimmed = text.strip(" \t\n\f\r")
+        for tok in (re.split(r"[ \t\n\f\r]+", trimmed) if trimmed else []):
+            counts[tok] = counts.get(tok, 0) + 1
+    grid = [[0] * w for _ in range(d)]
+    pos_of = {}
+    for tok, c in counts.items():
+        h = _h64(tok.encode())
+        h1, h2 = h >> 32, h | 1
+        pos = [((h1 + r * h2) % (1 << 64)) & (w - 1) for r in range(d)]
+        pos_of[tok] = pos
+        for r in range(d):
+            grid[r][pos[r]] += c
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return [(tok, c, min(grid[r][pos_of[tok][r]] for r in range(d)))
+            for tok, c in top]
+
+
 def serial_rolling_fp(doc_ids, texts, window: int = 16, mod: int = 1 << 61):
     """Plain-python Rabin-Karp rolling hash (mod 2^64 arithmetic) — the
     independent check of the engine's closed-form modular-inverse cumsum."""
@@ -359,6 +383,8 @@ def main():
              ("doc_id", "fp_min", "fp_max"), (i64, i64, i64), "corpus_len", corpus_len),
             ("op_hll_distinct_tokens", serial_hll_distinct(doc_langs, texts),
              ("lang", "approx_distinct"), (s, i64), "corpus_len", corpus_len),
+            ("op_cms_heavy_hitters", serial_cms_heavy_hitters(texts),
+             ("word", "cnt", "cms_est"), (s, i64, i64), "corpus_len", corpus_len),
             ("op_media_features", serial_media_features(doc_ids, texts),
              ("media_id", "mean_milli", "std_milli"), (i64, i64, i64),
              "corpus_len", corpus_len),
