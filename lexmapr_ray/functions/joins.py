@@ -223,6 +223,8 @@ def bucketed_hash_join(
     num_buckets: int = 32,
     how: str = "inner",
     block_fn=None,
+    left_schema=None,
+    right_schema=None,
 ):
     """Partitioned hash join of two Datasets (see module docstring).
 
@@ -241,10 +243,20 @@ def bucketed_hash_join(
     (advisor r2, reproduced at 16 KiB targets).  Use ``block_fn`` for any
     per-join-key reduction; its output is returned as-is per block (typed
     via ``pa.Table.from_pandas``).
+
+    ``left_schema``/``right_schema`` (pyarrow.Schema) short-circuit the
+    ``Dataset.schema()`` calls.  On a side whose lineage contains a sort
+    or other all-to-all, ``schema()`` EXECUTES that whole upstream once
+    just to type the first block (limit pushdown cannot stream through an
+    exchange) and the join then executes it again — measured 3.8 s of the
+    minhash verify query's 10 s.  Pass the schema whenever the caller
+    knows it.
     """
     right_on = right_on or on
-    left_schema = left.schema()
-    right_schema = right.schema()
+    if left_schema is None:
+        left_schema = left.schema()
+    if right_schema is None:
+        right_schema = right.schema()
     left_cols = list(left_schema.names)
     right_cols = list(right_schema.names)
     overlap = (set(left_cols) & set(right_cols)) - ({on} if on == right_on else set())

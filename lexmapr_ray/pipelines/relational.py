@@ -236,8 +236,15 @@ def q5_regional_revenue(sf_dir: str, num_buckets: int = 32):
     j1 = bucketed_hash_join(li, orders, on="l_orderkey", right_on="o_orderkey",
                             num_buckets=num_buckets)
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    # explicit left_schema: j1's lineage contains the bucket sort, and
+    # Dataset.schema() would execute the whole first join once just for
+    # typing before the second join executes it again (joins.py docstring)
     j2 = bucketed_hash_join(j1, cust, on="o_custkey", right_on="c_custkey",
-                            num_buckets=num_buckets)
+                            num_buckets=num_buckets,
+                            left_schema=pa.schema([
+                                ("l_orderkey", pa.int64()),
+                                ("revenue_e4", pa.int64()),
+                                ("o_custkey", pa.int64())]))
 
     def attach_nation(t: pa.Table) -> pa.Table:
         names = lookup(pc.cast(t["c_nationkey"], pa.int64()), nation_ref)
@@ -314,8 +321,15 @@ def q5_full_asia_revenue(sf_dir: str, num_buckets: int = 32,
     j1 = bucketed_hash_join(li2, orders_f, on="l_orderkey", right_on="o_orderkey",
                             num_buckets=num_buckets)
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    # explicit left_schema — same double-execution rationale as
+    # q5_regional_revenue's second join
     j2 = bucketed_hash_join(j1, cust, on="o_custkey", right_on="c_custkey",
-                            num_buckets=num_buckets)
+                            num_buckets=num_buckets,
+                            left_schema=pa.schema([
+                                ("l_orderkey", pa.int64()),
+                                ("s_nationkey", pa.int64()),
+                                ("revenue_e4", pa.int64()),
+                                ("o_custkey", pa.int64())]))
 
     def correlate(t: pa.Table) -> pa.Table:
         t = t.filter(pc.equal(pc.cast(t["c_nationkey"], pa.int64()),

@@ -420,7 +420,16 @@ def _verified_pairs(sf_dir: str, threshold: float, shingle_kind: str,
         })
 
     exploded = cand.map_batches(explode, batch_format="pyarrow")
-    joined = bucketed_hash_join(exploded, docs, on="doc_id")
+    # explicit schemas: exploded's lineage contains the bucket sort, so
+    # Dataset.schema() would execute the whole candidate pipeline once
+    # just for typing and the join would run it again (see
+    # bucketed_hash_join docstring) — measured 3.8 s of this query's 10 s
+    joined = bucketed_hash_join(
+        exploded, docs, on="doc_id",
+        left_schema=pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                               ("doc_id", pa.int64())]),
+        right_schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())]),
+    )
 
     # pair-key sort co-locates both halves of every pair in one block; the
     # block fn re-merges them and runs the exact-Jaccard check vectorized
