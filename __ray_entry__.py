@@ -52,6 +52,17 @@ def _kg_entities(sf_dir: str):
     return canonicalize_mentions(triples)
 
 
+def _kg_cooccurrence(sf_dir: str):
+    """Term co-mention edge weights over the flagship triples
+    (pipelines/kg.py::cooccurrence_edges); SQL-oracled as a self-join of
+    the committed serial expected triples on subj."""
+    from lexmapr_ray.pipelines.kg import cooccurrence_edges, extract_triples
+    from lexmapr_ray.sources.pages import pages_from_documents
+
+    return cooccurrence_edges(
+        extract_triples(pages_from_documents(sf_dir), _lexicon_ref()))
+
+
 def _kg_degree_stats(sf_dir: str):
     """Graph-analytics pass over the flagship output: per ontology term,
     distinct-triple and distinct-page fan-in (pipelines/kg.py::degree_stats).
@@ -159,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_event_activity": rel.customer_event_activity,
         # per-label exact integer centroids over the embedding column
         "embedding_centroids": similarity.embedding_centroids,
+        "embedding_quantize": similarity.embedding_quantize,
         # text heuristics / fingerprints (non-SQL)
         "lang_id_heuristic": textstats.lang_id,
         "rolling_fingerprint": textstats.rolling_fingerprint,
@@ -173,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entities": _kg_entities,
         "kg_triples_bucket": _kg_triples_bucket,
         "kg_degree_stats": _kg_degree_stats,
+        "kg_cooccurrence": _kg_cooccurrence,
     }
 
 
@@ -824,6 +837,31 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('/root/repo/expected/kg_triples.parquet')
             WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)
             ORDER BY subj, pred, obj
+        """,
+        "embedding_quantize": """
+            WITH e AS (
+                SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+                       unnest(range(1, len(embedding)+1)) AS dim
+                FROM embeddings),
+            m AS (SELECT dim, MAX(ABS(v)) AS ma FROM e GROUP BY dim),
+            q AS (SELECT vec_id,
+                         CASE WHEN m.ma = 0 THEN 0
+                              ELSE GREATEST(-127, LEAST(127,
+                                   FLOOR(127 * e.v / m.ma)))::BIGINT
+                         END AS qv
+                  FROM e JOIN m USING (dim))
+            SELECT vec_id, MIN(qv)::BIGINT AS q_min, MAX(qv)::BIGINT AS q_max,
+                   SUM(qv)::BIGINT AS q_sum
+            FROM q GROUP BY vec_id ORDER BY vec_id
+        """,
+        "kg_cooccurrence": """
+            WITH t AS (
+                SELECT DISTINCT subj, obj
+                FROM read_parquet('/root/repo/expected/kg_triples.parquet')
+                WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents))
+            SELECT a.obj AS obj_a, b.obj AS obj_b, COUNT(*)::BIGINT AS n_pages
+            FROM t a JOIN t b ON a.subj = b.subj AND a.obj < b.obj
+            GROUP BY a.obj, b.obj ORDER BY obj_a, obj_b
         """,
         "kg_degree_stats": """
             SELECT obj, COUNT(*)::BIGINT AS n_triples,

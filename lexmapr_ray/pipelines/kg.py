@@ -339,6 +339,39 @@ def degree_stats(triples_ds):
     return sorted_group_reduce(deduped, "obj", pair_partial, final)
 
 
+def cooccurrence_edges(triples_ds):
+    """Term co-mention edges: for every pair of ontology terms linked from
+    the same page, the number of distinct pages naming both — the
+    edge-weighting pass that turns extracted triples into a term graph.
+
+    Shape: triple dedup leaves the rows globally (subj, pred, obj)-sorted
+    and subj co-located (sort outputs are never re-split, the pinned
+    guarantee in functions/groupagg.py), so a per-block pass emits each
+    page's distinct-term pairs exactly once — C(k,2) rows for a page with
+    k distinct terms, bounded by mention density, never corpus-quadratic —
+    and one grouped count on (obj_a, obj_b) finishes.  A hub page with
+    thousands of terms would need a degree cap; web pages are dozens."""
+    import pandas as pd
+
+    from lexmapr_ray.functions.groupagg import grouped_sum_count
+
+    deduped = dedup_triples(triples_ds)
+
+    def page_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"obj_a": pd.Series([], dtype="object"),
+                                 "obj_b": pd.Series([], dtype="object")})
+        d = df[["subj", "obj"]].drop_duplicates()
+        m = d.merge(d, on="subj")
+        m = m[m["obj_x"] < m["obj_y"]]
+        return m.rename(columns={"obj_x": "obj_a", "obj_y": "obj_b"}) \
+            [["obj_a", "obj_b"]]
+
+    pairs = deduped.map_batches(page_pairs, batch_format="pandas",
+                                batch_size=None)
+    return grouped_sum_count(pairs, ["obj_a", "obj_b"], count_alias="n_pages")
+
+
 def run_kg_pipeline(
     pages_ds,
     *,

@@ -441,3 +441,65 @@ def embedding_centroids(sf_dir: str):
         return out
 
     return summed.map_batches(finish, batch_format="pandas")
+
+
+def embedding_quantize(sf_dir: str):
+    """Symmetric int8 quantization of the embedding column (the storage
+    compression pass an embedding corpus runs before ANN serving: 4x
+    smaller, scale recoverable per dimension).
+
+    Two passes, both integer/IEEE-exact against the SQL oracle:
+      1. per-dimension max|v| — per-batch fold to ONE 64-double row, rows
+         merged with element-wise max (order-independent, no accumulation
+         error) through the standard combine -> sorted-reduce shape; only
+         the single final row reaches the driver (512 B).
+      2. q = clip(floor(127 * v / max_dim), -127, 127) vectorized per
+         batch — float32 -> float64 promotion, the multiply, divide and
+         floor are the same IEEE ops DuckDB evaluates for
+         ``FLOOR(127 * v / m)``, so no rounding-mode hazard (the
+         embedding_centroids lesson).  Zero-scale dimensions quantize
+         to 0.
+    Output is the per-vector quantized summary (min/max/sum) — a flat,
+    driver-hashable attestation of every quantized value."""
+    import pandas as pd
+
+    from lexmapr_ray.functions.groupagg import sorted_group_reduce
+
+    ds = _read_embeddings(sf_dir, ["vec_id", "embedding"])
+
+    def maxabs_partial(t: pa.Table) -> pa.Table:
+        m = np.abs(_batch_matrix(t)).max(axis=0)
+        return pa.table({
+            "g": pa.array([0], pa.int64()),
+            "ma": pa.array([m.tobytes()], pa.binary()),
+        })
+
+    def maxabs_merge(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"g": pd.Series([], dtype="int64"),
+                                 "ma": pd.Series([], dtype="object")})
+        acc = np.frombuffer(b"".join(df["ma"]), dtype=np.float64) \
+            .reshape(len(df), -1).max(axis=0)
+        return pd.DataFrame({"g": [0], "ma": [acc.tobytes()]})
+
+    row = sorted_group_reduce(
+        ds.map_batches(maxabs_partial, batch_format="pyarrow"),
+        "g", maxabs_merge, maxabs_merge,
+    ).take_all()
+    ma = np.frombuffer(row[0]["ma"], dtype=np.float64)
+    safe = np.where(ma == 0.0, 1.0, ma)  # zero-scale dims quantize to 0
+    zero_dim = ma == 0.0
+
+    def quantize(t: pa.Table) -> pa.Table:
+        m = _batch_matrix(t)
+        q = np.clip(np.floor(127.0 * m / safe), -127, 127).astype(np.int64)
+        q[:, zero_dim] = 0
+        return pa.table({
+            "vec_id": pa.array(t["vec_id"].to_numpy(zero_copy_only=False)
+                               .astype(np.int64)),
+            "q_min": pa.array(q.min(axis=1)),
+            "q_max": pa.array(q.max(axis=1)),
+            "q_sum": pa.array(q.sum(axis=1)),
+        })
+
+    return ds.map_batches(quantize, batch_format="pyarrow").sort("vec_id")
