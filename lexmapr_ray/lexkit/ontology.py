@@ -175,8 +175,37 @@ def _choose_label(labels: list[tuple[str, str]]) -> str | None:
     return sorted(labels)[-1][1]
 
 
-def fetch_ontology(path: str, root_uri: str = OWL_THING) -> dict:
-    """ontofetch.Ontology.__main__ equivalent: {"specifications": {...}}."""
+def resolve_ontology_source(source: str, cache_dir: str | None = None) -> str:
+    """URL/path -> local OWL file path (the explicit seam for the
+    reference's network fetcher, ontofetch.py:158-213).
+
+    This sandbox has no network, so a ``http(s)://`` source resolves ONLY
+    through ``cache_dir``: the file named by the IRI's last path segment
+    must already exist there (pre-seeded by an out-of-band download).  In
+    a deployment with egress, this function is the single place to add the
+    download-into-cache step; everything downstream consumes local files.
+    Raises ``FileNotFoundError`` with the exact expected cache path so the
+    omission is explicit rather than a silent term loss."""
+    if not source.startswith(("http://", "https://")):
+        return source
+    name = source.rstrip("/").rsplit("/", 1)[-1]
+    if cache_dir:
+        local = os.path.join(cache_dir, name)
+        if os.path.exists(local):
+            return local
+    raise FileNotFoundError(
+        f"ontology IRI {source!r} needs a pre-seeded local cache copy "
+        f"({os.path.join(cache_dir or '<cache_dir>', name)}); this "
+        "environment has no network egress"
+    )
+
+
+def fetch_ontology(path: str, root_uri: str = OWL_THING,
+                   cache_dir: str | None = None) -> dict:
+    """ontofetch.Ontology.__main__ equivalent: {"specifications": {...}}.
+    ``path`` may be a local file or an ontology IRI resolved through
+    :func:`resolve_ontology_source`."""
+    path = resolve_ontology_source(path, cache_dir)
     classes = parse_owl_classes(path)
     closure = _subclass_closure(classes, root_uri)
 

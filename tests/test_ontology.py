@@ -397,3 +397,30 @@ def test_owl_imports_cycle_terminates(tmp_path):
     fetched = fetch_ontology(str(main), "http://purl.example.org/obo/EX_0000001")
     assert "EX:0000002" in fetched["specifications"]
     assert "EX:0000055" in fetched["specifications"]
+
+
+def test_resolve_ontology_source_cache_seam(tmp_path):
+    """The URL->cache adapter (the explicit stand-in for the reference's
+    network fetcher): IRIs resolve from a pre-seeded cache dir, local
+    paths pass through, and a cache miss fails loudly with the expected
+    path instead of silently losing terms."""
+    import pytest
+
+    from lexmapr_ray.lexkit.ontology import (
+        fetch_ontology, resolve_ontology_source)
+
+    assert resolve_ontology_source("/some/local.owl") == "/some/local.owl"
+
+    import shutil
+
+    shutil.copy(os.path.join(ONT_DIR, "bfo.owl"), tmp_path / "bfo.owl")
+    url = "https://example.org/ontologies/bfo.owl"
+    local = resolve_ontology_source(url, cache_dir=str(tmp_path))
+    assert local == str(tmp_path / "bfo.owl")
+    # end-to-end: fetch through the IRI + cache
+    spec = fetch_ontology(url, cache_dir=str(tmp_path))
+    assert spec["specifications"]
+
+    with pytest.raises(FileNotFoundError, match="no network egress"):
+        resolve_ontology_source("https://example.org/missing.owl",
+                                cache_dir=str(tmp_path))
