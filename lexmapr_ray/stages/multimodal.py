@@ -49,29 +49,48 @@ def synth_media_dataset(n_items: int, seed: int = 42):
 class DecodeImage:
     """Actor-pool decode stage (small batches: payloads are large).
 
-    Real deployments plug a codec (PIL/libjpeg) into ``_decode``; here the
-    deterministic fake parses the synthetic header.  ``fake=False`` raises
-    NotImplementedError at init, making the stub explicit.
+    ``fake=True`` (default here) parses the deterministic synthetic
+    header.  ``fake=False`` is the real-codec seam: it import-tries PIL
+    at actor init (once per actor, the actor-pool rule) and decodes
+    grayscale via ``PIL.Image.open``; in THIS container no codec is
+    installed, so init raises NotImplementedError with the dependency
+    named — the stub is explicit, the plumbing (schema, batch sizing,
+    actor signature) identical either way.
     """
 
     def __init__(self, fake: bool = True):
+        self._pil = None
         if not fake:
-            raise NotImplementedError(
-                "no image codec available in this environment; use fake=True"
-            )
+            try:
+                from PIL import Image  # noqa: F401  (absent in this container)
+
+                self._pil = Image
+            except ImportError:
+                raise NotImplementedError(
+                    "fake=False needs an image codec (pip install pillow); "
+                    "none is available in this environment"
+                ) from None
 
     @staticmethod
     def _decode(payload: bytes) -> np.ndarray:
+        """Synthetic-header codec (the deterministic fake)."""
         if not payload.startswith(_MAGIC):
             raise ValueError("bad magic")
         w = int.from_bytes(payload[8:10], "big")
         h = int.from_bytes(payload[10:12], "big")
         return np.frombuffer(payload[12:12 + w * h], dtype=np.uint8).reshape(h, w)
 
+    def _decode_any(self, payload: bytes) -> np.ndarray:
+        if self._pil is not None:
+            import io
+
+            return np.asarray(self._pil.open(io.BytesIO(payload)).convert("L"))
+        return self._decode(payload)
+
     def __call__(self, t: pa.Table) -> pa.Table:
         means, stds = [], []
         for payload in t["payload"].to_pylist():
-            img = self._decode(payload)
+            img = self._decode_any(payload)
             means.append(int(img.mean() * 1000))
             stds.append(int(img.std() * 1000))
         return pa.table({
