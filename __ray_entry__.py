@@ -63,6 +63,15 @@ def _kg_cooccurrence(sf_dir: str):
         extract_triples(pages_from_documents(sf_dir), _lexicon_ref()))
 
 
+def _url_latest_capture(sf_dir: str):
+    """Keep each url's latest crawl capture (sources/pages.py); the
+    deterministic multi-capture table is a pure function of documents, so
+    the SQL oracle regenerates it with a range unnest."""
+    from lexmapr_ray.sources.pages import url_latest_capture
+
+    return url_latest_capture(sf_dir)
+
+
 def _kg_degree_stats(sf_dir: str):
     """Graph-analytics pass over the flagship output: per ontology term,
     distinct-triple and distinct-page fan-in (pipelines/kg.py::degree_stats).
@@ -180,6 +189,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": media_features_from_documents,
         "media_resize_features": mm.media_resize_features,
         "video_frame_features": mm.video_frame_features,
+        # url-recency dedup over the multi-capture pages table
+        "url_latest_capture": _url_latest_capture,
         # knowledge-graph pipeline (the flagship; non-SQL)
         "kg_triples": _kg_triples,
         "kg_entities": _kg_entities,
@@ -853,6 +864,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, MIN(qv)::BIGINT AS q_min, MAX(qv)::BIGINT AS q_max,
                    SUM(qv)::BIGINT AS q_sum
             FROM q GROUP BY vec_id ORDER BY vec_id
+        """,
+        "url_latest_capture": """
+            WITH caps AS (
+                SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+                       1700000000000000 + doc_id * 1000000 + i AS warc_ts_us,
+                       LENGTH(text || ' v' || CAST(i AS VARCHAR))::BIGINT
+                           AS n_chars
+                FROM documents,
+                     UNNEST(range(0, 1 + doc_id % 3)) AS u(i)),
+            ranked AS (
+                SELECT *, ROW_NUMBER() OVER
+                           (PARTITION BY url ORDER BY warc_ts_us DESC) AS rn,
+                       COUNT(*) OVER (PARTITION BY url) AS n_captures
+                FROM caps)
+            SELECT url, warc_ts_us, n_chars, n_captures::BIGINT AS n_captures
+            FROM ranked WHERE rn = 1 ORDER BY url
         """,
         "kg_cooccurrence": """
             WITH t AS (

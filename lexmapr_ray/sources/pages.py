@@ -164,3 +164,63 @@ def pages_from_documents(sf_dir: str, batch_size: int = 512):
         return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
 
     return ds.map_batches(to_pages, batch_format="pyarrow", batch_size=batch_size)
+
+
+def multi_capture_pages(sf_dir: str, batch_size: int = 512):
+    """Deterministic MULTI-CAPTURE pages table: document ``d`` appears as
+    ``1 + d % 3`` crawl captures of the same url at strictly increasing
+    ``warc_ts`` (the Common-Crawl situation url-recency dedup exists for).
+    Capture ``i`` carries ``text + ' v{i}'`` so captures differ and the
+    winner is observable.  Pure function of the documents table, so the
+    SQL oracle regenerates the identical capture set."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        urls, tss, chars = [], [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            for i in range(1 + int(d) % 3):
+                urls.append(f"doc://{d}")
+                tss.append(_BASE_TS_US + int(d) * 1_000_000 + i)
+                chars.append(len(f"{t} v{i}"))
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "warc_ts_us": pa.array(tss, pa.int64()),
+            "n_chars": pa.array(chars, pa.int64()),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow", batch_size=batch_size)
+
+
+def url_latest_capture(sf_dir: str):
+    """URL-recency dedup: keep each url's LATEST capture (max warc_ts) and
+    report how many captures it superseded — the crawl-freshness pass a
+    Common-Crawl ingest runs before any content processing.
+
+    Scale shape: per-batch argmax combiner (one surviving row + capture
+    count per url per batch — exact-safe: the global latest capture is
+    each batch's latest for its url) -> ONE url sort -> co-located final
+    argmax + count sum.  Shuffle volume is <= one row per (url, batch),
+    never capture-scale."""
+    import pandas as pd
+
+    from lexmapr_ray.functions.groupagg import sorted_group_reduce
+
+    caps = multi_capture_pages(sf_dir)
+
+    def keep_latest(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"url": pd.Series([], dtype="object"),
+                                 "warc_ts_us": pd.Series([], dtype="int64"),
+                                 "n_chars": pd.Series([], dtype="int64"),
+                                 "n_captures": pd.Series([], dtype="int64")})
+        if "n_captures" not in df.columns:
+            df = df.assign(n_captures=np.ones(len(df), dtype=np.int64))
+        df = df.sort_values(["url", "warc_ts_us"], kind="mergesort")
+        counts = df.groupby("url", sort=False)["n_captures"].sum()
+        last = df.groupby("url", sort=False).tail(1).set_index("url")
+        last["n_captures"] = counts
+        return last.reset_index()[["url", "warc_ts_us", "n_chars", "n_captures"]]
+
+    return sorted_group_reduce(caps, "url", keep_latest, keep_latest)
