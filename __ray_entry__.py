@@ -102,7 +102,7 @@ def _kg_triples_bucket(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from lexmapr_ray.pipelines import relational as rel
-    from lexmapr_ray.pipelines import windows
+    from lexmapr_ray.pipelines import webgraph, windows
     from lexmapr_ray.stages import dedup, packing, similarity, sketches, textstats
     from lexmapr_ray.stages import multimodal as mm
     from lexmapr_ray.stages.multimodal import media_features_from_documents
@@ -191,6 +191,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frame_features": mm.video_frame_features,
         # url-recency dedup over the multi-capture pages table
         "url_latest_capture": _url_latest_capture,
+        # web-graph analytics: link authority + host-level curation
+        "pagerank_docs": webgraph.pagerank_docs,
+        "host_stats": webgraph.host_stats,
+        "host_filtered_corpus": webgraph.host_filtered_corpus,
         # knowledge-graph pipeline (the flagship; non-SQL)
         "kg_triples": _kg_triples,
         "kg_entities": _kg_entities,
@@ -880,6 +884,78 @@ def oracle_sql() -> dict[str, str]:
                 FROM caps)
             SELECT url, warc_ts_us, n_chars, n_captures::BIGINT AS n_captures
             FROM ranked WHERE rn = 1 ORDER BY url
+        """,
+        # Integer fixed-point PageRank, 3 iterations unrolled — the link
+        # model, constants and int division mirror pipelines/webgraph.py
+        # literally, so the comparison is bit-exact (no float tolerance).
+        "pagerank_docs": """
+            WITH edges AS (
+                SELECT d.doc_id AS src,
+                       (d.doc_id * 31 + 7 + 13 * u.j)
+                           % (SELECT COUNT(*) FROM documents) AS dst
+                FROM documents d,
+                     UNNEST(range(0, 1 + d.doc_id % 3)) AS u(j)),
+            deg AS (SELECT src, COUNT(*)::BIGINT AS deg
+                    FROM edges GROUP BY src),
+            ed AS (SELECT e.src, e.dst, g.deg
+                   FROM edges e JOIN deg g USING (src)),
+            r0 AS (SELECT doc_id AS node, 1000000::BIGINT AS pr
+                   FROM documents),
+            s1 AS (SELECT ed.dst AS node, SUM(r.pr // ed.deg) AS s
+                   FROM ed JOIN r0 r ON r.node = ed.src GROUP BY ed.dst),
+            r1 AS (SELECT n.node,
+                          (150000 + (85 * COALESCE(s.s, 0)) // 100)::BIGINT
+                              AS pr
+                   FROM r0 n LEFT JOIN s1 s USING (node)),
+            s2 AS (SELECT ed.dst AS node, SUM(r.pr // ed.deg) AS s
+                   FROM ed JOIN r1 r ON r.node = ed.src GROUP BY ed.dst),
+            r2 AS (SELECT n.node,
+                          (150000 + (85 * COALESCE(s.s, 0)) // 100)::BIGINT
+                              AS pr
+                   FROM r1 n LEFT JOIN s2 s USING (node)),
+            s3 AS (SELECT ed.dst AS node, SUM(r.pr // ed.deg) AS s
+                   FROM ed JOIN r2 r ON r.node = ed.src GROUP BY ed.dst),
+            r3 AS (SELECT n.node,
+                          (150000 + (85 * COALESCE(s.s, 0)) // 100)::BIGINT
+                              AS pr
+                   FROM r2 n LEFT JOIN s3 s USING (node))
+            SELECT node, pr FROM r3 ORDER BY node
+        """,
+        "host_stats": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       'host' || CAST(doc_id // 16 AS VARCHAR) AS host,
+                       md5(array_to_string(list_slice(
+                           string_split_regex(text, '\s+'), 1, 12), ' '))
+                           AS digest,
+                       LENGTH(text)::BIGINT AS n_chars
+                FROM documents),
+            c AS (SELECT digest, COUNT(*) AS n_occ FROM d GROUP BY digest)
+            SELECT host,
+                   SUM(CASE WHEN c.n_occ > 1 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_dup,
+                   SUM(d.n_chars)::BIGINT AS sum_chars,
+                   COUNT(*)::BIGINT AS n_docs
+            FROM d JOIN c USING (digest)
+            GROUP BY host ORDER BY host
+        """,
+        "host_filtered_corpus": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       'host' || CAST(doc_id // 16 AS VARCHAR) AS host,
+                       md5(array_to_string(list_slice(
+                           string_split_regex(text, '\s+'), 1, 12), ' '))
+                           AS digest
+                FROM documents),
+            c AS (SELECT digest, COUNT(*) AS n_occ FROM d GROUP BY digest),
+            h AS (SELECT host,
+                         SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS n_dup,
+                         COUNT(*) AS n_docs
+                  FROM d JOIN c USING (digest) GROUP BY host)
+            SELECT d.doc_id, d.host
+            FROM d JOIN h USING (host)
+            WHERE h.n_dup * 1000 <= h.n_docs * 187
+            ORDER BY d.doc_id
         """,
         "kg_cooccurrence": """
             WITH t AS (

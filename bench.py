@@ -192,6 +192,7 @@ def run_queries(sf_dir: str) -> dict:
     first-read costs (worker imports, parquet footer cache) that are fixed
     per session, not per query."""
     from lexmapr_ray.pipelines import relational as rel
+    from lexmapr_ray.pipelines import webgraph
     from lexmapr_ray.stages import dedup, similarity, sketches, textstats
 
     import ray.data as rd
@@ -220,6 +221,8 @@ def run_queries(sf_dir: str) -> dict:
         ("hll_distinct_tokens", sketches.hll_distinct_tokens),
         ("token_rarity", textstats.token_rarity),
         ("inverted_index", textstats.inverted_index),
+        ("pagerank_docs", webgraph.pagerank_docs),
+        ("host_filtered_corpus", webgraph.host_filtered_corpus),
     ]:
         t0 = time.time()
         res = fn(sf_dir)

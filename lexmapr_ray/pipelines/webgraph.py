@@ -1,0 +1,267 @@
+"""Web-graph analytics over the synthetic corpus: link graph, PageRank,
+and host-level curation stats.
+
+A 100-TB web ingest runs exactly these passes between fetch and training:
+rank hosts/pages by link authority (crawl prioritization, quality prior)
+and aggregate per-host corpus health (dup rate, size) to build host
+blocklists (the C4 recipe filters whole hosts, not documents).
+
+Because the sandbox has no external data, the LINK MODEL is a pure
+deterministic function of ``doc_id`` (same contract as
+``sources/pages.py``): document ``d`` emits ``1 + d % 3`` outlinks, the
+``j``-th pointing at ``(d * 31 + 7 + 13 * j) mod N`` where ``N`` is the
+corpus row count.  The SQL oracles regenerate the identical edge set, so
+what the DuckDB gate verifies is the distributed iteration itself.
+
+Exactness convention: PageRank runs in INTEGER fixed-point (micro-rank
+units).  Float PageRank sums in engine-dependent order; integer division
+``rank // out_degree`` and int64 sums are order-independent, so the Ray
+result and the unrolled-SQL oracle are bit-equal, not approximately equal.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from lexmapr_ray.functions.groupagg import grouped_sum_count
+from lexmapr_ray.functions.joins import bucketed_hash_join, semi_join
+
+# fixed-point PageRank constants (mirrored literally in the SQL oracles)
+R0 = 1_000_000          # initial rank per node, micro-units
+DAMP_NUM, DAMP_DEN = 85, 100
+BASE = R0 * (DAMP_DEN - DAMP_NUM) // DAMP_DEN  # = 150_000
+
+
+def _read_docs(sf_dir: str, columns):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def doc_links(sf_dir: str):
+    """The synthetic link graph as a (src, dst) edge Dataset.
+
+    Generated distributed (one vectorized explode per batch, no Python
+    row loop); ``N`` comes from parquet metadata (``count()`` reads no
+    row data)."""
+    n_docs = _read_docs(sf_dir, ["doc_id"]).count()
+
+    def explode(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy().astype(np.int64)
+        reps = 1 + (d % 3)
+        src = np.repeat(d, reps)
+        ends = np.cumsum(reps)
+        j = np.arange(int(ends[-1]) if len(ends) else 0, dtype=np.int64) \
+            - np.repeat(ends - reps, reps)
+        dst = (src * 31 + 7 + 13 * j) % n_docs
+        return pa.table({"src": src, "dst": dst})
+
+    return _read_docs(sf_dir, ["doc_id"]).map_batches(
+        explode, batch_format="pyarrow")
+
+
+_EDGE_SCHEMA = pa.schema([("src", pa.int64()), ("dst", pa.int64()),
+                          ("deg", pa.int64())])
+_RANK_SCHEMA = pa.schema([("node", pa.int64()), ("pr", pa.int64())])
+
+
+def pagerank(edges, nodes, *, iters: int = 3, num_buckets: int = 32):
+    """Distributed integer PageRank over an arbitrary (src, dst) edge
+    Dataset; ``nodes`` is a Dataset with one int64 ``node`` row per vertex
+    (vertices with no in-links must still appear in the output).
+
+    Shape per iteration (the irreducible PageRank exchange):
+      1. edges+deg  JOIN  ranks ON src   (bucketed hash join)
+      2. per-row contribution ``rank // deg``  (vectorized, no key
+         aggregation — safe under block re-splitting)
+      3. union one zero-contribution row per node (keeps sinks alive)
+      4. ONE grouped int sum on dst -> new ranks
+
+    Out-degrees are computed ONCE (a grouped count + one join) and the
+    (src, dst, deg) table is materialized to the object store because all
+    ``iters`` rounds re-scan it — on a real cluster this is the
+    co-partitioned adjacency every Pregel-style engine caches.  Only
+    edge/rank datasets move; nothing lands on the driver."""
+    deg = grouped_sum_count(edges, "src", count_alias="deg")
+    edges_deg = bucketed_hash_join(
+        edges, deg, on="src", num_buckets=num_buckets,
+        left_schema=pa.schema([("src", pa.int64()), ("dst", pa.int64())]),
+        right_schema=pa.schema([("src", pa.int64()), ("deg", pa.int64())]),
+    ).map_batches(
+        lambda t: pa.table({"src": pc.cast(t["src"], pa.int64()),
+                            "dst": pc.cast(t["dst"], pa.int64()),
+                            "deg": pc.cast(t["deg"], pa.int64())}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    ranks = nodes.map_batches(
+        lambda t: pa.table({
+            "node": pc.cast(t["node"], pa.int64()),
+            "pr": pa.array(np.full(len(t), R0, dtype=np.int64)),
+        }),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(iters):
+        contrib = bucketed_hash_join(
+            edges_deg, ranks, on="src", right_on="node",
+            num_buckets=num_buckets,
+            left_schema=_EDGE_SCHEMA, right_schema=_RANK_SCHEMA,
+        ).map_batches(
+            lambda t: pa.table({
+                "node": pc.cast(t["dst"], pa.int64()),
+                "c": pc.divide(pc.cast(t["pr"], pa.int64()),
+                               pc.cast(t["deg"], pa.int64())),
+            }),
+            batch_format="pyarrow",
+        )
+        zeros = ranks.map_batches(
+            lambda t: pa.table({
+                "node": t["node"],
+                "c": pa.array(np.zeros(len(t), dtype=np.int64)),
+            }),
+            batch_format="pyarrow",
+        )
+        summed = grouped_sum_count(contrib.union(zeros), "node", {"s": "c"})
+        ranks = summed.map_batches(
+            lambda t: pa.table({
+                "node": pc.cast(t["node"], pa.int64()),
+                "pr": pc.add(
+                    pa.scalar(BASE, pa.int64()),
+                    pc.divide(pc.multiply(pc.cast(t["s"], pa.int64()),
+                                          pa.scalar(DAMP_NUM, pa.int64())),
+                              pa.scalar(DAMP_DEN, pa.int64()))),
+            }),
+            batch_format="pyarrow",
+        ).materialize()
+
+    return ranks.sort("node")
+
+
+def pagerank_docs(sf_dir: str, iters: int = 3, num_buckets: int = 32):
+    """PageRank over the synthetic doc link graph (queries() entry).
+
+    Every doc has >= 1 outlink by construction, so there is no dangling
+    mass; the zero-union in :func:`pagerank` still covers docs nothing
+    links TO."""
+    nodes = _read_docs(sf_dir, ["doc_id"]).map_batches(
+        lambda t: pa.table({"node": pc.cast(t["doc_id"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    return pagerank(doc_links(sf_dir), nodes,
+                    iters=iters, num_buckets=num_buckets)
+
+
+# ---------------------------------------------------------------------------
+# Host-level corpus curation
+# ---------------------------------------------------------------------------
+
+DOCS_PER_HOST = 16  # synthetic host model: host id = doc_id // 16
+
+
+def _host_expr(d: pa.ChunkedArray | pa.Array) -> pa.Array:
+    hid = pc.divide(pc.cast(d, pa.int64()),
+                    pa.scalar(DOCS_PER_HOST, pa.int64()))
+    return pc.binary_join_element_wise(
+        pa.array(np.full(len(d), "host", dtype=object), pa.string()),
+        pc.cast(hid, pa.string()), "")
+
+
+PREFIX_TOKENS = 12  # boilerplate fingerprint length (tokens)
+
+
+def host_stats(sf_dir: str, num_buckets: int = 32):
+    """Per-host corpus health: doc count, boilerplate-duplicate count,
+    total characters.  ``n_dup`` counts docs whose leading-``PREFIX_TOKENS``
+    fingerprint occurs more than once CORPUS-WIDE — shared lead text is
+    what template/mirror/spam hosts look like (exact-body md5 would also
+    work but is degenerate on this corpus: every text is unique).
+
+    Shape: one digest grouped count (corpus-scale shuffle), one bucketed
+    join back to the doc table (the digest-count table is corpus-scale —
+    a broadcast would be the r1-flagged anti-pattern), then one host
+    rollup.  The host key is doc_id-derived here; with real URLs the
+    host() extraction is the same vectorized map."""
+    import hashlib
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        # prefix join is Arrow-native (RE2 \s+, the engine-wide whitespace
+        # definition — matches the oracle's string_split_regex);
+        # md5 has no Arrow kernel, the bytes loop IS the hash
+        toks = pc.split_pattern_regex(t["text"], pattern=r"\s+")
+        prefix = pc.binary_join(
+            pc.list_slice(toks, 0, PREFIX_TOKENS), " ")
+        digs = pa.array(
+            [hashlib.md5(s.encode()).hexdigest()
+             for s in prefix.to_pylist()], pa.string())
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "host": _host_expr(t["doc_id"]),
+            "digest": digs,
+            "n_chars": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+        })
+
+    prepped = docs.map_batches(prep, batch_format="pyarrow")
+    dig_counts = grouped_sum_count(
+        prepped.map_batches(lambda t: t.select(["digest"]),
+                            batch_format="pyarrow"),
+        "digest", count_alias="n_occ",
+    )
+    joined = bucketed_hash_join(
+        prepped, dig_counts, on="digest", num_buckets=num_buckets,
+        left_schema=pa.schema([
+            ("doc_id", pa.int64()), ("host", pa.string()),
+            ("digest", pa.string()), ("n_chars", pa.int64())]),
+        right_schema=pa.schema([
+            ("digest", pa.string()), ("n_occ", pa.int64())]),
+    )
+
+    def to_host_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "host": t["host"],
+            "is_dup": pc.cast(
+                pc.greater(pc.cast(t["n_occ"], pa.int64()), 1), pa.int64()),
+            "n_chars": pc.cast(t["n_chars"], pa.int64()),
+        })
+
+    return grouped_sum_count(
+        joined.map_batches(to_host_rows, batch_format="pyarrow"),
+        "host", {"n_dup": "is_dup", "sum_chars": "n_chars"},
+        count_alias="n_docs",
+    )
+
+
+def host_filtered_corpus(sf_dir: str, max_dup_permille: int = 187,
+                         num_buckets: int = 32,
+                         broadcast_limit: int = 2_000_000):
+    """C4-style HOST blocklist filter: drop every document on a host whose
+    exact-duplicate share exceeds ``max_dup_permille`` (integer permille —
+    no float thresholds, oracle-exact).  Returns the surviving
+    (doc_id, host), sorted.
+
+    The good-host set scales with corpus size (hosts ~ docs / 16), so
+    membership is a size-switched :func:`semi_join` — broadcast keys when
+    small, bucketed co-location above ``broadcast_limit`` — never a
+    driver-side dict."""
+    stats = host_stats(sf_dir, num_buckets=num_buckets)
+
+    def good_hosts(t: pa.Table) -> pa.Table:
+        mask = pc.less_equal(
+            pc.multiply(pc.cast(t["n_dup"], pa.int64()),
+                        pa.scalar(1000, pa.int64())),
+            pc.multiply(pc.cast(t["n_docs"], pa.int64()),
+                        pa.scalar(max_dup_permille, pa.int64())))
+        return t.filter(mask).select(["host"])
+
+    good = stats.map_batches(good_hosts, batch_format="pyarrow")
+    docs = _read_docs(sf_dir, ["doc_id"]).map_batches(
+        lambda t: pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                            "host": _host_expr(t["doc_id"])}),
+        batch_format="pyarrow",
+    )
+    return semi_join(docs, "host", good, "host",
+                     broadcast_limit=broadcast_limit).sort("doc_id")

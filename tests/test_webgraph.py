@@ -1,0 +1,80 @@
+"""Web-graph operators: generic PageRank vs a serial fixed-point
+reference, and the host-curation invariants the oracle gate can't see
+(it verifies values; these verify semantics on adversarial graphs)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _serial_pagerank(edges: list[tuple[int, int]], nodes: list[int],
+                     iters: int) -> dict[int, int]:
+    from lexmapr_ray.pipelines.webgraph import BASE, DAMP_DEN, DAMP_NUM, R0
+
+    deg: dict[int, int] = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    pr = {n: R0 for n in nodes}
+    for _ in range(iters):
+        s = {n: 0 for n in nodes}
+        for a, b in edges:
+            s[b] += pr[a] // deg[a]
+        pr = {n: BASE + DAMP_NUM * s[n] // DAMP_DEN for n in nodes}
+    return pr
+
+
+@pytest.mark.parametrize("iters", [1, 3])
+def test_pagerank_matches_serial_reference(ray_session, iters):
+    """Graph with a sink (node 5: no outlinks -> never a src), a
+    self-loop, a hub, and an isolated node (9)."""
+    import ray.data as rd
+
+    from lexmapr_ray.pipelines.webgraph import pagerank
+
+    edge_list = [(0, 1), (1, 2), (2, 0), (3, 0), (3, 1), (3, 5),
+                 (4, 4), (4, 5), (6, 0), (7, 0), (8, 0)]
+    nodes = list(range(10))
+
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([a for a, _ in edge_list], pa.int64()),
+        "dst": pa.array([b for _, b in edge_list], pa.int64()),
+    }))
+    node_ds = rd.from_arrow(pa.table({"node": pa.array(nodes, pa.int64())}))
+
+    got = pagerank(edges, node_ds, iters=iters, num_buckets=4).to_pandas()
+    want = _serial_pagerank(edge_list, nodes, iters)
+    assert dict(zip(got["node"], got["pr"])) == want
+    # isolated + sink nodes survive with the base rank floor
+    assert got.loc[got["node"] == 9, "pr"].item() >= 150_000
+
+
+def test_doc_links_deterministic_and_in_range(ray_session):
+    from lexmapr_ray.pipelines.webgraph import doc_links
+
+    df = doc_links(SF).to_pandas()
+    n = 500
+    assert df["dst"].between(0, n - 1).all()
+    # out-degree model: 1 + doc_id % 3
+    deg = df.groupby("src").size()
+    assert (deg == 1 + (deg.index % 3)).all()
+    assert len(df) == sum(1 + d % 3 for d in range(n))
+
+
+def test_host_filter_drops_dup_heavy_hosts(ray_session):
+    from lexmapr_ray.pipelines.webgraph import (
+        DOCS_PER_HOST, host_filtered_corpus, host_stats)
+
+    stats = host_stats(SF).to_pandas()
+    assert (stats["n_docs"] > 0).all()
+    surviving = host_filtered_corpus(SF).to_pandas()
+    bad = set(stats.loc[stats["n_dup"] * 1000 > stats["n_docs"] * 187,
+                        "host"])
+    assert bad, "fixture regression: no dup-heavy host at sf0.001"
+    assert set(surviving["host"]) == set(stats["host"]) - bad
+    # host key is the doc_id block
+    assert (surviving["doc_id"] // DOCS_PER_HOST ==
+            surviving["host"].str.removeprefix("host").astype(int)).all()
