@@ -72,6 +72,18 @@ def _url_latest_capture(sf_dir: str):
     return url_latest_capture(sf_dir)
 
 
+def _kg_components(sf_dir: str):
+    """Connected components of the term co-mention graph
+    (pipelines/kg.py::term_components — the generic distributed min-label
+    loop with STRING node ids); SQL-oracled with a recursive min-label CTE
+    over the committed serial expected triples."""
+    from lexmapr_ray.pipelines.kg import extract_triples, term_components
+    from lexmapr_ray.sources.pages import pages_from_documents
+
+    return term_components(
+        extract_triples(pages_from_documents(sf_dir), _lexicon_ref()))
+
+
 def _kg_degree_stats(sf_dir: str):
     """Graph-analytics pass over the flagship output: per ontology term,
     distinct-triple and distinct-page fan-in (pipelines/kg.py::degree_stats).
@@ -201,6 +213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples_bucket": _kg_triples_bucket,
         "kg_degree_stats": _kg_degree_stats,
         "kg_cooccurrence": _kg_cooccurrence,
+        "kg_components": _kg_components,
     }
 
 
@@ -965,6 +978,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.obj AS obj_a, b.obj AS obj_b, COUNT(*)::BIGINT AS n_pages
             FROM t a JOIN t b ON a.subj = b.subj AND a.obj < b.obj
             GROUP BY a.obj, b.obj ORDER BY obj_a, obj_b
+        """,
+        "kg_components": """
+            WITH RECURSIVE
+            t AS (
+                SELECT DISTINCT subj, obj
+                FROM read_parquet('/root/repo/expected/kg_triples.parquet')
+                WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)),
+            e AS (
+                SELECT DISTINCT a.obj AS a, b.obj AS b
+                FROM t a JOIN t b ON a.subj = b.subj AND a.obj < b.obj),
+            eu AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+            comp(node, label) AS (
+                SELECT DISTINCT obj, obj FROM t
+                UNION
+                SELECT eu.b, comp.label
+                FROM comp JOIN eu ON comp.node = eu.a)
+            SELECT node AS term, MIN(label) AS component
+            FROM comp GROUP BY node ORDER BY term
         """,
         "kg_degree_stats": """
             SELECT obj, COUNT(*)::BIGINT AS n_triples,

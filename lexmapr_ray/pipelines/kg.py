@@ -372,6 +372,42 @@ def cooccurrence_edges(triples_ds):
     return grouped_sum_count(pairs, ["obj_a", "obj_b"], count_alias="n_pages")
 
 
+def term_components(triples_ds, *, num_buckets: int = 32,
+                    max_iters: int | None = None):
+    """Connected components of the term CO-MENTION graph: ontology terms
+    linked whenever some page mentions both; ``component`` = the
+    lexicographically smallest term id reachable — the coarse topical
+    clusters a KG build reports before any embedding step.
+
+    Reuses the generic distributed min-label + pointer-jump loop
+    (:func:`lexmapr_ray.functions.components.min_label_components`,
+    factored from near-dup clustering) with STRING node ids — labels are
+    any totally ordered key, so no term->int densification pass is needed.
+    Node and edge sets are vocabulary-scale (bounded by the ontology, not
+    the corpus), but both are built distributed from corpus-scale triples;
+    nothing lands on the driver."""
+    from lexmapr_ray.functions.components import min_label_components
+    from lexmapr_ray.functions.groupagg import grouped_sum_count
+
+    edges = cooccurrence_edges(triples_ds).map_batches(
+        lambda t: t.select(["obj_a", "obj_b"]), batch_format="pyarrow"
+    )
+    nodes = grouped_sum_count(
+        dedup_triples(triples_ds).map_batches(
+            lambda t: t.select(["obj"]), batch_format="pyarrow"),
+        "obj",
+    )
+    labels = min_label_components(
+        edges, nodes, a_col="obj_a", b_col="obj_b", node_col="obj",
+        key_type=pa.string(), num_buckets=num_buckets, max_iters=max_iters,
+    )
+    return labels.map_batches(
+        lambda df: df.rename(columns={"node": "term",
+                                      "label": "component"}),
+        batch_format="pandas",
+    ).sort("term")
+
+
 def run_kg_pipeline(
     pages_ds,
     *,

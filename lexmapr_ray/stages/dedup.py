@@ -570,143 +570,25 @@ def near_dup_clusters(sf_dir: str, threshold: float = 0.8,
     the operator a dedup pipeline actually keys on — "keep one doc per
     cluster" is a trivial downstream filter.
 
-    Distributed iterative min-label propagation + POINTER JUMPING, all Ray
-    Data (advisor r2: plain propagation needs diameter rounds, and web
-    near-dup components — version/template chains — can be long):
-      labels(doc_id, label) starts as doc_id;
-      each round, every edge endpoint proposes its partner's current label
-      (two bucketed joins over the EDGE list build the messages) and a
-      sorted-group min folds proposals in, counting CHANGED rows exactly
-      (no wrappable sum-potential);
-      from round 2 on, a pointer-jump pass (label <- label[label], one
-      bucketed join whose left side is only the non-root sliver) doubles
-      the distance each label has travelled, making rounds O(log diameter);
-      converged when a propagation round changes nothing — at that
-      fixpoint every component is constant-labelled, so the jump is
-      provably the identity and needs no separate check.
-    ``max_iters`` defaults to 2*log2(n_docs)+8, a proven bound for
-    propagation-with-jumping, and overruns raise instead of looping.
-    """
-    import math
-
-    import pyarrow.compute as pc
-
-    from lexmapr_ray.functions.groupagg import sorted_group_reduce
-    from lexmapr_ray.functions.joins import bucketed_hash_join
+    The propagation itself is the generic distributed min-label +
+    pointer-jumping loop in
+    :func:`lexmapr_ray.functions.components.min_label_components`
+    (factored in r3 so the KG term graph reuses it); this wrapper supplies
+    the verified pair edges and the doc-id node set."""
+    from lexmapr_ray.functions.components import min_label_components
 
     edges = _verified_pairs(sf_dir, threshold, "word",
                             concurrency=concurrency) \
         .map_batches(lambda t: t.select(["doc_a", "doc_b"]),
                      batch_format="pyarrow")
-    # materialize the (small) edge list once: it is reused every round and
-    # re-running LSH + verification per iteration would be pure waste;
-    # this is an object-store materialization, nothing touches the driver
-    edges = edges.materialize()
-
-    labels = _read_documents(sf_dir, ["doc_id"]).map_batches(
-        lambda t: pa.table({"doc_id": t["doc_id"],
-                            "label": pc.cast(t["doc_id"], pa.int64())}),
-        batch_format="pyarrow",
-    ).materialize()
-    if max_iters is None:
-        n_docs = labels.count()
-        max_iters = 2 * math.ceil(math.log2(max(2, n_docs))) + 8
-
-    # current labels carry side=0 (exactly one row per doc), proposals
-    # side=1; the final reduce recovers the doc's OLD label as the side-0
-    # minimum, so "changed" is exact per row — summed, it is the
-    # convergence signal (bounded by corpus count, no int64 wrap)
-    def with_side(side: int):
-        def fn(t: pa.Table) -> pa.Table:
-            return pa.table({
-                "doc_id": pc.cast(t["doc_id"], pa.int64()),
-                "label": pc.cast(t["label"], pa.int64()),
-                "side": pa.array(np.full(len(t), side, dtype=np.int8)),
-            })
-
-        return fn
-
-    def min_label_partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("doc_id", sort=False, as_index=False)
-        out = g.agg(label=("label", "min"))
-        olds = df[df["side"] == 0].groupby("doc_id", sort=False)["label"] \
-            .min().rename("old")
-        return out.join(olds, on="doc_id")  # old is NaN when side-0 row
-        # for this doc sits in another batch; the final min skips NaN
-
-    def min_label_final(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("doc_id", sort=True, as_index=False)
-        out = g.agg(label=("label", "min"), old=("old", "min"))
-        out["label"] = out["label"].astype("int64")
-        out["changed"] = (out["label"] < out["old"]).astype("int64")
-        return out[["doc_id", "label", "changed"]]
-
-    for it in range(max_iters):
-        to_b = bucketed_hash_join(
-            edges, labels, on="doc_a", right_on="doc_id"
-        ).map_batches(
-            lambda t: pa.table({"doc_id": pc.cast(t["doc_b"], pa.int64()),
-                                "label": pc.cast(t["label"], pa.int64())}),
-            batch_format="pyarrow",
-        ).map_batches(with_side(1), batch_format="pyarrow")
-        to_a = bucketed_hash_join(
-            edges, labels, on="doc_b", right_on="doc_id"
-        ).map_batches(
-            lambda t: pa.table({"doc_id": pc.cast(t["doc_a"], pa.int64()),
-                                "label": pc.cast(t["label"], pa.int64())}),
-            batch_format="pyarrow",
-        ).map_batches(with_side(1), batch_format="pyarrow")
-        tagged = labels.map_batches(with_side(0), batch_format="pyarrow")
-        new_labels = sorted_group_reduce(
-            tagged.union(to_b).union(to_a), "doc_id",
-            min_label_partial, min_label_final,
-        ).map_batches(
-            # normalize to Arrow blocks: the next round unions this with
-            # Arrow-block join outputs, and a mixed-block-type union
-            # trips the sort batcher
-            lambda t: t, batch_format="pyarrow",
-        ).materialize()
-        n_changed = new_labels.sum("changed")
-        labels = new_labels.map_batches(
-            lambda t: t.select(["doc_id", "label"]), batch_format="pyarrow"
-        ).materialize()
-        if not n_changed:
-            break
-        if it >= 1:
-            # pointer jump: label <- label[label].  Left side restricted to
-            # the non-root sliver (label != doc_id), so the join output is
-            # proportional to the duplicate population, not the corpus.
-            nonroot = labels.map_batches(
-                lambda t: t.filter(pc.not_equal(t["label"],
-                                                pc.cast(t["doc_id"], pa.int64()))),
-                batch_format="pyarrow",
-            )
-            jumped = bucketed_hash_join(
-                nonroot.map_batches(
-                    lambda t: pa.table({"doc_id": t["doc_id"],
-                                        "target": t["label"]}),
-                    batch_format="pyarrow"),
-                labels.map_batches(
-                    lambda t: pa.table({"j_doc": t["doc_id"],
-                                        "j_label": t["label"]}),
-                    batch_format="pyarrow"),
-                on="target", right_on="j_doc",
-            ).map_batches(
-                lambda t: pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
-                                    "label": pc.cast(t["j_label"], pa.int64())}),
-                batch_format="pyarrow",
-            )
-            roots = labels.map_batches(
-                lambda t: t.filter(pc.equal(t["label"],
-                                            pc.cast(t["doc_id"], pa.int64()))),
-                batch_format="pyarrow",
-            )
-            labels = roots.union(jumped).materialize()
-    else:
-        raise RuntimeError("near_dup_clusters: no fixpoint within max_iters")
-
+    nodes = _read_documents(sf_dir, ["doc_id"])
+    labels = min_label_components(
+        edges, nodes, a_col="doc_a", b_col="doc_b", node_col="doc_id",
+        key_type=pa.int64(), max_iters=max_iters,
+    )
     return labels.map_batches(
-        lambda df: df.rename(columns={"label": "cluster_id"}),
+        lambda df: df.rename(columns={"node": "doc_id",
+                                      "label": "cluster_id"}),
         batch_format="pandas",
     ).sort("doc_id")
 

@@ -78,3 +78,30 @@ def test_host_filter_drops_dup_heavy_hosts(ray_session):
     # host key is the doc_id block
     assert (surviving["doc_id"] // DOCS_PER_HOST ==
             surviving["host"].str.removeprefix("host").astype(int)).all()
+
+
+def test_min_label_components_string_keys(ray_session):
+    """Generic components with STRING node ids: a 9-node chain (forces
+    multi-round propagation + pointer jumping), a triangle, and two
+    isolated nodes; label = lexicographic min reachable."""
+    import ray.data as rd
+
+    from lexmapr_ray.functions.components import min_label_components
+
+    chain = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(8)]
+    tri = [("za", "zb"), ("zb", "zc"), ("za", "zc")]
+    edge_list = chain + tri
+    node_ids = sorted({x for e in edge_list for x in e} | {"iso1", "iso2"})
+
+    edges = rd.from_arrow(pa.table({
+        "a": pa.array([a for a, _ in edge_list], pa.string()),
+        "b": pa.array([b for _, b in edge_list], pa.string()),
+    }))
+    nodes = rd.from_arrow(pa.table({"node": pa.array(node_ids, pa.string())}))
+    got = min_label_components(edges, nodes, key_type=pa.string(),
+                               num_buckets=4).to_pandas()
+    labels = dict(zip(got["node"], got["label"]))
+    assert {labels[f"n{i:02d}"] for i in range(9)} == {"n00"}
+    assert labels["za"] == labels["zb"] == labels["zc"] == "za"
+    assert labels["iso1"] == "iso1" and labels["iso2"] == "iso2"
+    assert len(got) == len(node_ids)
