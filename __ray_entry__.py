@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions_2l": windows.events_sessions_two_level,
         "events_sliding_3h": windows.events_sliding_3h,
         "events_last_order": windows.events_last_order,
+        "events_purchase_context": windows.events_purchase_context,
         "customer_order_stats": rel.customer_order_stats,
         "part_brand_revenue": rel.part_brand_revenue,
         "top_orders_per_customer": rel.top_orders_per_customer,
@@ -156,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_normalize": textstats.text_normalize,
         "pii_scrub": textstats.pii_scrub,
         "source_cap": textstats.source_cap,
+        "source_mix": textstats.source_mix,
         "sequence_pack": packing.sequence_pack,
         "vocab_topk": textstats.vocab_topk,
         "stratified_sample": textstats.stratified_sample,
@@ -426,6 +428,18 @@ def oracle_sql() -> dict[str, str]:
               ON e.user_id = od.o_custkey AND e.ts_us >= od.od_us
             ORDER BY e.event_id
         """,
+        "events_purchase_context": """
+            SELECT p.event_id,
+                   COUNT(e.event_id)::BIGINT AS n_prior,
+                   COALESCE(SUM(CAST(ROUND(e.value*100) AS BIGINT)), 0)::BIGINT
+                     AS sum_prior_cents
+            FROM events p LEFT JOIN events e
+              ON e.user_id = p.user_id
+             AND e.ts >= p.ts - INTERVAL 1 DAY AND e.ts < p.ts
+            WHERE p.event_type = 'purchase'
+            GROUP BY p.event_id
+            ORDER BY p.event_id
+        """,
         "customer_order_stats": """
             SELECT o_custkey, COUNT(*) AS n_orders,
                    SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))::BIGINT AS sum_cents
@@ -629,6 +643,15 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (PARTITION BY source
                                           ORDER BY doc_id) AS rn
                 FROM documents) WHERE rn <= 15 ORDER BY doc_id
+        """,
+        "source_mix": """
+            SELECT d.doc_id, d.source, gs.epoch::BIGINT AS epoch
+            FROM documents d, LATERAL (
+                SELECT unnest(range(0,
+                    (CAST(regexp_extract(d.source, '[0-9]+') AS INT) % 3) + 1
+                )) AS epoch
+            ) gs
+            ORDER BY doc_id, epoch
         """,
         "sequence_pack": f"""
             WITH tok AS (

@@ -307,3 +307,92 @@ def events_last_order(sf_dir: str):
     return unioned.sort("user_id").map_batches(
         asof_block, batch_format="pandas", batch_size=None
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval join (range join): prior-window context per anchor event
+# ---------------------------------------------------------------------------
+
+DAY_US = 24 * 3600 * 1_000_000
+
+
+def events_purchase_context(sf_dir: str, window_us: int = DAY_US):
+    """Interval (range) join Ray Data has no primitive for: for every
+    ``purchase`` event, the count and value sum of the SAME user's events in
+    the preceding window ``[ts - window_us, ts)`` — the classic
+    "behavioral context before conversion" feature join.
+
+    Scale shape: ONE pass over events (the anchor side is a filter of the
+    same table, so nothing is read twice), sort on the entity key alone
+    (co-locates a user's full history in one block, the module-level
+    partitioning assumption), then a per-block O(n log n) vectorized
+    reduce: per-user exclusive prefix sums over the time-sorted history +
+    two ``pandas.merge_asof`` probes give each anchor the inclusive index
+    range of its window — no per-row Python, no all-pairs expansion, and
+    the join never materializes the (anchor x context) pairs (counts and
+    sums come from prefix-sum differences).
+    """
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "cents": pc.cast(pc.round(pc.multiply(t["value"], 100)), pa.int64()),
+            "is_anchor": pc.cast(pc.equal(t["event_type"], "purchase"), pa.int64()),
+        })
+
+    def context_block(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "event_id": pd.Series([], dtype="int64"),
+            "n_prior": pd.Series([], dtype="int64"),
+            "sum_prior_cents": pd.Series([], dtype="int64"),
+        })
+        if len(df) == 0:
+            return empty
+        # full history, time-sorted; stable sort keeps equal-ts order
+        # deterministic (cum ranges only ever span ts strictly inside the
+        # window, so equal-ts ordering cannot change the answer)
+        e = df.sort_values(["user_id", "ts_us"], kind="mergesort").reset_index(drop=True)
+        grp = e.groupby("user_id", sort=False)
+        e["cum"] = grp.cumcount().astype("int64")
+        e["presum"] = (grp["cents"].cumsum() - e["cents"]).astype("int64")
+        hist = e[["user_id", "ts_us", "cum", "presum", "cents"]].sort_values(
+            "ts_us", kind="mergesort")
+        p = e[e["is_anchor"] == 1][["event_id", "user_id", "ts_us"]].copy()
+        if len(p) == 0 or len(hist) == 0:
+            return empty
+        p["t0"] = p["ts_us"] - window_us
+        # first history index with ts >= t0 (window start, inclusive)
+        lo = pd.merge_asof(
+            p.sort_values("t0", kind="mergesort"),
+            hist.rename(columns={"ts_us": "h_ts"}),
+            left_on="t0", right_on="h_ts", by="user_id",
+            direction="forward", allow_exact_matches=True,
+        )
+        # last history index with ts < anchor ts (window end, exclusive)
+        hi = pd.merge_asof(
+            p.sort_values("ts_us", kind="mergesort"),
+            hist.rename(columns={"ts_us": "h_ts"}),
+            left_on="ts_us", right_on="h_ts", by="user_id",
+            direction="backward", allow_exact_matches=False,
+        )
+        lo = lo.set_index("event_id")
+        hi = hi.set_index("event_id")
+        c1 = lo["cum"].reindex(hi.index)
+        ok = c1.notna() & hi["cum"].notna() & (hi["cum"] >= c1)
+        n = pd.Series(0, index=hi.index, dtype="int64")
+        s = pd.Series(0, index=hi.index, dtype="int64")
+        n[ok] = (hi["cum"][ok] - c1[ok] + 1).astype("int64")
+        s[ok] = (hi["presum"][ok] + hi["cents"][ok]
+                 - lo["presum"].reindex(hi.index)[ok]).astype("int64")
+        return pd.DataFrame({
+            "event_id": hi.index.astype("int64"),
+            "n_prior": n.values,
+            "sum_prior_cents": s.values,
+        }).sort_values("event_id", kind="mergesort")
+
+    return ds.map_batches(prep, batch_format="pyarrow", batch_size=65536).sort(
+        "user_id"
+    ).map_batches(context_block, batch_format="pandas", batch_size=None)

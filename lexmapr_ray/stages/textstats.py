@@ -989,3 +989,47 @@ def inverted_index(sf_dir: str, min_df: int = 5):
         ds.map_batches(pairs, batch_format="pyarrow", batch_size=65536),
         "term", partial, finalize,
     )
+
+
+def source_mix(sf_dir: str):
+    """Integer-weighted source upsampling — the data-mixing pass that turns
+    a curated corpus + per-source mixing weights into a training stream
+    (e.g. Pile/Dolma-style "epochs per source").  Each doc is emitted
+    ``weight`` times with an ``epoch`` counter (0..w-1) so downstream
+    packing/shuffling sees distinguishable repeats.
+
+    Weights here are a deterministic function of the source id
+    (``(source_number % 3) + 1``) so engine and SQL oracle agree without a
+    side-channel config; a real run would broadcast a source->weight dict
+    (tiny: one entry per source/domain).
+
+    Scale shape: a stateless per-batch expansion — each row replicates
+    independently (bounded factor), so blocks grow by at most max-weight
+    with no shuffle; the trailing sort is presentation-only."""
+
+    ds = _read_documents(sf_dir, ["doc_id", "source"])
+
+    def expand(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "source": pa.array([], pa.string()),
+                "epoch": pa.array([], pa.int64()),
+            })
+        num = pc.cast(
+            pc.replace_substring_regex(t["source"], pattern=r"[^0-9]", replacement=""),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        w = (num % 3) + 1
+        idx = np.repeat(np.arange(len(t), dtype=np.int64), w)
+        starts = np.concatenate(([0], np.cumsum(w)[:-1]))
+        epoch = np.arange(idx.size, dtype=np.int64) - np.repeat(starts, w)
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()).take(pa.array(idx)),
+            "source": t["source"].take(pa.array(idx)),
+            "epoch": pa.array(epoch, pa.int64()),
+        })
+
+    return ds.map_batches(expand, batch_format="pyarrow", batch_size=65536).sort(
+        ["doc_id", "epoch"]
+    )

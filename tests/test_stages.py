@@ -476,7 +476,7 @@ def test_repetition_gopher_source_match_duckdb(ray_session, tmp_path):
     from lexmapr_ray.stages.packing import sequence_pack
     from lexmapr_ray.stages.textstats import (
         corpus_split, gopher_quality_filter, pii_scrub, repetition_stats,
-        source_cap, source_stats, text_normalize)
+        source_cap, source_mix, source_stats, text_normalize)
 
     texts = [
         "",                                   # empty
@@ -511,6 +511,7 @@ def test_repetition_gopher_source_match_duckdb(ray_session, tmp_path):
                      ("text_normalize", text_normalize),
                      ("pii_scrub", pii_scrub),
                      ("source_cap", source_cap),
+                     ("source_mix", source_mix),
                      ("sequence_pack", sequence_pack),
                      ("ngram_decontaminate", ngram_decontaminate)]:
         got = fn(str(tmp_path)).to_pandas().reset_index(drop=True)

@@ -34,6 +34,7 @@ def _oracle(name: str) -> str:
     ("events_sessions", "events_sessions"),
     ("events_sliding_3h", "events_sliding_3h"),
     ("events_last_order", "events_last_order"),
+    ("events_purchase_context", "events_purchase_context"),
 ])
 def test_window_operator_matches_duckdb(ray_session, sf_dir, con, name, fn_name):
     from lexmapr_ray.pipelines import windows
