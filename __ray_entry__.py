@@ -193,6 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_event_activity": rel.customer_event_activity,
         # per-label exact integer centroids over the embedding column
         "embedding_centroids": similarity.embedding_centroids,
+        "embedding_kmeans": similarity.embedding_kmeans,
         "embedding_quantize": similarity.embedding_quantize,
         # text heuristics / fingerprints (non-SQL)
         "lang_id_heuristic": textstats.lang_id,
@@ -874,6 +875,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE emb_checksum = (SELECT SUM(CAST(FLOOR(CAST(embedding[1] AS DOUBLE)
                                   * 1000000) AS BIGINT)) FROM embeddings)
             ORDER BY vec_a, vec_b
+        """,
+        "embedding_kmeans": """
+            SELECT vec_id, cluster
+            FROM read_parquet('/root/repo/expected/op_embedding_kmeans.parquet')
+            WHERE emb_checksum = (SELECT SUM(CAST(FLOOR(CAST(embedding[1] AS DOUBLE)
+                                  * 1000000) AS BIGINT)) FROM embeddings)
+            ORDER BY vec_id
         """,
         # Flagship KG pipeline oracles: the deterministic expected outputs
         # are materialized by tools/make_kg_expected.py with a SERIAL

@@ -503,3 +503,104 @@ def embedding_quantize(sf_dir: str):
         })
 
     return ds.map_batches(quantize, batch_format="pyarrow").sort("vec_id")
+
+
+def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 5):
+    """Distributed Lloyd's k-means over the embedding column, integer-exact.
+
+    The classic iterative-refinement loop in its scale-correct Ray Data
+    shape: per iteration, centroids (k x dim int64, a few KB) are broadcast
+    with ``ray.put``; one ``map_batches`` pass assigns every vector to its
+    nearest centroid via a single int64 matmul and reduces the batch to
+    <= k x dim partial (cluster, dim, sum, count) rows; the driver sums the
+    partials (rows = k x dim x n_batches — bounded by BLOCK COUNT, never
+    corpus size, the same adjudicated shape as ``ann_ivf_topk``'s centroid
+    training) and emits next-round centroids.  A final pass materializes the
+    assignment distributed and sorts by vec_id.
+
+    Exactness contract (why the DuckDB gate can hash-compare this to a
+    serial reimplementation, tools/make_op_expected.py): embeddings are
+    quantized once to micro-units (``floor(float64(v) * 1e6)`` int64);
+    every distance is the exact integer ``|x|^2 - 2<x,c> + |c|^2``;
+    argmin ties break to the LOWEST cluster id; the new centroid is an
+    int64 floor division (order-independent); an emptied cluster keeps its
+    previous centroid.  Integer arithmetic makes the result independent of
+    batch boundaries, summation order and engine.
+
+    Init: the k vectors with the lowest vec_id (k-rows limit after an
+    exact-safe per-batch prune — no global materialization).
+    """
+    import ray
+
+    from lexmapr_ray.functions.broadcast import get_once
+
+    ds = _read_embeddings(sf_dir, ["vec_id", "embedding"])
+
+    def to_micro(t: pa.Table):
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        micro = np.floor(_batch_matrix(t) * 1e6).astype(np.int64)
+        return ids, micro
+
+    # ---- init: k lowest-vec_id vectors (per-batch prune -> tiny sort) ----
+    def prune_k(t: pa.Table) -> pa.Table:
+        if len(t) <= k:
+            return t
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.argpartition(ids, k - 1)[:k]
+        return t.take(pa.array(np.sort(keep)))
+
+    seed = ds.map_batches(prune_k, batch_format="pyarrow") \
+             .sort("vec_id").limit(k).take_all()
+    seed_t = pa.Table.from_pylist(seed)
+    _, centroids = to_micro(seed_t)            # (k, dim) int64
+
+    def assign(micro: np.ndarray, cents: np.ndarray) -> np.ndarray:
+        # exact integer squared-L2 via the expansion; magnitudes bounded by
+        # dim * (2e6)^2 ~ 1e14 << 2^63
+        cross = micro @ cents.T                          # (n, k) int64
+        d2 = (micro * micro).sum(axis=1, keepdims=True) \
+            - 2 * cross + (cents * cents).sum(axis=1)[None, :]
+        return d2.argmin(axis=1).astype(np.int64)        # first min = lowest id
+
+    for _ in range(iters):
+        cent_ref = ray.put(centroids)
+
+        def partial(t: pa.Table, _ref=cent_ref) -> pa.Table:
+            cents = get_once(_ref)
+            _, micro = to_micro(t)
+            a = assign(micro, cents)
+            order = np.argsort(a, kind="stable")
+            sa = a[order]
+            uniq, starts = np.unique(sa, return_index=True)
+            sums = np.add.reduceat(micro[order], starts, axis=0)
+            counts = np.diff(np.append(starts, len(sa))).astype(np.int64)
+            n_c, dim = sums.shape
+            return pa.table({
+                "cluster": pa.array(np.repeat(uniq, dim)),
+                "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), n_c)),
+                "s": pa.array(sums.reshape(-1)),
+                "n": pa.array(np.repeat(counts, dim)),
+            })
+
+        part = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=4096).to_pandas()
+        nxt = centroids.copy()
+        if len(part):
+            g = part.groupby(["cluster", "dim"], sort=True)[["s", "n"]].sum()
+            for (c, d), row in g.iterrows():
+                if row["n"] > 0:
+                    nxt[int(c), int(d)] = int(row["s"]) // int(row["n"])
+        centroids = nxt
+
+    final_ref = ray.put(centroids)
+
+    def assign_out(t: pa.Table, _ref=final_ref) -> pa.Table:
+        cents = get_once(_ref)
+        ids, micro = to_micro(t)
+        return pa.table({
+            "vec_id": pa.array(ids),
+            "cluster": pa.array(assign(micro, cents)),
+        })
+
+    return ds.map_batches(assign_out, batch_format="pyarrow",
+                          batch_size=4096).sort("vec_id")

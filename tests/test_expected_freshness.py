@@ -79,3 +79,17 @@ def test_kg_expected_fresh(corpus):
         sorted(kg.serial_dedup(raw)), f"kg_triples: {MSG}"
     assert sorted(_committed("kg_entities", "corpus_len", corpus_len)) == \
         sorted(kg.serial_canonical(raw)), f"kg_entities: {MSG}"
+
+
+def test_kmeans_expected_fresh():
+    import numpy as np
+    import make_op_expected as ops
+
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vec_ids = t["vec_id"].to_pylist()
+    m = np.asarray(t["embedding"].combine_chunks().flatten(),
+                   dtype=np.float64).reshape(len(vec_ids), -1)
+    tag = int(np.floor(m[:, 0] * 1_000_000).astype(np.int64).sum())
+    committed = _committed("op_embedding_kmeans", "emb_checksum", tag)
+    assert sorted(committed) == ops.serial_kmeans(vec_ids, m), \
+        f"op_embedding_kmeans: {MSG}"

@@ -126,6 +126,23 @@ def test_cosine_topk_matches_numpy(ray_session, sf_dir, embs):
     assert list(map(tuple, got[["vec_id", "sim_bp"]].itertuples(index=False))) == exp
 
 
+def test_embedding_kmeans_matches_serial(ray_session, sf_dir, embs):
+    """Distributed Lloyd's loop == the serial integer reimplementation
+    (same init, tie-break and floor-division contract), and clusters are
+    non-trivial (more than one cluster used on the 500-vector table)."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    import make_op_expected as ops
+    from lexmapr_ray.stages.similarity import embedding_kmeans
+
+    got = embedding_kmeans(sf_dir).to_pandas()
+    m = np.stack([np.asarray(e, dtype=np.float64) for e in embs["embedding"]])
+    exp = ops.serial_kmeans(embs["vec_id"].tolist(), m)
+    assert [tuple(r) for r in got[["vec_id", "cluster"]].itertuples(index=False)] == exp
+    assert got["cluster"].nunique() > 1
+
+
 def test_embedding_near_dup_sound(ray_session, sf_dir, embs):
     from lexmapr_ray.stages.similarity import embedding_near_dup_pairs
 

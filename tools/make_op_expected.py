@@ -334,6 +334,36 @@ def serial_embedding_near_dup(vec_ids, m: np.ndarray, threshold_bp: int = 3000,
     return rows
 
 
+def serial_kmeans(vec_ids, m: np.ndarray, k: int = 8, iters: int = 5):
+    """Plain-loop Lloyd's k-means mirroring stages/similarity.py::
+    embedding_kmeans's integer contract: micro-unit int64 vectors, exact
+    integer squared-L2, argmin ties to the lowest cluster id, floor-division
+    centroid update, emptied clusters keep their previous centroid, init =
+    the k lowest-vec_id vectors.  Integer arithmetic makes this per-vector
+    loop bit-identical to the engine's batched matmul path."""
+    ids = np.asarray(vec_ids, dtype=np.int64)
+    micro = np.floor(m * 1e6).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    cents = micro[order[:k]].copy()
+    for _ in range(iters):
+        sums = np.zeros_like(cents)
+        counts = np.zeros(k, dtype=np.int64)
+        for i in range(len(ids)):
+            d2 = ((micro[i][None, :] - cents) ** 2).sum(axis=1)
+            c = int(d2.argmin())
+            sums[c] += micro[i]
+            counts[c] += 1
+        for c in range(k):
+            if counts[c] > 0:
+                cents[c] = sums[c] // counts[c]
+    rows = []
+    for i in range(len(ids)):
+        d2 = ((micro[i][None, :] - cents) ** 2).sum(axis=1)
+        rows.append((int(ids[i]), int(d2.argmin())))
+    rows.sort()
+    return rows
+
+
 # -- table assembly -----------------------------------------------------------
 
 def _table(rows, names, types, tag_name: str, tag: int) -> pa.Table:
@@ -394,6 +424,8 @@ def main():
              ("vec_id", "sim_bp"), (i64, i64), "emb_checksum", emb_checksum),
             ("op_embedding_near_dup", serial_embedding_near_dup(vec_ids, m),
              ("vec_a", "vec_b", "sim_bp"), (i64, i64, i64), "emb_checksum", emb_checksum),
+            ("op_embedding_kmeans", serial_kmeans(vec_ids, m),
+             ("vec_id", "cluster"), (i64, i64), "emb_checksum", emb_checksum),
         ]
         for name, rows, names, types, tag_name, tag in mk:
             acc.setdefault(name, []).append(_table(rows, names, types, tag_name, tag))
