@@ -131,6 +131,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_segments": rel.distinct_segments,
         "events_by_type": rel.events_by_type,
         "events_hourly": rel.events_hourly,
+        "events_daily_active": rel.events_daily_active,
+        "events_retention_cohorts": rel.events_retention_cohorts,
         "events_sessions": windows.events_sessions,
         "events_sessions_2l": windows.events_sessions_two_level,
         "events_sliding_3h": windows.events_sliding_3h,
@@ -428,6 +430,28 @@ def oracle_sql() -> dict[str, str]:
             FROM e ASOF JOIN od
               ON e.user_id = od.o_custkey AND e.ts_us >= od.od_us
             ORDER BY e.event_id
+        """,
+        "events_daily_active": """
+            SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                   COUNT(DISTINCT user_id)::BIGINT AS dau
+            FROM events GROUP BY day ORDER BY day
+        """,
+        "events_retention_cohorts": """
+            WITH e AS (
+              SELECT CAST(user_id AS BIGINT) AS u,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     event_type
+              FROM events
+            ), coh AS (
+              SELECT u, MIN(day) AS cohort_day FROM e
+              WHERE event_type = 'signup' GROUP BY u
+            ), act AS (
+              SELECT DISTINCT c.cohort_day, e.day - c.cohort_day AS day_offset, e.u
+              FROM e JOIN coh c USING (u) WHERE e.day >= c.cohort_day
+            )
+            SELECT cohort_day, day_offset, COUNT(*)::BIGINT AS n_users
+            FROM act GROUP BY cohort_day, day_offset
+            ORDER BY cohort_day, day_offset
         """,
         "events_purchase_context": """
             SELECT p.event_id,

@@ -552,3 +552,93 @@ def customer_event_activity(sf_dir: str, num_buckets: int = 32):
         })
 
     return j.map_batches(fill, batch_format="pyarrow")
+
+
+DAY_US = 86_400_000_000
+
+
+def events_daily_active(sf_dir: str):
+    """Exact daily-active-users: distinct users per event-time day.
+
+    Scale shape for exact COUNT(DISTINCT) per group: a per-batch
+    (day, user) dedupe combiner shrinks the shuffle to at most one row per
+    (day, user, batch); ONE composite-key sort co-locates every copy of a
+    (day, user) pair in one block, so per-block distinct counts are
+    disjoint partials; a final tiny grouped sum (rows = days x blocks)
+    closes the count.  No user set is ever collected or broadcast — the
+    same exact-distinct shape as ``source_stats``."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": pc.divide(pc.cast(t["ts"], pa.int64()),
+                             pa.scalar(DAY_US, pa.int64())),
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+        })
+
+    def local_dedupe(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["day", "user_id"])
+
+    def block_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["day", "user_id"])
+        out = d.groupby("day", as_index=False, sort=False).size()
+        return pd.DataFrame({"day": out["day"].astype("int64"),
+                             "dau_part": out["size"].astype("int64")})
+
+    deduped = ds.map_batches(prep, batch_format="pyarrow", batch_size=65536) \
+        .map_batches(local_dedupe, batch_format="pandas", batch_size=65536)
+    partials = deduped.sort(["day", "user_id"]).map_batches(
+        block_partial, batch_format="pandas", batch_size=None)
+    return grouped_sum_count(partials, "day", {"dau": "dau_part"},
+                             count_alias="_nb").drop_columns(["_nb"])
+
+
+def events_retention_cohorts(sf_dir: str):
+    """Cohort retention matrix: users are cohorted by the day of their
+    FIRST ``signup`` event; for every (cohort_day, day_offset) cell, the
+    number of cohort users active (any event) exactly offset days after
+    signing up.  The product-analytics query every event warehouse runs.
+
+    Scale shape: ONE user-key sort co-locates each user's full history
+    (module partitioning assumption, same as sessionization); the block
+    reduce derives the user's cohort day and dedupes their (cohort,
+    offset) activity vectorized — after it, rows are globally unique per
+    (cohort, offset, user), so the closing grouped count is exact with no
+    distinct machinery."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["ts", "user_id", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "day": pc.divide(pc.cast(t["ts"], pa.int64()),
+                             pa.scalar(DAY_US, pa.int64())),
+            "is_signup": pc.cast(pc.equal(t["event_type"], "signup"), pa.int64()),
+        })
+
+    def cohort_block(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "cohort_day": pd.Series([], dtype="int64"),
+            "day_offset": pd.Series([], dtype="int64"),
+        })
+        if len(df) == 0:
+            return empty
+        sig = df[df["is_signup"] == 1].groupby("user_id")["day"].min()
+        if len(sig) == 0:
+            return empty
+        d = df.merge(sig.rename("cohort_day"), on="user_id", how="inner")
+        d = d[d["day"] >= d["cohort_day"]]
+        d = d.drop_duplicates(["user_id", "day"])
+        return pd.DataFrame({
+            "cohort_day": d["cohort_day"].astype("int64"),
+            "day_offset": (d["day"] - d["cohort_day"]).astype("int64"),
+        })
+
+    rows = ds.map_batches(prep, batch_format="pyarrow", batch_size=65536) \
+        .sort("user_id") \
+        .map_batches(cohort_block, batch_format="pandas", batch_size=None)
+    return grouped_sum_count(rows, ["cohort_day", "day_offset"], {},
+                             count_alias="n_users")

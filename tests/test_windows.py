@@ -117,3 +117,18 @@ def test_two_level_sessions_hot_user_spanning_blocks(ray_session, tmp_path, con)
         exp.sort_values(["user_id", "session_id"]).reset_index(drop=True),
         check_dtype=False,
     )
+
+
+@pytest.mark.parametrize("name,fn_name", [
+    ("events_daily_active", "events_daily_active"),
+    ("events_retention_cohorts", "events_retention_cohorts"),
+])
+def test_events_analytics_match_duckdb(ray_session, sf_dir, con, name, fn_name):
+    from lexmapr_ray.pipelines import relational
+
+    got = _norm(getattr(relational, fn_name)(sf_dir).to_pandas())
+    exp = _norm(con.execute(_oracle(name)).fetchdf())
+    assert list(got.columns) == list(exp.columns)
+    assert len(got) == len(exp)
+    for c in got.columns:
+        assert (got[c].astype(str).values == exp[c].astype(str).values).all(), c
