@@ -112,6 +112,43 @@ def _kg_triples_bucket(sf_dir: str):
     ))
 
 
+def _kg_incremental_merge(sf_dir: str):
+    """Incremental graph maintenance: the corpus arrives in two batches
+    (doc_id parity split — stand-in for 'yesterday's crawl' + 'today's
+    delta'); each batch is extracted INDEPENDENTLY (its own actor-pool
+    pass, as a delta run would be) and the union is deduped+sorted into the
+    final graph.  Must equal the full-corpus graph bit-for-bit (triple
+    extraction is per-page, dedup is associative) — the property that makes
+    per-shard checkpoint/resume (pipelines/resumable.py) sound.  Oracled by
+    the same serial expected table as ``kg_triples``."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+    import ray as _ray
+
+    from lexmapr_ray.pipelines.kg import extract_triples, materialize_graph
+    from lexmapr_ray.sources.pages import pages_from_documents
+
+    # TWO concurrent matcher pools share the node: each must be an
+    # AUTOSCALING pool (min 1) sized to ~half the CPUs — two fixed-size
+    # 7/8-node pools would deadlock waiting for each other's actors
+    cpus = int(_ray.cluster_resources().get("CPU", 4))
+    pool = (1, max(2, (cpus * 7) // 16))
+
+    def half(parity: int):
+        pages = pages_from_documents(sf_dir)
+
+        def keep(t):
+            doc = _pc.cast(_pc.replace_substring_regex(
+                t["url"], pattern=r"[^0-9]", replacement=""), _pa.int64())
+            return t.filter(_pc.equal(_pc.bit_wise_and(doc, 1), parity))
+
+        return pages.map_batches(keep, batch_format="pyarrow")
+
+    a = extract_triples(half(0), _lexicon_ref(), concurrency=pool)
+    b = extract_triples(half(1), _lexicon_ref(), concurrency=pool)
+    return materialize_graph(a.union(b))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from lexmapr_ray.pipelines import relational as rel
     from lexmapr_ray.pipelines import webgraph, windows
@@ -138,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_3h": windows.events_sliding_3h,
         "events_last_order": windows.events_last_order,
         "events_purchase_context": windows.events_purchase_context,
+        "events_funnel": windows.events_funnel,
         "customer_order_stats": rel.customer_order_stats,
         "part_brand_revenue": rel.part_brand_revenue,
         "top_orders_per_customer": rel.top_orders_per_customer,
@@ -219,6 +257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degree_stats": _kg_degree_stats,
         "kg_cooccurrence": _kg_cooccurrence,
         "kg_components": _kg_components,
+        "kg_incremental_merge": _kg_incremental_merge,
     }
 
 
@@ -430,6 +469,23 @@ def oracle_sql() -> dict[str, str]:
             FROM e ASOF JOIN od
               ON e.user_id = od.o_custkey AND e.ts_us >= od.od_us
             ORDER BY e.event_id
+        """,
+        "events_funnel": """
+            WITH v AS (
+              SELECT user_id, MIN(ts) AS t FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ), c AS (
+              SELECT e.user_id, MIN(e.ts) AS t FROM events e
+              JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+              WHERE e.event_type = 'click' GROUP BY e.user_id
+            ), p AS (
+              SELECT e.user_id, MIN(e.ts) AS t FROM events e
+              JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+              WHERE e.event_type = 'purchase' GROUP BY e.user_id
+            )
+            SELECT (SELECT COUNT(*) FROM v)::BIGINT AS n_view,
+                   (SELECT COUNT(*) FROM c)::BIGINT AS n_view_click,
+                   (SELECT COUNT(*) FROM p)::BIGINT AS n_funnel
         """,
         "events_daily_active": """
             SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
@@ -916,6 +972,12 @@ def oracle_sql() -> dict[str, str]:
         # distributed orchestration (actor pool, combiners, sort-co-located
         # dedup/argmax).
         "kg_triples": """
+            SELECT subj, pred, obj, obj_label, mention, status
+            FROM read_parquet('/root/repo/expected/kg_triples.parquet')
+            WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)
+            ORDER BY subj, pred, obj
+        """,
+        "kg_incremental_merge": """
             SELECT subj, pred, obj, obj_label, mention, status
             FROM read_parquet('/root/repo/expected/kg_triples.parquet')
             WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)

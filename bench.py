@@ -411,6 +411,12 @@ def main():
                 "mode": "sandwich",
                 "legs": [lo, hi],
                 "pair_effs": pairs,
+                # the north rule asks for throughput AT BOTH levels, not
+                # just the ratio
+                f"pages_per_sec_{lo}cpu": round(statistics.median(
+                    r["pages_per_sec"] for r in samples[lo]), 1),
+                f"pages_per_sec_{hi}cpu": round(statistics.median(
+                    r["pages_per_sec"] for r in his), 1),
                 "runs_lo": [round(r["sec"], 2) for r in samples[lo]],
                 "runs_hi": [round(r["sec"], 2) for r in his],
                 "steal_lo": [r.get("steal_frac", 0) for r in samples[lo]],

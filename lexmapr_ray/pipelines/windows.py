@@ -396,3 +396,55 @@ def events_purchase_context(sf_dir: str, window_us: int = DAY_US):
     return ds.map_batches(prep, batch_format="pyarrow", batch_size=65536).sort(
         "user_id"
     ).map_batches(context_block, batch_format="pandas", batch_size=None)
+
+
+def events_funnel(sf_dir: str):
+    """Ordered three-stage funnel over each user's event sequence: users
+    with a ``view``, users whose first ``click`` follows their first view,
+    users whose first ``purchase`` follows that click — the strictly-ordered
+    conversion funnel (sequence semantics SQL needs three correlated
+    self-joins for; here it is one entity-key sort + a vectorized block
+    reduce over co-located user histories, then a one-row global sum)."""
+    ds = _read(sf_dir, "events", ["ts", "user_id", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "event_type": t["event_type"],
+        })
+
+    def funnel_block(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "n_view": pd.Series([], dtype="int64"),
+                "n_view_click": pd.Series([], dtype="int64"),
+                "n_funnel": pd.Series([], dtype="int64"),
+            })
+        v = df[df["event_type"] == "view"].groupby("user_id")["ts_us"].min()
+        c = df[df["event_type"] == "click"].merge(
+            v.rename("v_ts"), on="user_id", how="inner")
+        c = c[c["ts_us"] > c["v_ts"]].groupby("user_id")["ts_us"].min()
+        p = df[df["event_type"] == "purchase"].merge(
+            c.rename("c_ts"), on="user_id", how="inner")
+        p = p[p["ts_us"] > p["c_ts"]].groupby("user_id")["ts_us"].min()
+        return pd.DataFrame({
+            "n_view": [int(len(v))], "n_view_click": [int(len(c))],
+            "n_funnel": [int(len(p))],
+        })
+
+    partials = ds.map_batches(prep, batch_format="pyarrow", batch_size=65536) \
+        .sort("user_id") \
+        .map_batches(funnel_block, batch_format="pandas", batch_size=None)
+
+    def total(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n_view": [int(df["n_view"].sum())],
+            "n_view_click": [int(df["n_view_click"].sum())],
+            "n_funnel": [int(df["n_funnel"].sum())],
+        })
+
+    # one row per block -> a single tiny final reduce (repartition(1) moves
+    # block-count rows, not data)
+    return partials.repartition(1).map_batches(
+        total, batch_format="pandas", batch_size=None)

@@ -194,3 +194,19 @@ def test_canonicalize_extra_combine_round_exact(ray_session, skewed_triples):
     got = canonicalize_mentions(inflated, extra_combine=True) \
         .to_pandas().sort_values("mention").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, base)
+
+
+def test_incremental_merge_equals_full_graph(ray_session):
+    """Two independently-extracted corpus halves, unioned and deduped, must
+    reproduce the full-corpus graph exactly — the associativity property
+    per-shard checkpoint/resume relies on."""
+    import pandas as pd
+
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    full = entrymod.queries()["kg_triples"](sf).to_pandas()
+    merged = entrymod.queries()["kg_incremental_merge"](sf).to_pandas()
+    cols = ["subj", "pred", "obj", "obj_label", "mention", "status"]
+    pd.testing.assert_frame_equal(
+        merged[cols].reset_index(drop=True), full[cols].reset_index(drop=True))

@@ -119,6 +119,14 @@ def test_two_level_sessions_hot_user_spanning_blocks(ray_session, tmp_path, con)
     )
 
 
+def test_events_funnel_matches_duckdb(ray_session, sf_dir, con):
+    from lexmapr_ray.pipelines.windows import events_funnel
+
+    got = _norm(events_funnel(sf_dir).to_pandas())
+    exp = _norm(con.execute(_oracle("events_funnel")).fetchdf())
+    assert got.values.tolist() == exp.values.tolist()
+
+
 @pytest.mark.parametrize("name,fn_name", [
     ("events_daily_active", "events_daily_active"),
     ("events_retention_cohorts", "events_retention_cohorts"),
