@@ -935,6 +935,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)
             ORDER BY media_id
         """,
+        "media_resize_features": """
+            SELECT media_id, resized_mean_milli, resized_min, resized_max
+            FROM read_parquet('/root/repo/expected/op_media_resize_features.parquet')
+            WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)
+            ORDER BY media_id
+        """,
+        "video_frame_features": """
+            SELECT media_id, frame_idx, frame_mean_milli
+            FROM read_parquet('/root/repo/expected/op_video_frame_features.parquet')
+            WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)
+            ORDER BY media_id, frame_idx
+        """,
         "ann_lsh_topk": """
             SELECT vec_id, sim_bp
             FROM read_parquet('/root/repo/expected/op_ann_lsh_topk.parquet')

@@ -404,6 +404,12 @@ def main():
                 his.append(h)
                 hi_avg = (his[-2]["sec"] + his[-1]["sec"]) / 2
                 pairs.append(round((l["sec"] / hi_avg) / (hi / lo), 3))
+            # ratio-of-means across ALL legs: each leg contributes equally,
+            # so one drift-hit leg moves this ~1/n instead of potentially
+            # displacing the median; reported alongside the paired median
+            mean_ratio = round(
+                (statistics.mean(r["sec"] for r in samples[lo])
+                 / statistics.mean(r["sec"] for r in his)) / (hi / lo), 3)
             print(json.dumps({
                 "metric": "kg_scaling_efficiency",
                 "value": statistics.median(pairs),
@@ -411,6 +417,7 @@ def main():
                 "mode": "sandwich",
                 "legs": [lo, hi],
                 "pair_effs": pairs,
+                "mean_ratio_eff": mean_ratio,
                 # the north rule asks for throughput AT BOTH levels, not
                 # just the ratio
                 f"pages_per_sec_{lo}cpu": round(statistics.median(

@@ -62,6 +62,8 @@ def test_op_expected_fresh(corpus):
             ids, texts, ops.char_shingles, b"char", 0.5),
         "op_hll_distinct_tokens": ops.serial_hll_distinct(_langs(), texts),
         "op_cms_heavy_hitters": ops.serial_cms_heavy_hitters(texts),
+        "op_media_resize_features": ops.serial_media_resize(ids, texts),
+        "op_video_frame_features": ops.serial_video_frames(ids, texts),
     }
     word_pairs = checks["op_minhash_dedup_pairs"]
     checks["op_near_dup_clusters"] = ops.serial_union_find_clusters(ids, word_pairs)

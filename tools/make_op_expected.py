@@ -255,6 +255,48 @@ def serial_media_features(doc_ids, texts):
     return rows
 
 
+def serial_media_resize(doc_ids, texts, target: int = 8):
+    """Mirror of stages/multimodal.py::ResizeImage over the
+    documents-derived fake media table: integer box-downsample to
+    target x target, features of the resized image."""
+    rows = []
+    for d, t in zip(doc_ids, texts):
+        data = t.encode() or b"\x00"
+        w = 8 + (len(data) % 25)
+        h = 8 + (int(d) % 25)
+        pixels = (data * (w * h // len(data) + 1))[:w * h]
+        img = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w)
+        rb = (np.arange(target, dtype=np.int64) * h) // target
+        cb = (np.arange(target, dtype=np.int64) * w) // target
+        sums = np.add.reduceat(
+            np.add.reduceat(img.astype(np.int64), rb, axis=0), cb, axis=1)
+        rc = np.diff(np.append(rb, h))
+        cc = np.diff(np.append(cb, w))
+        small = (sums // np.outer(rc, cc)).astype(np.uint8)
+        rows.append((int(d), int(small.mean() * 1000),
+                     int(small.min()), int(small.max())))
+    rows.sort()
+    return rows
+
+
+def serial_video_frames(doc_ids, texts, stride: int = 2):
+    """Mirror of stages/multimodal.py::SampleFrames over the
+    documents-derived fake video table: every stride-th frame's mean."""
+    rows = []
+    for d, t in zip(doc_ids, texts):
+        data = t.encode() or b"\x00"
+        n = 4 + (int(d) % 8)
+        w = 8 + (len(data) % 9)
+        h = 8 + (int(d) % 9)
+        need = n * w * h
+        pixels = (data * (need // len(data) + 1))[:need]
+        frames = np.frombuffer(pixels, dtype=np.uint8).reshape(n, h, w)
+        for i in range(0, n, stride):
+            rows.append((int(d), i, int(frames[i].mean() * 1000)))
+    rows.sort()
+    return rows
+
+
 def _normalize(m: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(m, axis=1)
     norms[norms == 0] = 1.0
@@ -415,6 +457,12 @@ def main():
              ("lang", "approx_distinct"), (s, i64), "corpus_len", corpus_len),
             ("op_cms_heavy_hitters", serial_cms_heavy_hitters(texts),
              ("word", "cnt", "cms_est"), (s, i64, i64), "corpus_len", corpus_len),
+            ("op_media_resize_features", serial_media_resize(doc_ids, texts),
+             ("media_id", "resized_mean_milli", "resized_min", "resized_max"),
+             (i64, i64, i64, i64), "corpus_len", corpus_len),
+            ("op_video_frame_features", serial_video_frames(doc_ids, texts),
+             ("media_id", "frame_idx", "frame_mean_milli"),
+             (i64, i64, i64), "corpus_len", corpus_len),
             ("op_media_features", serial_media_features(doc_ids, texts),
              ("media_id", "mean_milli", "std_milli"), (i64, i64, i64),
              "corpus_len", corpus_len),
