@@ -202,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_topk": textstats.vocab_topk,
         "stratified_sample": textstats.stratified_sample,
         "token_rarity": textstats.token_rarity,
+        "bigram_lm_score": textstats.bigram_lm_score,
         "inverted_index": textstats.inverted_index,
         # mergeable sketches (register rows, constant shuffle per group)
         "hll_distinct_tokens": sketches.hll_distinct_tokens,
@@ -826,6 +827,26 @@ def oracle_sql() -> dict[str, str]:
                    (SUM((1000 * tot.t) // cnt)::BIGINT // COUNT(*)::BIGINT)::BIGINT
                        AS rarity_e3
             FROM toks JOIN cnts USING (term), tot
+            GROUP BY doc_id ORDER BY doc_id
+        """,
+        "bigram_lm_score": f"""
+            WITH docs AS (
+                SELECT doc_id,
+                       string_split_regex({_trim('text')}, '\\s+') AS toks
+                FROM documents WHERE {_trim('text')} <> ''),
+            big AS (
+                SELECT doc_id,
+                       UNNEST(toks[1:len(toks)-1]) AS w1,
+                       UNNEST(toks[2:len(toks)])   AS w2
+                FROM docs WHERE len(toks) >= 2),
+            cnt2 AS (SELECT w1, w2, COUNT(*)::BIGINT AS c2
+                     FROM big GROUP BY w1, w2),
+            cnt1 AS (SELECT w1, SUM(c2)::BIGINT AS c1 FROM cnt2 GROUP BY w1),
+            vocab AS (SELECT COUNT(DISTINCT w2)::BIGINT AS v FROM big)
+            SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+                   (SUM((1000 * (c1 + v)) // (c2 + 1))::BIGINT
+                       // COUNT(*)::BIGINT)::BIGINT AS surprise_e3
+            FROM big JOIN cnt2 USING (w1, w2) JOIN cnt1 USING (w1), vocab
             GROUP BY doc_id ORDER BY doc_id
         """,
         "inverted_index": f"""

@@ -1033,3 +1033,146 @@ def source_mix(sf_dir: str):
     return ds.map_batches(expand, batch_format="pyarrow", batch_size=65536).sort(
         ["doc_id", "epoch"]
     )
+
+
+def bigram_lm_score(sf_dir: str, vocab_broadcast_limit: int = 10_000_000):
+    """Per-document bigram-LM surprise — the CCNet/KenLM-style perplexity
+    filter: train a bigram language model on the corpus itself, score every
+    document by its mean inverse conditional probability, keep the fluent
+    tail.  High ``surprise_e3`` = improbable word sequences (gibberish,
+    boilerplate keyword stuffing); low = fluent running text.
+
+    Integer-exact by construction (the tf-idf / token_rarity lesson): the
+    Laplace-smoothed inverse probability of bigram ``(w1, w2)`` is
+
+        surprise(w1, w2) = (1000 * (c1(w1) + V)) // (c2(w1, w2) + 1)
+
+    with ``c2`` the corpus bigram count, ``c1(w1) = sum_w c2(w1, w)`` the
+    count of ``w1`` as a bigram context, and ``V`` the distinct-second-word
+    vocabulary size — all exact int64 (``1000 * (c1 + V)`` stays in range
+    up to ~9e15 corpus tokens).  A float ``ln`` would differ by 1 ulp
+    between libms and break the driver gate.  Document score = floor-mean
+    of its bigram occurrences' surprises.
+
+    Scale shape (three grouped reductions + one size-switched attach, all
+    shuffles vocabulary-scale, never corpus-scale):
+
+    1. per-batch Arrow bigram explode (``binary_join_element_wise`` of the
+       flattened token array against its 1-shifted self, parent-boundary
+       masked) -> per-(doc, bigram) tf combine;
+    2. ``grouped_sum_count`` builds the bigram table (one row per distinct
+       bigram) and the context table (one row per distinct ``w1``);
+    3. under ``vocab_broadcast_limit`` the model ships as ONE ``ray.put``
+       aligned-array lookup (bg -> surprise) probed with ``pc.index_in``;
+       above it the attach is two ``bucketed_hash_join`` passes (on ``bg``,
+       then ``w1``) — same switch tf-idf documents for its vocabulary;
+    4. per-doc partial sums re-reduce through one doc_id sort, so a
+       document split across blocks still sums exactly once.
+
+    Tokens are ``\\s+``-separated so the single-space bigram key
+    ``w1 || ' ' || w2`` cannot alias.  Docs with < 2 tokens have no bigrams
+    and are absent from the output (the SQL oracle mirrors this).
+    """
+    import pandas as pd
+
+    from lexmapr_ray.functions.broadcast import get_once, put_lookup
+    from lexmapr_ray.functions.groupagg import grouped_sum_count, sorted_group_reduce
+    from lexmapr_ray.functions.joins import bucketed_hash_join
+
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def doc_bigrams(t: pa.Table) -> "pd.DataFrame":
+        empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                              "w1": pd.Series([], dtype=object),
+                              "w2": pd.Series([], dtype=object),
+                              "bg": pd.Series([], dtype=object),
+                              "tf": pd.Series([], dtype="int64")})
+        if len(t) == 0:
+            return empty
+        trimmed, splits = _token_lists(t["text"])
+        mask = pc.not_equal(trimmed, "")
+        splits_f = pc.filter(splits, mask)
+        ids = pc.filter(t["doc_id"], mask)
+        flat = pc.list_flatten(splits_f)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        n = len(flat)
+        if n < 2:
+            return empty
+        parent = pc.list_parent_indices(splits_f).to_numpy(zero_copy_only=False)
+        same = parent[:-1] == parent[1:]
+        same_arr = pa.array(same)
+        w1 = flat.slice(0, n - 1).filter(same_arr)
+        w2 = flat.slice(1, n - 1).filter(same_arr)
+        if len(w1) == 0:
+            return empty
+        bg = pc.binary_join_element_wise(w1, w2, " ")
+        doc = pc.take(ids, pa.array(parent[:-1][same]))
+        ex = pa.table({"doc_id": doc, "w1": w1, "w2": w2, "bg": bg}).to_pandas()
+        return ex.groupby(["doc_id", "w1", "w2", "bg"], sort=False).size().reset_index(name="tf")
+
+    tf = ds.map_batches(doc_bigrams, batch_format="pyarrow", batch_size=65536)
+
+    # bigram table: one row per distinct (w1, w2); w1/w2 ride along (bg
+    # determines both, so the extra keys don't change granularity).
+    cnts2 = grouped_sum_count(
+        tf.map_batches(lambda d: d[["w1", "w2", "bg", "tf"]], batch_format="pandas"),
+        ["bg", "w1", "w2"], sum_cols={"cnt2": "tf"},
+    ).materialize()
+
+    def doc_partial(d: "pd.DataFrame") -> "pd.DataFrame":
+        return d.groupby("doc_id", as_index=False, sort=False).agg(
+            n_bigrams=("tf", "sum"), ssum=("stot", "sum"))
+
+    def doc_final(d: "pd.DataFrame") -> "pd.DataFrame":
+        g = d.groupby("doc_id", as_index=False, sort=False).agg(
+            n_bigrams=("n_bigrams", "sum"), ssum=("ssum", "sum"))
+        g["surprise_e3"] = (g["ssum"] // g["n_bigrams"]).astype("int64")
+        return g[["doc_id", "n_bigrams", "surprise_e3"]]
+
+    if cnts2.count() <= vocab_broadcast_limit:
+        model = cnts2.to_pandas()
+        c1 = model.groupby("w1")["cnt2"].transform("sum").to_numpy(dtype="int64")
+        v = int(model["w2"].nunique())
+        surprise = (1000 * (c1 + v)) // (model["cnt2"].to_numpy(dtype="int64") + 1)
+        ref = put_lookup(model["bg"].to_numpy(), surprise)
+
+        def attach(d: "pd.DataFrame") -> "pd.DataFrame":
+            if len(d) == 0:
+                return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                     "tf": pd.Series([], dtype="int64"),
+                                     "stot": pd.Series([], dtype="int64")})
+            keys, vals = get_once(ref)
+            idx = pc.index_in(pa.array(d["bg"].to_numpy(dtype=object)), value_set=keys)
+            s = pc.take(vals, idx).to_numpy(zero_copy_only=False)
+            return d.assign(stot=(d["tf"].to_numpy(dtype="int64") * s)
+                            .astype("int64"))[["doc_id", "tf", "stot"]]
+
+        scored = tf.map_batches(attach, batch_format="pandas", batch_size=65536)
+    else:
+        cnts1 = grouped_sum_count(
+            tf.map_batches(lambda d: d[["w1", "tf"]], batch_format="pandas"),
+            "w1", sum_cols={"cnt1": "tf"},
+        )
+        # V (one int64) is the only model statistic small enough to collect:
+        # distinct w2 = row count of a vocabulary-scale grouped reduce.
+        v = int(grouped_sum_count(
+            tf.map_batches(lambda d: d[["w2", "tf"]], batch_format="pandas"),
+            "w2", sum_cols={"c": "tf"},
+        ).count())
+        j2 = bucketed_hash_join(
+            tf.map_batches(lambda d: d[["doc_id", "w1", "bg", "tf"]],
+                           batch_format="pandas"),
+            cnts2.map_batches(lambda d: d[["bg", "cnt2"]], batch_format="pandas"),
+            on="bg")
+        j1 = bucketed_hash_join(j2, cnts1, on="w1")
+
+        def attach_joined(d: "pd.DataFrame") -> "pd.DataFrame":
+            s = (1000 * (d["cnt1"].to_numpy(dtype="int64") + v)) // (
+                d["cnt2"].to_numpy(dtype="int64") + 1)
+            return d.assign(stot=(d["tf"].to_numpy(dtype="int64") * s)
+                            .astype("int64"))[["doc_id", "tf", "stot"]]
+
+        scored = j1.map_batches(attach_joined, batch_format="pandas", batch_size=65536)
+
+    return sorted_group_reduce(scored, "doc_id", doc_partial, doc_final)

@@ -1021,3 +1021,52 @@ def test_cms_heavy_hitters_overestimate_contract(ray_session, sf_dir):
         .str.split().map(len).sum())
     eps = math.e / CMS_W
     assert (out["cms_est"] - out["cnt"] <= eps * total_tokens * 3).all()
+
+
+def test_bigram_lm_adversarial_and_join_path(ray_session, tmp_path):
+    """bigram_lm_score vs its DuckDB oracle on an adversarial corpus
+    (edge whitespace, single-token / empty docs, heavy repetition, an
+    exact dup), then vocab_broadcast_limit=0 forces the bucketed-join
+    model attach — it must reproduce the broadcast path exactly."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+    from lexmapr_ray.stages.textstats import bigram_lm_score
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog",   # exact dup
+        "\t the rare xylophone quetzal \n",               # edge ws
+        "spam spam spam spam spam",                      # repetition
+        "", "   ",                                       # tokenless
+        "one",                                           # single token: no bigram
+        "the of and to in it is was the of and to",      # all-common
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    got = bigram_lm_score(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    exp = con.execute(entrymod.oracle_sql()["bigram_lm_score"]).fetchdf() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], exp[sorted(exp.columns)], check_dtype=False)
+    # single-token and tokenless docs are absent from both sides
+    assert set(got["doc_id"]) == {0, 1, 2, 3, 7}
+    # the repetition doc's "spam spam" bigram is maximally probable ->
+    # strictly lower surprise than the hapax-chain doc
+    s = got.set_index("doc_id")["surprise_e3"]
+    assert s[3] < s[2]
+
+    joined = bigram_lm_score(str(tmp_path), vocab_broadcast_limit=0) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, joined)
