@@ -214,6 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_decontaminate": dedup.ngram_decontaminate,
         "bloom_decontaminate": dedup.bloom_decontaminate,
         "minhash_dedup_pairs": dedup.minhash_dedup_pairs,
+        "minhash_index_dedup": dedup.minhash_index_dedup,
         "near_dup_clusters": dedup.near_dup_clusters,
         "corpus_clean": dedup.corpus_clean,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -907,6 +908,12 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('/root/repo/expected/op_minhash_dedup_pairs.parquet')
             WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)
             ORDER BY doc_a, doc_b
+        """,
+        "minhash_index_dedup": """
+            SELECT doc_id, dup_of, jaccard_pct
+            FROM read_parquet('/root/repo/expected/op_minhash_index_dedup.parquet')
+            WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)
+            ORDER BY doc_id
         """,
         "near_dup_clusters": """
             SELECT doc_id, cluster_id

@@ -989,3 +989,140 @@ def span_dedup(sf_dir: str, span_tokens: int = 3):
     return winners.sort(["doc_id", "span_idx"]).map_batches(
         reassemble, batch_format="pandas", batch_size=None
     ).sort("doc_id")
+
+
+def minhash_index_dedup(sf_dir: str, threshold: float = 0.8,
+                        existing_permille: int = 700,
+                        concurrency: int | None = None):
+    """Incremental (cross-batch) near-dup dedup: flag each NEW document that
+    near-duplicates the EXISTING corpus — the ingest-time check a production
+    pipeline runs when a fresh crawl batch lands next to petabytes already
+    curated.  The corpus is split by the engine-wide deterministic gate
+    (``md5_permille(doc_id) < existing_permille`` = existing, else new) so
+    engine and serial oracle derive identical sides with no side-channel
+    state.
+
+    Shape (all existing machinery, new topology):
+
+    1. ONE :class:`MinHasher` pass bands both sides (at ingest the existing
+       side's ``(doc_id, bucket)`` rows would be a persisted parquet index
+       read back instead of recomputed — same rows either way);
+    2. singleton buckets pruned (:func:`_prune_singleton_buckets`: a
+       new-vs-existing match needs >= 2 members, so the prune is sound);
+    3. the bucket sort co-locates each LSH bucket; the block merge emits
+       only CROSS-SIDE candidates (new x existing) — never new-new or
+       existing-existing, so a batch of mutual duplicates of a fresh
+       template generates no intra-batch quadratic pair load;
+    4. exact word-shingle Jaccard verification via the pair-explode +
+       bucketed corpus join (the :func:`_verified_pairs` shape — nothing
+       driver-side);
+    5. per new doc, ONE verdict: the best-matching existing doc (max
+       jaccard, tie-break min existing id) through a doc-sorted argmax
+       reduce.
+
+    Output: (doc_id, dup_of, jaccard_pct) for flagged new docs only.
+    """
+    import pandas as pd
+
+    from lexmapr_ray.functions.joins import bucketed_hash_join
+    from lexmapr_ray.stages.textstats import md5_permille
+
+    docs = _read_documents(sf_dir, ["doc_id", "text"])
+    banded = docs.map_batches(
+        MinHasher, batch_format="pyarrow",
+        fn_constructor_kwargs={"shingle_kind": "word"},
+        concurrency=_auto_concurrency(concurrency),
+    )
+    banded = _prune_singleton_buckets(banded)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "is_new", pa.array(md5_permille(t["doc_id"]) >= existing_permille))
+
+    def cross_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                              "doc_b": pd.Series([], dtype="int64")})
+        if len(df) == 0:
+            return empty
+        new = df.loc[df["is_new"], ["bucket", "doc_id"]].rename(
+            columns={"doc_id": "doc_a"})
+        old = df.loc[~df["is_new"], ["bucket", "doc_id"]].rename(
+            columns={"doc_id": "doc_b"})
+        if len(new) == 0 or len(old) == 0:
+            return empty
+        m = new.merge(old, on="bucket")
+        return m[["doc_a", "doc_b"]].drop_duplicates()
+
+    # doc_a = new doc, doc_b = existing doc (sides fixed, not ordered ids)
+    cand = banded.map_batches(tag, batch_format="pyarrow").sort("bucket") \
+        .map_batches(cross_pairs, batch_format="pandas", batch_size=None)
+
+    def explode(t: pa.Table) -> pa.Table:
+        a, b = t["doc_a"].combine_chunks(), t["doc_b"].combine_chunks()
+        return pa.table({
+            "doc_a": pa.concat_arrays([a, a]),
+            "doc_b": pa.concat_arrays([b, b]),
+            "doc_id": pa.concat_arrays([a, b]),
+        })
+
+    joined = bucketed_hash_join(
+        cand.map_batches(explode, batch_format="pyarrow"), docs, on="doc_id",
+        left_schema=pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                               ("doc_id", pa.int64())]),
+        right_schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())]),
+    )
+
+    shingle_fn = _SHINGLERS["word"]
+
+    def verify_block(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "doc_id": pd.Series([], dtype="int64"),
+            "dup_of": pd.Series([], dtype="int64"),
+            "jaccard_pct": pd.Series([], dtype="int64"),
+        })
+        if len(df) == 0:
+            return empty
+        half_a = df[df["doc_id"] == df["doc_a"]][["doc_a", "doc_b", "text"]] \
+            .drop_duplicates(["doc_a", "doc_b"]).rename(columns={"text": "text_a"})
+        half_b = df[df["doc_id"] == df["doc_b"]][["doc_a", "doc_b", "text"]] \
+            .drop_duplicates(["doc_a", "doc_b"]).rename(columns={"text": "text_b"})
+        m = half_a.merge(half_b, on=["doc_a", "doc_b"])
+        if len(m) == 0:
+            return empty
+        cache: dict = {}
+
+        def sh(key, text):
+            s = cache.get(key)
+            if s is None:
+                s = cache[key] = shingle_fn(text)
+            return s
+
+        out_a, out_b, out_j = [], [], []
+        for a, b, ta, tb in zip(m["doc_a"], m["doc_b"], m["text_a"], m["text_b"]):
+            sa, sb = sh(a, ta), sh(b, tb)
+            union = len(sa | sb)
+            j = (len(sa & sb) / union) if union else 1.0
+            if j >= threshold:
+                out_a.append(a)
+                out_b.append(b)
+                out_j.append(int(round(j * 100)))
+        return pd.DataFrame({
+            "doc_id": pd.Series(out_a, dtype="int64"),
+            "dup_of": pd.Series(out_b, dtype="int64"),
+            "jaccard_pct": pd.Series(out_j, dtype="int64"),
+        })
+
+    verified = joined.sort(["doc_a", "doc_b"]).map_batches(
+        verify_block, batch_format="pandas", batch_size=None)
+
+    # one verdict per new doc: max jaccard, tie-break min existing id —
+    # associative, so the per-batch prune + post-sort final is exact
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        return df.sort_values(["doc_id", "jaccard_pct", "dup_of"],
+                              ascending=[True, False, True]) \
+            .drop_duplicates("doc_id")
+
+    return verified.map_batches(best, batch_format="pandas", batch_size=65536) \
+        .sort("doc_id").map_batches(best, batch_format="pandas", batch_size=None)

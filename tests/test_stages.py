@@ -1070,3 +1070,48 @@ def test_bigram_lm_adversarial_and_join_path(ray_session, tmp_path):
     joined = bigram_lm_score(str(tmp_path), vocab_broadcast_limit=0) \
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, joined)
+
+
+def test_minhash_index_dedup_flags_cross_side_dups(ray_session, tmp_path):
+    """minhash_index_dedup on a corpus of exact-duplicate groups: every NEW
+    doc (md5 permille gate) whose text also exists on the EXISTING side is
+    flagged with jaccard 100 and dup_of = the minimum matching existing id;
+    new docs with only new-side twins or unique text are not flagged."""
+    import hashlib as _hl
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lexmapr_ray.stages.dedup import minhash_index_dedup
+
+    def pm(d):
+        return int(_hl.md5(str(d).encode()).hexdigest()[:8], 16) % 1000
+
+    # 60 ids -> ~42 existing / ~18 new at the default 700 gate; 12 shared
+    # texts spread over 5 ids each guarantee cross-side collisions
+    ids = list(range(60))
+    texts = [f"shared text block number {i % 12} with enough tokens to shingle"
+             for i in ids[:60]]
+    # a few unique new-side docs
+    for d in ids:
+        if pm(d) >= 700 and d % 7 == 0:
+            texts[d] = f"completely unique document {d} " + " ".join(
+                f"tok{d}_{j}" for j in range(8))
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                    "lang": pa.array(["en"] * len(ids), pa.string())})
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    got = minhash_index_dedup(str(tmp_path)).to_pandas()
+
+    existing_by_text: dict = {}
+    for d in ids:
+        if pm(d) < 700:
+            existing_by_text.setdefault(texts[d], []).append(d)
+    expected = {}
+    for d in ids:
+        if pm(d) >= 700 and texts[d] in existing_by_text:
+            expected[d] = min(existing_by_text[texts[d]])
+    assert dict(zip(got["doc_id"], got["dup_of"])) == expected
+    assert (got["jaccard_pct"] == 100).all()
+    assert list(got["doc_id"]) == sorted(expected)

@@ -111,6 +111,24 @@ def serial_lsh_pairs(doc_ids, texts, shingle_fn, salt: bytes, threshold: float):
     return rows
 
 
+def serial_index_dedup(doc_ids, texts, word_pairs,
+                       existing_permille: int = 700):
+    """Incremental-dedup verdicts from the serial verified pair list: keep
+    cross-side pairs (new = md5 permille gate >= existing_permille), orient
+    (new, existing), keep the best existing match per new doc (max jaccard,
+    tie-break min existing id)."""
+    pm = {d: int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % 1000
+          for d in doc_ids}
+    best: dict = {}
+    for a, b, j in word_pairs:
+        for new, old in ((a, b), (b, a)):
+            if pm[new] >= existing_permille and pm[old] < existing_permille:
+                cur = best.get(new)
+                if cur is None or (j, -old) > (cur[1], -cur[0]):
+                    best[new] = (old, j)
+    return [(d, old, j) for d, (old, j) in sorted(best.items())]
+
+
 def serial_union_find_clusters(doc_ids, pairs):
     """Union-find over verified near-dup pairs -> (doc_id, min-id cluster)."""
     parent = {d: d for d in doc_ids}
@@ -441,6 +459,9 @@ def main():
         mk = [
             ("op_minhash_dedup_pairs", word_pairs,
              ("doc_a", "doc_b", "jaccard_pct"), (i64, i64, i64), "corpus_len", corpus_len),
+            ("op_minhash_index_dedup",
+             serial_index_dedup(doc_ids, texts, word_pairs),
+             ("doc_id", "dup_of", "jaccard_pct"), (i64, i64, i64), "corpus_len", corpus_len),
             ("op_near_dup_clusters",
              serial_union_find_clusters(doc_ids, word_pairs),
              ("doc_id", "cluster_id"), (i64, i64), "corpus_len", corpus_len),
