@@ -203,6 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": textstats.stratified_sample,
         "token_rarity": textstats.token_rarity,
         "bigram_lm_score": textstats.bigram_lm_score,
+        "target_affinity": textstats.target_affinity,
         "inverted_index": textstats.inverted_index,
         # mergeable sketches (register rows, constant shuffle per group)
         "hll_distinct_tokens": sketches.hll_distinct_tokens,
@@ -848,6 +849,21 @@ def oracle_sql() -> dict[str, str]:
                    (SUM((1000 * (c1 + v)) // (c2 + 1))::BIGINT
                        // COUNT(*)::BIGINT)::BIGINT AS surprise_e3
             FROM big JOIN cnt2 USING (w1, w2) JOIN cnt1 USING (w1), vocab
+            GROUP BY doc_id ORDER BY doc_id
+        """,
+        "target_affinity": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       UNNEST(string_split_regex({_trim('text')}, '\\s+')) AS term,
+                       CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt
+                FROM documents WHERE {_trim('text')} <> ''),
+            cnts AS (SELECT term, COUNT(*)::BIGINT AS c_all,
+                            SUM(tgt)::BIGINT AS c_tgt
+                     FROM toks GROUP BY term)
+            SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+                   (SUM((1000 * (c_tgt + 1)) // c_all)::BIGINT
+                       // COUNT(*)::BIGINT)::BIGINT AS affinity_e3
+            FROM toks JOIN cnts USING (term)
             GROUP BY doc_id ORDER BY doc_id
         """,
         "inverted_index": f"""

@@ -1176,3 +1176,104 @@ def bigram_lm_score(sf_dir: str, vocab_broadcast_limit: int = 10_000_000):
         scored = j1.map_batches(attach_joined, batch_format="pandas", batch_size=65536)
 
     return sorted_group_reduce(scored, "doc_id", doc_partial, doc_final)
+
+
+def target_affinity(sf_dir: str, target_lang: str = "en",
+                    vocab_broadcast_limit: int = 10_000_000):
+    """DSIR-style importance scoring for target-domain resampling: score
+    every document by how much its unigram distribution looks like a TARGET
+    subcorpus (here ``lang == target_lang`` — in production the target is a
+    small trusted set: Wikipedia, books, a curated seed).  High-affinity
+    general-crawl docs are then upsampled (:func:`source_mix` /
+    :func:`corpus_sample` downstream) — the importance-resampling data
+    selection of Xie et al.'s DSIR, with the hastings-ratio numerator kept
+    and the corpus-wide constant factor dropped (it cannot change ranking).
+
+    Integer-exact: per-token affinity is
+
+        affinity_e3(t) = (1000 * (c_tgt(t) + 1)) // c_all(t)
+
+    with ``c_tgt`` the token count inside the target subcorpus (Laplace +1
+    so out-of-target vocabulary still orders by rarity) and ``c_all`` the
+    full-corpus count.  ``1000 * c_tgt`` stays in int64 to ~9e15 target
+    tokens; no float ln (the tf-idf lesson).  Document score = floor-mean
+    over its token occurrences.
+
+    Scale shape is :func:`token_rarity`'s exactly: one vocabulary-scale
+    grouped reduce building (c_all, c_tgt) per term in a single pass
+    (the target count is a conditional sum, not a second corpus scan), a
+    size-switched broadcast/bucketed-join attach, and a doc_id-sorted
+    final re-reduce."""
+    import pandas as pd
+
+    from lexmapr_ray.functions.broadcast import get_once, put_lookup
+    from lexmapr_ray.functions.groupagg import grouped_sum_count, sorted_group_reduce
+    from lexmapr_ray.functions.joins import bucketed_hash_join
+
+    ds = _read_documents(sf_dir, ["doc_id", "text", "lang"])
+
+    def doc_terms(t: pa.Table) -> "pd.DataFrame":
+        trimmed, splits = _token_lists(t["text"])
+        mask = pc.not_equal(trimmed, "")
+        flat = pc.list_flatten(pc.filter(splits, mask))
+        parents = pc.list_parent_indices(pc.filter(splits, mask))
+        doc_ids = pc.take(pc.filter(t["doc_id"], mask), parents)
+        is_tgt = pc.take(pc.equal(pc.filter(t["lang"], mask), target_lang),
+                         parents)
+        ex = pa.table({"doc_id": doc_ids, "term": flat,
+                       "tgt": pc.cast(is_tgt, pa.int64())}).to_pandas()
+        g = ex.groupby(["doc_id", "term"], sort=False).agg(
+            tf=("tgt", "size"), tf_tgt=("tgt", "sum")).reset_index()
+        return g
+
+    tf = ds.map_batches(doc_terms, batch_format="pyarrow", batch_size=65536)
+    cnts = grouped_sum_count(
+        tf.map_batches(lambda d: d[["term", "tf", "tf_tgt"]],
+                       batch_format="pandas"),
+        "term", sum_cols={"c_all": "tf", "c_tgt": "tf_tgt"},
+    ).materialize()
+
+    def doc_partial(d: "pd.DataFrame") -> "pd.DataFrame":
+        return d.groupby("doc_id", as_index=False, sort=False).agg(
+            n_tokens=("tf", "sum"), asum=("atot", "sum"))
+
+    def doc_final(d: "pd.DataFrame") -> "pd.DataFrame":
+        g = d.groupby("doc_id", as_index=False, sort=False).agg(
+            n_tokens=("n_tokens", "sum"), asum=("asum", "sum"))
+        g["affinity_e3"] = (g["asum"] // g["n_tokens"]).astype("int64")
+        return g[["doc_id", "n_tokens", "affinity_e3"]]
+
+    if cnts.count() <= vocab_broadcast_limit:
+        vocab = cnts.to_pandas()
+        aff = (1000 * (vocab["c_tgt"].to_numpy(dtype="int64") + 1)) \
+            // vocab["c_all"].to_numpy(dtype="int64")
+        ref = put_lookup(vocab["term"].to_numpy(), aff)
+
+        def attach(d: "pd.DataFrame") -> "pd.DataFrame":
+            if len(d) == 0:
+                return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                     "tf": pd.Series([], dtype="int64"),
+                                     "atot": pd.Series([], dtype="int64")})
+            keys, vals = get_once(ref)
+            idx = pc.index_in(pa.array(d["term"].to_numpy(dtype=object)),
+                              value_set=keys)
+            a = pc.take(vals, idx).to_numpy(zero_copy_only=False)
+            return d.assign(atot=(d["tf"].to_numpy(dtype="int64") * a)
+                            .astype("int64"))[["doc_id", "tf", "atot"]]
+
+        scored = tf.map_batches(attach, batch_format="pandas", batch_size=65536)
+    else:
+        joined = bucketed_hash_join(
+            tf.map_batches(lambda d: d[["doc_id", "term", "tf"]],
+                           batch_format="pandas"),
+            cnts, on="term")
+
+        def attach_joined(d: "pd.DataFrame") -> "pd.DataFrame":
+            a = (1000 * (d["c_tgt"].to_numpy(dtype="int64") + 1)) \
+                // d["c_all"].to_numpy(dtype="int64")
+            return d.assign(atot=(d["tf"].to_numpy(dtype="int64") * a)
+                            .astype("int64"))[["doc_id", "tf", "atot"]]
+
+        scored = joined.map_batches(attach_joined, batch_format="pandas",
+                                    batch_size=65536)
+    return sorted_group_reduce(scored, "doc_id", doc_partial, doc_final)

@@ -1115,3 +1115,51 @@ def test_minhash_index_dedup_flags_cross_side_dups(ray_session, tmp_path):
     assert dict(zip(got["doc_id"], got["dup_of"])) == expected
     assert (got["jaccard_pct"] == 100).all()
     assert list(got["doc_id"]) == sorted(expected)
+
+
+def test_target_affinity_adversarial_and_join_path(ray_session, tmp_path):
+    """target_affinity vs its DuckDB oracle on a corpus where target (en)
+    and non-target (de) vocabularies partially overlap, plus edge
+    whitespace/empty docs; vocab_broadcast_limit=0 must reproduce the
+    broadcast path exactly.  Also pins the semantics: a doc written in the
+    target's vocabulary outranks one of equally-common non-target words."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+    from lexmapr_ray.stages.textstats import target_affinity
+
+    texts = [
+        "wiki article text about science and history",   # en (target)
+        "wiki article text about art and science",       # en
+        "der schnelle braune fuchs springt",              # de
+        "der schnelle braune hund springt",               # de
+        "science history article text",                   # de doc, en words
+        "\t der fuchs \n", "", "   ",
+    ]
+    langs = ["en", "en", "de", "de", "de", "de", "en", "de"]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                    "lang": pa.array(langs, pa.string())})
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    got = target_affinity(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    exp = con.execute(entrymod.oracle_sql()["target_affinity"]).fetchdf() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], exp[sorted(exp.columns)], check_dtype=False)
+
+    s = got.set_index("doc_id")["affinity_e3"]
+    # the de doc made of en-corpus words scores far above the pure-de docs
+    assert s[4] > s[2] and s[4] > s[3]
+    # tokenless docs absent
+    assert 6 not in s.index and 7 not in s.index
+
+    joined = target_affinity(str(tmp_path), vocab_broadcast_limit=0) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, joined)
