@@ -152,7 +152,7 @@ def _kg_incremental_merge(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     from lexmapr_ray.pipelines import relational as rel
     from lexmapr_ray.pipelines import webgraph, windows
-    from lexmapr_ray.stages import dedup, packing, similarity, sketches, textstats
+    from lexmapr_ray.stages import bpe, dedup, packing, similarity, sketches, textstats
     from lexmapr_ray.stages import multimodal as mm
     from lexmapr_ray.stages.multimodal import media_features_from_documents
 
@@ -199,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_cap": textstats.source_cap,
         "source_mix": textstats.source_mix,
         "sequence_pack": packing.sequence_pack,
+        "bpe_merges": bpe.bpe_train,
         "vocab_topk": textstats.vocab_topk,
         "stratified_sample": textstats.stratified_sample,
         "token_rarity": textstats.token_rarity,
@@ -930,6 +931,12 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('/root/repo/expected/op_minhash_index_dedup.parquet')
             WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)
             ORDER BY doc_id
+        """,
+        "bpe_merges": """
+            SELECT "rank", "left", "right", merged, pair_count
+            FROM read_parquet('/root/repo/expected/op_bpe_merges.parquet')
+            WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)
+            ORDER BY "rank"
         """,
         "near_dup_clusters": """
             SELECT doc_id, cluster_id

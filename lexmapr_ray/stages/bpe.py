@@ -1,0 +1,144 @@
+"""Distributed BPE tokenizer training over the ``documents`` table.
+
+Byte-pair-encoding merge induction (Sennrich et al. 2016, the subword
+tokenizer-training step of every modern LLM data pipeline) in its
+scale-correct Ray Data shape: the CORPUS is touched exactly once (one
+vectorized word-count pass); every one of the ``n_merges`` refinement
+rounds then runs over the VOCABULARY table — (word, freq) rows, orders of
+magnitude smaller than the corpus and the textbook domain of the
+algorithm — with one vocabulary-scale grouped reduce plus a k=1 exact
+top-k per round.  Nothing corpus-scale is ever iterated, shuffled per
+round, or collected to the driver; the only driver-side state is the
+single winning pair per round (two strings).
+
+Exactness contract (the DuckDB gate hash-compares against a serial
+textbook reimplementation in tools/make_op_expected.py): pair counts are
+exact int64 sums of word frequencies; the winning pair per round is
+max-count with lexicographic (left, right) ascending tie-break — a total
+order, so engine and serial agree bit-exactly; merges apply left-to-right
+non-overlapping within each word (the textbook scan).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+END_OF_WORD = "</w>"
+
+
+def _merge_word(syms: list, left: str, right: str, merged: str) -> list:
+    """Textbook non-overlapping left-to-right merge scan."""
+    out = []
+    i = 0
+    n = len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def bpe_train(sf_dir: str, n_merges: int = 30, min_freq: int = 2):
+    """Learn the first ``n_merges`` BPE merges from the corpus.
+
+    Returns one row per learned merge: (rank, left, right, merged,
+    pair_count), rank 0-based in learning order.  Stops early if the
+    vocabulary runs out of adjacent pairs (every word fully merged).
+
+    Shape per round: per-batch pair-count combine over the symbolized
+    vocabulary (Python loop over VOCAB rows — the small side; the corpus
+    pass above it is pure Arrow) -> vocabulary-scale
+    ``grouped_sum_count`` -> exact k=1 :func:`global_topk` (per-block
+    prune, one-row sort) -> merge applied map-side next round.  The
+    vocabulary dataset is re-materialized per round (iterative lineage,
+    the ``embedding_kmeans`` pattern).  ``min_freq`` prunes hapax words
+    before round 1 — at web scale the freq>=2 vocabulary is ~10x smaller
+    and BPE statistics are insensitive to hapax tails.
+    """
+    from lexmapr_ray.functions.groupagg import grouped_sum_count
+    from lexmapr_ray.functions.topk import global_topk
+    from lexmapr_ray.stages.textstats import _read_documents, _token_lists
+
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def word_counts(t: pa.Table) -> pd.DataFrame:
+        trimmed, splits = _token_lists(t["text"])
+        mask = pc.not_equal(trimmed, "")
+        flat = pc.list_flatten(pc.filter(splits, mask))
+        d = pd.DataFrame({"word": flat.to_numpy(zero_copy_only=False)})
+        return d.groupby("word", sort=False).size().reset_index(name="freq")
+
+    vocab_ds = grouped_sum_count(
+        ds.map_batches(word_counts, batch_format="pyarrow", batch_size=65536),
+        "word", sum_cols={"freq": "freq"},
+    )
+
+    def symbolize(d: pd.DataFrame) -> pd.DataFrame:
+        d = d[d["freq"] >= min_freq]
+        if len(d) == 0:
+            return pd.DataFrame({"syms": pd.Series([], dtype=object),
+                                 "freq": pd.Series([], dtype="int64")})
+        return pd.DataFrame({
+            "syms": [list(w) + [END_OF_WORD] for w in d["word"]],
+            "freq": d["freq"].to_numpy(dtype="int64"),
+        })
+
+    vocab = vocab_ds.map_batches(symbolize, batch_format="pandas",
+                                 batch_size=65536).materialize()
+
+    merges = []
+    for rank in range(n_merges):
+        def pair_counts(d: pd.DataFrame) -> pd.DataFrame:
+            acc: dict = {}
+            for syms, f in zip(d["syms"], d["freq"]):
+                for i in range(len(syms) - 1):
+                    key = (syms[i], syms[i + 1])
+                    acc[key] = acc.get(key, 0) + int(f)
+            if not acc:
+                return pd.DataFrame({"left": pd.Series([], dtype=object),
+                                     "right": pd.Series([], dtype=object),
+                                     "cnt": pd.Series([], dtype="int64")})
+            lefts, rights = zip(*acc.keys())
+            return pd.DataFrame({"left": list(lefts), "right": list(rights),
+                                 "cnt": np.fromiter(acc.values(), dtype=np.int64)})
+
+        pairs = grouped_sum_count(
+            vocab.map_batches(pair_counts, batch_format="pandas",
+                              batch_size=65536),
+            ["left", "right"], sum_cols={"cnt": "cnt"},
+        )
+        top = global_topk(pairs, ["cnt", "left", "right"],
+                          [True, False, False], 1).take_all()
+        if not top:
+            break
+        left, right, cnt = top[0]["left"], top[0]["right"], int(top[0]["cnt"])
+        merged = left + right
+        merges.append((rank, left, right, merged, cnt))
+
+        def apply_merge(d: pd.DataFrame, _l=left, _r=right, _m=merged) -> pd.DataFrame:
+            if len(d) == 0:
+                return d
+            return pd.DataFrame({
+                "syms": [_merge_word(s, _l, _r, _m) for s in d["syms"]],
+                "freq": d["freq"].to_numpy(dtype="int64"),
+            })
+
+        vocab = vocab.map_batches(apply_merge, batch_format="pandas",
+                                  batch_size=65536).materialize()
+
+    import ray.data
+
+    tbl = pa.table({
+        "rank": pa.array([m[0] for m in merges], pa.int64()),
+        "left": pa.array([m[1] for m in merges], pa.string()),
+        "right": pa.array([m[2] for m in merges], pa.string()),
+        "merged": pa.array([m[3] for m in merges], pa.string()),
+        "pair_count": pa.array([m[4] for m in merges], pa.int64()),
+    })
+    return ray.data.from_arrow(tbl)

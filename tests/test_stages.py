@@ -1163,3 +1163,52 @@ def test_target_affinity_adversarial_and_join_path(ray_session, tmp_path):
     joined = target_affinity(str(tmp_path), vocab_broadcast_limit=0) \
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, joined)
+
+
+def test_bpe_train_matches_textbook_serial(ray_session, tmp_path):
+    """bpe_train vs an inline textbook BPE on the classic Sennrich-style
+    toy vocabulary; also pins the tie-break (max count, then lexicographic
+    (left, right)) and the min_freq hapax prune."""
+    from collections import Counter
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lexmapr_ray.stages.bpe import bpe_train
+
+    words = (["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+             + ["hapax"])  # freq 1: pruned by min_freq=2
+    texts = [" ".join(words[i::4]) for i in range(4)]
+    tbl = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                    "lang": pa.array(["en"] * 4, pa.string())})
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    got = bpe_train(str(tmp_path), n_merges=8).to_pandas()
+
+    wc = Counter(words)
+    vocab = [[list(w) + ["</w>"], f] for w, f in wc.items() if f >= 2]
+    exp = []
+    for rank in range(8):
+        pcnt = Counter()
+        for syms, f in vocab:
+            for i in range(len(syms) - 1):
+                pcnt[(syms[i], syms[i + 1])] += f
+        if not pcnt:
+            break
+        (left, right), cnt = min(pcnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        merged = left + right
+        exp.append((rank, left, right, merged, cnt))
+        for ent in vocab:
+            syms, out, i = ent[0], [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            ent[0] = out
+    assert [tuple(r) for r in got.itertuples(index=False)] == exp
+    # first merge must involve the dominant 'newest'/'widest' suffix family
+    assert got.loc[0, "pair_count"] == 9  # 's t' from newest(6) + widest(3)

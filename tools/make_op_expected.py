@@ -129,6 +129,41 @@ def serial_index_dedup(doc_ids, texts, word_pairs,
     return [(d, old, j) for d, (old, j) in sorted(best.items())]
 
 
+def serial_bpe_merges(texts, n_merges: int = 30, min_freq: int = 2):
+    """Textbook BPE (Sennrich): word-frequency table, per-round adjacent
+    pair counts, winner = max count with lexicographic (left, right)
+    tie-break, non-overlapping left-to-right merge scan."""
+    from collections import Counter
+
+    wc = Counter()
+    for t in texts:
+        wc.update(t.split())
+    vocab = [[list(w) + ["</w>"], f] for w, f in wc.items() if f >= min_freq]
+    rows = []
+    for rank in range(n_merges):
+        pcnt = Counter()
+        for syms, f in vocab:
+            for i in range(len(syms) - 1):
+                pcnt[(syms[i], syms[i + 1])] += f
+        if not pcnt:
+            break
+        (left, right), cnt = min(pcnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        merged = left + right
+        rows.append((rank, left, right, merged, cnt))
+        for ent in vocab:
+            syms = ent[0]
+            out, i, n = [], 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            ent[0] = out
+    return rows
+
+
 def serial_union_find_clusters(doc_ids, pairs):
     """Union-find over verified near-dup pairs -> (doc_id, min-id cluster)."""
     parent = {d: d for d in doc_ids}
@@ -462,6 +497,9 @@ def main():
             ("op_minhash_index_dedup",
              serial_index_dedup(doc_ids, texts, word_pairs),
              ("doc_id", "dup_of", "jaccard_pct"), (i64, i64, i64), "corpus_len", corpus_len),
+            ("op_bpe_merges", serial_bpe_merges(texts),
+             ("rank", "left", "right", "merged", "pair_count"),
+             (i64, s, s, s, i64), "corpus_len", corpus_len),
             ("op_near_dup_clusters",
              serial_union_find_clusters(doc_ids, word_pairs),
              ("doc_id", "cluster_id"), (i64, i64), "corpus_len", corpus_len),
