@@ -200,6 +200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_mix": textstats.source_mix,
         "sequence_pack": packing.sequence_pack,
         "bpe_merges": bpe.bpe_train,
+        "bpe_token_counts": bpe.bpe_token_counts,
         "vocab_topk": textstats.vocab_topk,
         "stratified_sample": textstats.stratified_sample,
         "token_rarity": textstats.token_rarity,
@@ -937,6 +938,12 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('/root/repo/expected/op_bpe_merges.parquet')
             WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)
             ORDER BY "rank"
+        """,
+        "bpe_token_counts": """
+            SELECT doc_id, n_tokens, n_bpe_tokens
+            FROM read_parquet('/root/repo/expected/op_bpe_token_counts.parquet')
+            WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)
+            ORDER BY doc_id
         """,
         "near_dup_clusters": """
             SELECT doc_id, cluster_id

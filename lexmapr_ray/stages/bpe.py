@@ -142,3 +142,64 @@ def bpe_train(sf_dir: str, n_merges: int = 30, min_freq: int = 2):
         "pair_count": pa.array([m[4] for m in merges], pa.int64()),
     })
     return ray.data.from_arrow(tbl)
+
+
+def bpe_token_counts(sf_dir: str, n_merges: int = 30, min_freq: int = 2):
+    """Tokenizer-aware token counting: train the ``n_merges``-rule BPE with
+    :func:`bpe_train`, then encode every document and count its BPE tokens
+    — the real token budget a packing / pricing / curriculum stage needs
+    (whitespace counts over-estimate budgets by the subword ratio;
+    :func:`~lexmapr_ray.stages.packing.sequence_pack` consumes budgets like
+    these).
+
+    The learned ruleset is 30 tiny rows — collected driver-side (the one
+    adjudicated-correct driver materialization class: constant-size model
+    state, like k-means centroids) and shipped in the task closure.  Encode
+    cost is bounded by UNIQUE words per batch, not tokens: each batch
+    builds a word -> token-count cache over ``np.unique`` of its token
+    array (web text repeats words heavily), applying the ranked rules with
+    the same non-overlapping scan as training.
+
+    Output: (doc_id, n_tokens, n_bpe_tokens); tokenless docs count 0/0.
+    """
+    import ray.data  # noqa: F401  (Dataset type for the return)
+
+    from lexmapr_ray.stages.textstats import _read_documents, _token_lists
+
+    rules = [(r["left"], r["right"], r["merged"])
+             for r in bpe_train(sf_dir, n_merges=n_merges,
+                                min_freq=min_freq).take_all()]
+
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def encode_len(word: str) -> int:
+        syms = list(word) + [END_OF_WORD]
+        for left, right, merged in rules:
+            if len(syms) < 2:
+                break
+            syms = _merge_word(syms, left, right, merged)
+        return len(syms)
+
+    def count_batch(t: pa.Table) -> pa.Table:
+        trimmed, splits = _token_lists(t["text"])
+        empty = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
+        n_tok = pc.list_value_length(splits).to_numpy(zero_copy_only=False) \
+            .astype("int64")
+        n_tok = np.where(empty, 0, n_tok)
+        flat = pc.list_flatten(splits).to_numpy(zero_copy_only=False)
+        parents = pc.list_parent_indices(splits).to_numpy(zero_copy_only=False)
+        n_bpe = np.zeros(len(t), dtype=np.int64)
+        if len(flat):
+            uniq, inv = np.unique(flat, return_inverse=True)
+            lens = np.fromiter((encode_len(w) for w in uniq),
+                               dtype=np.int64, count=len(uniq))
+            np.add.at(n_bpe, parents, lens[inv])
+        n_bpe = np.where(empty, 0, n_bpe)
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_bpe_tokens": pa.array(n_bpe, pa.int64()),
+        })
+
+    return ds.map_batches(count_batch, batch_format="pyarrow",
+                          batch_size=65536).sort("doc_id")

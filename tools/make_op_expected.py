@@ -164,6 +164,37 @@ def serial_bpe_merges(texts, n_merges: int = 30, min_freq: int = 2):
     return rows
 
 
+def serial_bpe_token_counts(doc_ids, texts, merges):
+    """Encode every doc with the learned ranked merges; count BPE tokens."""
+    rules = [(l, r, m) for _, l, r, m, _ in merges]
+    cache: dict = {}
+
+    def enc(word):
+        n = cache.get(word)
+        if n is None:
+            syms = list(word) + ["</w>"]
+            for left, right, merged in rules:
+                if len(syms) < 2:
+                    break
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            n = cache[word] = len(syms)
+        return n
+
+    rows = []
+    for d, t in zip(doc_ids, texts):
+        toks = t.split()
+        rows.append((d, len(toks), sum(enc(w) for w in toks)))
+    return rows
+
+
 def serial_union_find_clusters(doc_ids, pairs):
     """Union-find over verified near-dup pairs -> (doc_id, min-id cluster)."""
     parent = {d: d for d in doc_ids}
@@ -491,15 +522,20 @@ def main():
 
         i64, s = pa.int64(), pa.string()
         word_pairs = serial_lsh_pairs(doc_ids, texts, word_shingles, b"word", 0.8)
+        bpe_merges = serial_bpe_merges(texts)
         mk = [
             ("op_minhash_dedup_pairs", word_pairs,
              ("doc_a", "doc_b", "jaccard_pct"), (i64, i64, i64), "corpus_len", corpus_len),
             ("op_minhash_index_dedup",
              serial_index_dedup(doc_ids, texts, word_pairs),
              ("doc_id", "dup_of", "jaccard_pct"), (i64, i64, i64), "corpus_len", corpus_len),
-            ("op_bpe_merges", serial_bpe_merges(texts),
+            ("op_bpe_merges", bpe_merges,
              ("rank", "left", "right", "merged", "pair_count"),
              (i64, s, s, s, i64), "corpus_len", corpus_len),
+            ("op_bpe_token_counts",
+             serial_bpe_token_counts(doc_ids, texts, bpe_merges),
+             ("doc_id", "n_tokens", "n_bpe_tokens"), (i64, i64, i64),
+             "corpus_len", corpus_len),
             ("op_near_dup_clusters",
              serial_union_find_clusters(doc_ids, word_pairs),
              ("doc_id", "cluster_id"), (i64, i64), "corpus_len", corpus_len),
