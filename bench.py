@@ -193,7 +193,7 @@ def run_queries(sf_dir: str) -> dict:
     per session, not per query."""
     from lexmapr_ray.pipelines import relational as rel
     from lexmapr_ray.pipelines import webgraph
-    from lexmapr_ray.stages import dedup, similarity, sketches, textstats
+    from lexmapr_ray.stages import bpe, dedup, similarity, sketches, textstats
 
     import ray.data as rd
 
@@ -220,6 +220,10 @@ def run_queries(sf_dir: str) -> dict:
         ("customer_event_activity", rel.customer_event_activity),
         ("hll_distinct_tokens", sketches.hll_distinct_tokens),
         ("token_rarity", textstats.token_rarity),
+        ("bigram_lm_score", textstats.bigram_lm_score),
+        ("target_affinity", textstats.target_affinity),
+        ("minhash_index_dedup", dedup.minhash_index_dedup),
+        ("bpe_merges", bpe.bpe_train),
         ("inverted_index", textstats.inverted_index),
         ("pagerank_docs", webgraph.pagerank_docs),
         ("host_filtered_corpus", webgraph.host_filtered_corpus),

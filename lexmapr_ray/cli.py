@@ -27,7 +27,11 @@ def _ensure_ray():
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+        # Honor RAY_ADDRESS so `ray job submit` / an existing cluster wins;
+        # only a bare environment gets a private local session.  Dashboard
+        # stays off for local runs (no-op when attaching to a cluster).
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 include_dashboard=False, logging_level="ERROR")
 
 
 def cmd_kg_run(args) -> int:
