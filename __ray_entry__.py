@@ -239,6 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-label exact integer centroids over the embedding column
         "embedding_centroids": similarity.embedding_centroids,
         "embedding_kmeans": similarity.embedding_kmeans,
+        "semantic_dedup": similarity.semantic_dedup,
         "embedding_quantize": similarity.embedding_quantize,
         # text heuristics / fingerprints (non-SQL)
         "lang_id_heuristic": textstats.lang_id,
@@ -1029,6 +1030,13 @@ def oracle_sql() -> dict[str, str]:
         "embedding_kmeans": """
             SELECT vec_id, cluster
             FROM read_parquet('/root/repo/expected/op_embedding_kmeans.parquet')
+            WHERE emb_checksum = (SELECT SUM(CAST(FLOOR(CAST(embedding[1] AS DOUBLE)
+                                  * 1000000) AS BIGINT)) FROM embeddings)
+            ORDER BY vec_id
+        """,
+        "semantic_dedup": """
+            SELECT vec_id, cluster, keep, dup_of
+            FROM read_parquet('/root/repo/expected/op_semantic_dedup.parquet')
             WHERE emb_checksum = (SELECT SUM(CAST(FLOOR(CAST(embedding[1] AS DOUBLE)
                                   * 1000000) AS BIGINT)) FROM embeddings)
             ORDER BY vec_id

@@ -505,6 +505,83 @@ def embedding_quantize(sf_dir: str):
     return ds.map_batches(quantize, batch_format="pyarrow").sort("vec_id")
 
 
+def _micro_ids(t: pa.Table):
+    """(vec_id int64, micro-unit int64 matrix) for the integer k-means
+    contract: ``floor(float64(v) * 1e6)`` per element."""
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    micro = np.floor(_batch_matrix(t) * 1e6).astype(np.int64)
+    return ids, micro
+
+
+def _int_assign(micro: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Exact integer nearest-centroid via |x|^2 - 2<x,c> + |c|^2 (magnitudes
+    bounded by dim * (2e6)^2 ~ 1e14 << 2^63); argmin ties break to the
+    lowest cluster id (numpy first-minimum)."""
+    cross = micro @ cents.T                          # (n, k) int64
+    d2 = (micro * micro).sum(axis=1, keepdims=True) \
+        - 2 * cross + (cents * cents).sum(axis=1)[None, :]
+    return d2.argmin(axis=1).astype(np.int64)
+
+
+def _kmeans_fit(ds, k: int, iters: int) -> np.ndarray:
+    """Train the integer-exact Lloyd's centroids over a (vec_id, embedding)
+    Dataset and return the final (k, dim) int64 micro-unit centroid matrix.
+
+    Per iteration, centroids (a few KB) are broadcast with ``ray.put``; one
+    ``map_batches`` pass assigns + reduces each batch to <= k x dim partial
+    (cluster, dim, sum, count) rows; the driver sums the partials (rows
+    bounded by BLOCK COUNT x k x dim, never corpus size) and emits
+    next-round centroids via order-independent int64 floor division.  An
+    emptied cluster keeps its previous centroid.  Init: the k vectors with
+    the lowest vec_id (exact-safe per-batch prune, no global
+    materialization)."""
+    import ray
+
+    from lexmapr_ray.functions.broadcast import get_once
+
+    def prune_k(t: pa.Table) -> pa.Table:
+        if len(t) <= k:
+            return t
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.argpartition(ids, k - 1)[:k]
+        return t.take(pa.array(np.sort(keep)))
+
+    seed = ds.map_batches(prune_k, batch_format="pyarrow") \
+             .sort("vec_id").limit(k).take_all()
+    _, centroids = _micro_ids(pa.Table.from_pylist(seed))   # (k, dim) int64
+
+    for _ in range(iters):
+        cent_ref = ray.put(centroids)
+
+        def partial(t: pa.Table, _ref=cent_ref) -> pa.Table:
+            cents = get_once(_ref)
+            _, micro = _micro_ids(t)
+            a = _int_assign(micro, cents)
+            order = np.argsort(a, kind="stable")
+            sa = a[order]
+            uniq, starts = np.unique(sa, return_index=True)
+            sums = np.add.reduceat(micro[order], starts, axis=0)
+            counts = np.diff(np.append(starts, len(sa))).astype(np.int64)
+            n_c, dim = sums.shape
+            return pa.table({
+                "cluster": pa.array(np.repeat(uniq, dim)),
+                "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), n_c)),
+                "s": pa.array(sums.reshape(-1)),
+                "n": pa.array(np.repeat(counts, dim)),
+            })
+
+        part = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=4096).to_pandas()
+        nxt = centroids.copy()
+        if len(part):
+            g = part.groupby(["cluster", "dim"], sort=True)[["s", "n"]].sum()
+            for (c, d), row in g.iterrows():
+                if row["n"] > 0:
+                    nxt[int(c), int(d)] = int(row["s"]) // int(row["n"])
+        centroids = nxt
+    return centroids
+
+
 def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 5):
     """Distributed Lloyd's k-means over the embedding column, integer-exact.
 
@@ -535,72 +612,99 @@ def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 5):
     from lexmapr_ray.functions.broadcast import get_once
 
     ds = _read_embeddings(sf_dir, ["vec_id", "embedding"])
-
-    def to_micro(t: pa.Table):
-        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        micro = np.floor(_batch_matrix(t) * 1e6).astype(np.int64)
-        return ids, micro
-
-    # ---- init: k lowest-vec_id vectors (per-batch prune -> tiny sort) ----
-    def prune_k(t: pa.Table) -> pa.Table:
-        if len(t) <= k:
-            return t
-        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = np.argpartition(ids, k - 1)[:k]
-        return t.take(pa.array(np.sort(keep)))
-
-    seed = ds.map_batches(prune_k, batch_format="pyarrow") \
-             .sort("vec_id").limit(k).take_all()
-    seed_t = pa.Table.from_pylist(seed)
-    _, centroids = to_micro(seed_t)            # (k, dim) int64
-
-    def assign(micro: np.ndarray, cents: np.ndarray) -> np.ndarray:
-        # exact integer squared-L2 via the expansion; magnitudes bounded by
-        # dim * (2e6)^2 ~ 1e14 << 2^63
-        cross = micro @ cents.T                          # (n, k) int64
-        d2 = (micro * micro).sum(axis=1, keepdims=True) \
-            - 2 * cross + (cents * cents).sum(axis=1)[None, :]
-        return d2.argmin(axis=1).astype(np.int64)        # first min = lowest id
-
-    for _ in range(iters):
-        cent_ref = ray.put(centroids)
-
-        def partial(t: pa.Table, _ref=cent_ref) -> pa.Table:
-            cents = get_once(_ref)
-            _, micro = to_micro(t)
-            a = assign(micro, cents)
-            order = np.argsort(a, kind="stable")
-            sa = a[order]
-            uniq, starts = np.unique(sa, return_index=True)
-            sums = np.add.reduceat(micro[order], starts, axis=0)
-            counts = np.diff(np.append(starts, len(sa))).astype(np.int64)
-            n_c, dim = sums.shape
-            return pa.table({
-                "cluster": pa.array(np.repeat(uniq, dim)),
-                "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), n_c)),
-                "s": pa.array(sums.reshape(-1)),
-                "n": pa.array(np.repeat(counts, dim)),
-            })
-
-        part = ds.map_batches(partial, batch_format="pyarrow",
-                              batch_size=4096).to_pandas()
-        nxt = centroids.copy()
-        if len(part):
-            g = part.groupby(["cluster", "dim"], sort=True)[["s", "n"]].sum()
-            for (c, d), row in g.iterrows():
-                if row["n"] > 0:
-                    nxt[int(c), int(d)] = int(row["s"]) // int(row["n"])
-        centroids = nxt
-
-    final_ref = ray.put(centroids)
+    final_ref = ray.put(_kmeans_fit(ds, k, iters))
 
     def assign_out(t: pa.Table, _ref=final_ref) -> pa.Table:
         cents = get_once(_ref)
-        ids, micro = to_micro(t)
+        ids, micro = _micro_ids(t)
         return pa.table({
             "vec_id": pa.array(ids),
-            "cluster": pa.array(assign(micro, cents)),
+            "cluster": pa.array(_int_assign(micro, cents)),
         })
 
     return ds.map_batches(assign_out, batch_format="pyarrow",
                           batch_size=4096).sort("vec_id")
+
+
+def semantic_dedup(sf_dir: str, k: int = 8, iters: int = 5,
+                   threshold_bp: int = 3000):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the
+    embedding column, then prune near-identical vectors WITHIN each cluster
+    — cosine is only ever computed inside a cluster, so the corpus-quadratic
+    all-pairs cost collapses to sum over clusters of m_c^2 with m_c ~ n/k.
+
+    Exact contract (serial oracle tools/make_op_expected.py::
+    serial_semantic_dedup): clusters follow :func:`embedding_kmeans`'s
+    integer contract verbatim; within a cluster, vectors are visited in
+    ascending vec_id and v is a DUPLICATE iff some already-KEPT u in the
+    cluster has round(cos(u, v) * 10000) >= threshold_bp; ``dup_of`` is the
+    lowest-vec_id such u (-1 for kept rows).  Keeping the first-seen vector
+    (not the centroid-farthest of the paper) makes the rule
+    order-independent of engine batching.
+
+    Scale shape: ``k`` is the scale knob — SemDeDup at corpus scale sets
+    k ~ n / target_cluster_size so each cluster fits one sorted block (the
+    same equal-key co-location every grouped op here pins, see
+    functions/groupagg.py); the per-cluster greedy is one m x m matmul plus
+    an O(m) masked scan per row, never corpus-quadratic.  Centroids are
+    broadcast once with ``ray.put`` and read per actor, not per batch.
+    """
+    import ray
+
+    from lexmapr_ray.functions.broadcast import get_once
+
+    ds = _read_embeddings(sf_dir, ["vec_id", "embedding"])
+    cent_ref = ray.put(_kmeans_fit(ds, k, iters))
+
+    def assign_emb(t: pa.Table, _ref=cent_ref) -> pa.Table:
+        cents = get_once(_ref)
+        ids, micro = _micro_ids(t)
+        return pa.table({
+            "cluster": pa.array(_int_assign(micro, cents)),
+            "vec_id": pa.array(ids),
+            "embedding": t["embedding"],
+        })
+
+    def greedy_block(df: pd.DataFrame) -> pd.DataFrame:
+        empty = {
+            "vec_id": pd.Series([], dtype="int64"),
+            "cluster": pd.Series([], dtype="int64"),
+            "keep": pd.Series([], dtype="int64"),
+            "dup_of": pd.Series([], dtype="int64"),
+        }
+        if len(df) == 0:
+            return pd.DataFrame(empty)
+        outs = []
+        for c, g in df.groupby("cluster", sort=True):
+            g = g.sort_values("vec_id", kind="mergesort")
+            ids = g["vec_id"].to_numpy(dtype=np.int64)
+            m = np.stack([np.asarray(e, dtype=np.float64)
+                          for e in g["embedding"]])
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+            mn = m / norms[:, None]
+            bp = np.round(mn @ mn.T * 10_000).astype(np.int64)
+            kept = np.zeros(len(ids), dtype=bool)
+            dup_of = np.full(len(ids), -1, dtype=np.int64)
+            for i in range(len(ids)):
+                hits = kept[:i] & (bp[:i, i] >= threshold_bp)
+                if hits.any():
+                    dup_of[i] = ids[int(np.argmax(hits))]  # lowest kept id
+                else:
+                    kept[i] = True
+            outs.append(pd.DataFrame({
+                "vec_id": ids,
+                "cluster": np.full(len(ids), int(c), dtype=np.int64),
+                "keep": kept.astype(np.int64),
+                "dup_of": dup_of,
+            }))
+        return pd.concat(outs, ignore_index=True)
+
+    # sort on cluster co-locates each cluster whole in one block;
+    # batch_size=None keeps the sorted blocks intact through the reduce
+    return (ds.map_batches(assign_emb, batch_format="pyarrow",
+                           batch_size=4096)
+            .sort("cluster")
+            .map_batches(greedy_block, batch_format="pandas",
+                         batch_size=None)
+            .sort("vec_id"))

@@ -95,3 +95,6 @@ def test_kmeans_expected_fresh():
     committed = _committed("op_embedding_kmeans", "emb_checksum", tag)
     assert sorted(committed) == ops.serial_kmeans(vec_ids, m), \
         f"op_embedding_kmeans: {MSG}"
+    committed = _committed("op_semantic_dedup", "emb_checksum", tag)
+    assert sorted(committed) == ops.serial_semantic_dedup(vec_ids, m), \
+        f"op_semantic_dedup: {MSG}"

@@ -143,6 +143,32 @@ def test_embedding_kmeans_matches_serial(ray_session, sf_dir, embs):
     assert got["cluster"].nunique() > 1
 
 
+def test_semantic_dedup_matches_serial(ray_session, sf_dir, embs):
+    """Distributed SemDeDup (k-means assign -> cluster-co-located greedy
+    cosine prune) == the serial per-pair loop, and the split is non-trivial
+    (both kept and dropped rows exist); every duplicate points at a KEPT
+    lower-vec_id vector in its own cluster."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    import make_op_expected as ops
+    from lexmapr_ray.stages.similarity import semantic_dedup
+
+    got = semantic_dedup(sf_dir).to_pandas()
+    m = np.stack([np.asarray(e, dtype=np.float64) for e in embs["embedding"]])
+    exp = ops.serial_semantic_dedup(embs["vec_id"].tolist(), m)
+    assert [tuple(r) for r in got.itertuples(index=False)] == exp
+
+    kept = got[got["keep"] == 1]
+    dups = got[got["keep"] == 0]
+    assert len(kept) > 0 and len(dups) > 0
+    assert (kept["dup_of"] == -1).all()
+    kept_by_id = kept.set_index("vec_id")["cluster"]
+    for r in dups.itertuples(index=False):
+        assert r.dup_of < r.vec_id
+        assert kept_by_id.loc[r.dup_of] == r.cluster
+
+
 def test_embedding_near_dup_sound(ray_session, sf_dir, embs):
     from lexmapr_ray.stages.similarity import embedding_near_dup_pairs
 

@@ -490,6 +490,38 @@ def serial_kmeans(vec_ids, m: np.ndarray, k: int = 8, iters: int = 5):
     return rows
 
 
+def serial_semantic_dedup(vec_ids, m: np.ndarray, k: int = 8, iters: int = 5,
+                          threshold_bp: int = 3000):
+    """Plain-loop SemDeDup mirroring stages/similarity.py::semantic_dedup:
+    clusters from serial_kmeans (the same integer contract as the engine),
+    then per cluster in ascending vec_id a vector is a duplicate iff some
+    already-kept vector in its cluster has round(cos * 10000) >=
+    threshold_bp; dup_of = the lowest-vec_id such keeper, -1 if kept."""
+    ids = np.asarray(vec_ids, dtype=np.int64)
+    assign = dict(serial_kmeans(vec_ids, m, k, iters))
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    mn = m / norms[:, None]
+    byid = {int(v): mn[i] for i, v in enumerate(ids)}
+    clusters: dict[int, list[int]] = {}
+    for v in sorted(byid):
+        clusters.setdefault(assign[v], []).append(v)
+    rows = []
+    for c in sorted(clusters):
+        kept: list[int] = []
+        for v in clusters[c]:
+            dup_of = -1
+            for u in kept:
+                if int(np.round(byid[u] @ byid[v] * 10_000)) >= threshold_bp:
+                    dup_of = u
+                    break
+            if dup_of == -1:
+                kept.append(v)
+            rows.append((v, c, 1 if dup_of == -1 else 0, dup_of))
+    rows.sort()
+    return rows
+
+
 # -- table assembly -----------------------------------------------------------
 
 def _table(rows, names, types, tag_name: str, tag: int) -> pa.Table:
@@ -569,6 +601,9 @@ def main():
              ("vec_a", "vec_b", "sim_bp"), (i64, i64, i64), "emb_checksum", emb_checksum),
             ("op_embedding_kmeans", serial_kmeans(vec_ids, m),
              ("vec_id", "cluster"), (i64, i64), "emb_checksum", emb_checksum),
+            ("op_semantic_dedup", serial_semantic_dedup(vec_ids, m),
+             ("vec_id", "cluster", "keep", "dup_of"), (i64, i64, i64, i64),
+             "emb_checksum", emb_checksum),
         ]
         for name, rows, names, types, tag_name, tag in mk:
             acc.setdefault(name, []).append(_table(rows, names, types, tag_name, tag))
