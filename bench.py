@@ -213,6 +213,7 @@ def run_queries(sf_dir: str) -> dict:
         ("dedup_exact", dedup.dedup_exact),
         ("minhash_dedup_pairs", dedup.minhash_dedup_pairs),
         ("cosine_topk", similarity.cosine_topk_bruteforce),
+        ("semantic_dedup", similarity.semantic_dedup),
         ("tfidf_top_terms", textstats.tfidf_top_terms),
         ("gopher_quality_filter", textstats.gopher_quality_filter),
         ("source_stats", textstats.source_stats),
