@@ -44,22 +44,105 @@ def _merge_word(syms: list, left: str, right: str, merged: str) -> list:
     return out
 
 
-def bpe_train(sf_dir: str, n_merges: int = 30, min_freq: int = 2):
+def _serial_merge_loop(words, freqs, n_merges: int):
+    """Driver-side merge rounds over a collected (word, freq) vocabulary.
+
+    Bit-identical to the distributed loop by construction: pair counts are
+    exact int64 sums over ALL adjacent symbol positions (overlaps counted,
+    same as the distributed per-word scan), the winner is (count desc,
+    left asc, right asc) — the same total order ``global_topk`` applies —
+    and merges apply left-to-right non-overlapping.  Vectorized: the whole
+    vocabulary lives in one flat int64 symbol array with a parallel
+    word-index array; each round is a handful of numpy kernels, so 30
+    rounds over a million-word vocabulary are milliseconds, not 30 Ray
+    shuffles.
+    """
+    sym_id: dict = {}
+    syms: list = []
+
+    def sid(s: str) -> int:
+        i = sym_id.get(s)
+        if i is None:
+            i = sym_id[s] = len(syms)
+            syms.append(s)
+        return i
+
+    flat_l: list = []
+    wid_l: list = []
+    for wi, w in enumerate(words):
+        for ch in w:
+            flat_l.append(sid(ch))
+        flat_l.append(sid(END_OF_WORD))
+        wid_l.extend([wi] * (len(w) + 1))
+    flat = np.asarray(flat_l, dtype=np.int64)
+    wid = np.asarray(wid_l, dtype=np.int64)
+    wfreq = np.asarray(freqs, dtype=np.int64)
+
+    merges = []
+    for rank in range(n_merges):
+        if len(flat) < 2:
+            break
+        a, b = flat[:-1], flat[1:]
+        same = wid[:-1] == wid[1:]
+        if not same.any():
+            break
+        m_base = len(syms)
+        key = a[same] * m_base + b[same]
+        uniq, inv = np.unique(key, return_inverse=True)
+        cnts = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(cnts, inv, wfreq[wid[:-1][same]])
+        best = cnts.max()
+        # count ties broken lexicographically on the DECODED strings —
+        # the same (cnt desc, left asc, right asc) order global_topk uses
+        cand = uniq[cnts == best]
+        left, right = min(
+            (syms[int(k_ // m_base)], syms[int(k_ % m_base)]) for k_ in cand)
+        merged = left + right
+        merges.append((rank, left, right, merged, int(best)))
+
+        l_id, r_id = sym_id[left], sym_id[right]
+        m_id = sid(merged)
+        pos = np.nonzero((a == l_id) & (b == r_id) & same)[0]
+        if len(pos):
+            # left-to-right non-overlap: within each run of consecutive
+            # match positions (aaa with pair (a,a)), keep even offsets
+            newrun = np.empty(len(pos), dtype=bool)
+            newrun[0] = True
+            newrun[1:] = pos[1:] != pos[:-1] + 1
+            run_start = pos[newrun][np.cumsum(newrun) - 1]
+            kept = pos[(pos - run_start) % 2 == 0]
+            flat[kept] = m_id
+            flat = np.delete(flat, kept + 1)
+            wid = np.delete(wid, kept + 1)
+    return merges
+
+
+def bpe_train(sf_dir: str, n_merges: int = 30, min_freq: int = 2,
+              driver_vocab_limit: int = 4_000_000):
     """Learn the first ``n_merges`` BPE merges from the corpus.
 
     Returns one row per learned merge: (rank, left, right, merged,
     pair_count), rank 0-based in learning order.  Stops early if the
     vocabulary runs out of adjacent pairs (every word fully merged).
 
-    Shape per round: per-batch pair-count combine over the symbolized
-    vocabulary (Python loop over VOCAB rows — the small side; the corpus
-    pass above it is pure Arrow) -> vocabulary-scale
-    ``grouped_sum_count`` -> exact k=1 :func:`global_topk` (per-block
-    prune, one-row sort) -> merge applied map-side next round.  The
-    vocabulary dataset is re-materialized per round (iterative lineage,
-    the ``embedding_kmeans`` pattern).  ``min_freq`` prunes hapax words
-    before round 1 — at web scale the freq>=2 vocabulary is ~10x smaller
-    and BPE statistics are insensitive to hapax tails.
+    The corpus is touched exactly once regardless of path (one distributed
+    vectorized word-count pass).  The merge rounds then run over the
+    VOCABULARY, whose size decides the topology (the same size-switch
+    pattern as ``semi_join``'s broadcast limit and tf-idf's vocabulary
+    threshold): at or below ``driver_vocab_limit`` distinct words the
+    rounds run as one vectorized numpy loop on the driver
+    (:func:`_serial_merge_loop` — a bounded model-training step over
+    reduced statistics, like the k-means centroid update; 30 Ray shuffles
+    over a 100k-row table would be pure scheduler overhead); above it each
+    round runs distributed: per-batch pair-count combine over the
+    symbolized vocabulary -> vocabulary-scale ``grouped_sum_count`` ->
+    exact k=1 :func:`global_topk` (per-block prune, one-row sort) -> merge
+    applied map-side next round, vocabulary re-materialized per round
+    (iterative lineage, the ``embedding_kmeans`` pattern).  Both paths
+    produce bit-identical merges (same counts, same total-order
+    tie-break); ``tests/test_stages.py`` asserts it.  ``min_freq`` prunes
+    hapax words before round 1 — at web scale the freq>=2 vocabulary is
+    ~10x smaller and BPE statistics are insensitive to hapax tails.
     """
     from lexmapr_ray.functions.groupagg import grouped_sum_count
     from lexmapr_ray.functions.topk import global_topk
@@ -77,7 +160,17 @@ def bpe_train(sf_dir: str, n_merges: int = 30, min_freq: int = 2):
     vocab_ds = grouped_sum_count(
         ds.map_batches(word_counts, batch_format="pyarrow", batch_size=65536),
         "word", sum_cols={"freq": "freq"},
-    )
+    ).materialize()
+
+    import ray.data
+
+    if vocab_ds.count() <= driver_vocab_limit:
+        kept = vocab_ds.filter(
+            expr=f"freq >= {int(min_freq)}") if min_freq > 1 else vocab_ds
+        rows = kept.take_all()
+        merges = _serial_merge_loop([r["word"] for r in rows],
+                                    [r["freq"] for r in rows], n_merges)
+        return ray.data.from_arrow(_merges_table(merges))
 
     def symbolize(d: pd.DataFrame) -> pd.DataFrame:
         d = d[d["freq"] >= min_freq]
@@ -132,16 +225,17 @@ def bpe_train(sf_dir: str, n_merges: int = 30, min_freq: int = 2):
         vocab = vocab.map_batches(apply_merge, batch_format="pandas",
                                   batch_size=65536).materialize()
 
-    import ray.data
+    return ray.data.from_arrow(_merges_table(merges))
 
-    tbl = pa.table({
+
+def _merges_table(merges) -> pa.Table:
+    return pa.table({
         "rank": pa.array([m[0] for m in merges], pa.int64()),
         "left": pa.array([m[1] for m in merges], pa.string()),
         "right": pa.array([m[2] for m in merges], pa.string()),
         "merged": pa.array([m[3] for m in merges], pa.string()),
         "pair_count": pa.array([m[4] for m in merges], pa.int64()),
     })
-    return ray.data.from_arrow(tbl)
 
 
 def bpe_token_counts(sf_dir: str, n_merges: int = 30, min_freq: int = 2):

@@ -1238,3 +1238,9 @@ def test_bpe_train_matches_textbook_serial(ray_session, tmp_path):
     assert [tuple(r) for r in got.itertuples(index=False)] == exp
     # first merge must involve the dominant 'newest'/'widest' suffix family
     assert got.loc[0, "pair_count"] == 9  # 's t' from newest(6) + widest(3)
+
+    # the size-switch is transparent: forcing the distributed merge rounds
+    # (driver_vocab_limit=0) yields bit-identical merges
+    dist = bpe_train(str(tmp_path), n_merges=8, driver_vocab_limit=0) \
+        .to_pandas()
+    pd.testing.assert_frame_equal(got, dist)
