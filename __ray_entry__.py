@@ -179,6 +179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_stats": rel.customer_order_stats,
         "part_brand_revenue": rel.part_brand_revenue,
         "top_orders_per_customer": rel.top_orders_per_customer,
+        "orders_running_window": rel.orders_running_window,
         "users_with_orders_and_events": rel.users_with_orders_and_events,
         "customers_without_events": rel.customers_without_events,
         # text analysis (SQL-oracled)
@@ -199,6 +200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_cap": textstats.source_cap,
         "source_mix": textstats.source_mix,
         "sequence_pack": packing.sequence_pack,
+        "chunk_documents": packing.chunk_documents,
         "bpe_merges": bpe.bpe_train,
         "bpe_token_counts": bpe.bpe_token_counts,
         "vocab_topk": textstats.vocab_topk,
@@ -228,6 +230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": similarity.ann_lsh_topk,
         "ann_ivf_topk": similarity.ann_ivf_topk,
         "embedding_near_dup": similarity.embedding_near_dup_pairs,
+        "knn_graph": similarity.knn_graph,
         # exact grouped quantiles (histogram-first; functions/quantiles.py)
         "doc_length_quantiles": textstats.doc_length_quantiles,
         "event_value_quantiles": rel.event_value_quantiles,
@@ -555,6 +558,22 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rank <= 3
             ORDER BY o_custkey, rank
         """,
+        "orders_running_window": """
+            SELECT o_custkey, o_orderkey,
+                   SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER (
+                     PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS UNBOUNDED PRECEDING
+                   )::BIGINT AS running_cents,
+                   COALESCE(
+                     (epoch_us(o_orderdate)
+                      - LAG(epoch_us(o_orderdate)) OVER (
+                          PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey))
+                     // 86400000000, -1)::BIGINT AS gap_days
+            FROM orders
+            ORDER BY o_custkey, o_orderkey
+        """,
         "users_with_orders_and_events": """
             SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id FROM events
             INTERSECT
@@ -752,6 +771,27 @@ def oracle_sql() -> dict[str, str]:
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                      - n_tokens) // 512)::BIGINT AS seq_id
             FROM tok ORDER BY doc_id
+        """,
+        "chunk_documents": f"""
+            WITH tok AS (
+                SELECT doc_id, string_split_regex({_trim('text')}, '\\s+') AS tk
+                FROM documents WHERE {_trim('text')} <> ''),
+            dims AS (
+                SELECT doc_id, tk, len(tk) AS n,
+                       CASE WHEN len(tk) <= 64 THEN 1
+                            ELSE (len(tk) - 64 + 47) // 48 + 1 END AS n_chunks
+                FROM tok),
+            c AS (
+                SELECT doc_id, tk, n,
+                       unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+                FROM dims)
+            SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                   (LEAST(chunk_idx*48 + 64, n) - chunk_idx*48)::BIGINT
+                       AS n_chunk_tokens,
+                   md5(array_to_string(
+                       tk[chunk_idx*48 + 1 : LEAST(chunk_idx*48 + 64, n)], ' '))
+                       AS chunk_fp
+            FROM c ORDER BY doc_id, chunk_idx
         """,
         "ngram_decontaminate": f"""
             WITH h AS (
@@ -1026,6 +1066,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE emb_checksum = (SELECT SUM(CAST(FLOOR(CAST(embedding[1] AS DOUBLE)
                                   * 1000000) AS BIGINT)) FROM embeddings)
             ORDER BY vec_a, vec_b
+        """,
+        "knn_graph": """
+            SELECT vec_id, neighbor_id, sim_bp, rank
+            FROM read_parquet('/root/repo/expected/op_knn_graph.parquet')
+            WHERE emb_checksum = (SELECT SUM(CAST(FLOOR(CAST(embedding[1] AS DOUBLE)
+                                  * 1000000) AS BIGINT)) FROM embeddings)
+            ORDER BY vec_id, rank
         """,
         "embedding_kmeans": """
             SELECT vec_id, cluster

@@ -455,6 +455,68 @@ def top_orders_per_customer(sf_dir: str, k: int = 3):
     )
 
 
+def orders_running_window(sf_dir: str):
+    """Cumulative window functions per customer: running order-value total
+    (``SUM(...) OVER (PARTITION BY ... ORDER BY ... ROWS UNBOUNDED
+    PRECEDING)``) and days since the previous order (``LAG`` delta; -1 for
+    each customer's first order).
+
+    Scale shape: one customer-key range sort co-locates each partition,
+    then ONE vectorized per-block pass computes both windows (pandas
+    grouped cumsum + shift — no per-group Python, no window buffer, no
+    second shuffle).  Unlike grouped reductions, window outputs are
+    per-row, so there is no combiner to push pre-shuffle: the sort moves
+    exactly the projected columns once, which is the lower bound for any
+    order-dependent window.
+
+    Exactness: money in integer cents; the day gap is integer
+    floor((cur_us - prev_us) / 86_400_000_000) over epoch microseconds —
+    engine-independent even for timestamps that are not midnight-aligned
+    (the SQL oracle applies the identical integer arithmetic rather than
+    an engine-defined DATE_DIFF).
+    """
+    import pandas as pd
+
+    ds = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": t["o_custkey"],
+            "o_orderkey": t["o_orderkey"],
+            "date_us": pc.cast(t["o_orderdate"], pa.int64()),
+            "total_cents": _cents(t["o_totalprice"]),
+        })
+
+    def window_block(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "o_custkey": pd.Series([], dtype="int64"),
+                "o_orderkey": pd.Series([], dtype="int64"),
+                "running_cents": pd.Series([], dtype="int64"),
+                "gap_days": pd.Series([], dtype="int64"),
+            })
+        df = df.sort_values(["o_custkey", "date_us", "o_orderkey"],
+                            kind="mergesort")
+        g = df.groupby("o_custkey", sort=False)
+        run = g["total_cents"].cumsum().to_numpy(dtype="int64")
+        prev = g["date_us"].shift(1)
+        cur = df["date_us"].to_numpy(dtype="int64")
+        first = prev.isna().to_numpy()
+        gap = (cur - prev.fillna(0).to_numpy(dtype="int64")) // 86_400_000_000
+        gap[first] = -1
+        return pd.DataFrame({
+            "o_custkey": df["o_custkey"].to_numpy(dtype="int64"),
+            "o_orderkey": df["o_orderkey"].to_numpy(dtype="int64"),
+            "running_cents": run,
+            "gap_days": gap,
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+    return prepped.sort(["o_custkey", "date_us", "o_orderkey"]).map_batches(
+        window_block, batch_format="pandas", batch_size=None)
+
+
 def _distinct_keys(sf_dir: str, table: str, col: str, out: str):
     """Distributed distinct key set, cast to int64, renamed to ``out``."""
     from lexmapr_ray.functions.groupagg import grouped_sum_count

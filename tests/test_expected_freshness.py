@@ -98,3 +98,6 @@ def test_kmeans_expected_fresh():
     committed = _committed("op_semantic_dedup", "emb_checksum", tag)
     assert sorted(committed) == ops.serial_semantic_dedup(vec_ids, m), \
         f"op_semantic_dedup: {MSG}"
+    committed = _committed("op_knn_graph", "emb_checksum", tag)
+    assert sorted(committed) == sorted(ops.serial_knn_graph(vec_ids, m)), \
+        f"op_knn_graph: {MSG}"

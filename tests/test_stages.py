@@ -737,6 +737,76 @@ def test_new_curation_ops_adversarial_oracle(ray_session, tmp_path):
     assert out.set_index("doc_id").loc[7, "text_clean"] == "x y z"
 
 
+def test_knn_graph_matches_serial_and_is_ranked(ray_session, sf_dir):
+    """knn_graph vs the serial LSH+rank reimplementation; also pins the
+    rank contract (contiguous 1..n per vector, sims non-increasing)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    import pyarrow.parquet as pq
+
+    import make_op_expected as ops
+    from lexmapr_ray.stages.similarity import knn_graph
+
+    got = knn_graph(sf_dir).to_pandas().sort_values(
+        ["vec_id", "rank"]).reset_index(drop=True)
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    vec_ids = t["vec_id"].to_pylist()
+    m = np.asarray(t["embedding"].combine_chunks().flatten(),
+                   dtype=np.float64).reshape(len(vec_ids), -1)
+    exp = ops.serial_knn_graph(vec_ids, m)
+    assert [tuple(r) for r in got.itertuples(index=False)] == exp
+
+    for _, g in got.groupby("vec_id"):
+        assert g["rank"].tolist() == list(range(1, len(g) + 1))
+        assert (g["sim_bp"].diff().dropna() <= 0).all()
+
+
+def test_chunk_documents_adversarial_oracle(ray_session, tmp_path):
+    """chunk_documents vs its DuckDB oracle on boundary-sized docs: token
+    counts straddling the window (63/64/65) and the second-stride boundary
+    (112/113), a tiny doc, empty and whitespace-only texts (no chunks), and
+    edge \\t/\\n whitespace.  Also pins the chunk geometry directly."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+    from lexmapr_ray.stages.packing import chunk_documents
+
+    def words(n):
+        return " ".join(f"t{i}" for i in range(n))
+
+    texts = [words(63), words(64), words(65), words(112), words(113),
+             "solo", "", "   \t\n", "\t " + words(70) + " \n"]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    got = chunk_documents(str(tmp_path)).to_pandas() \
+        .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    exp = con.execute(entrymod.oracle_sql()["chunk_documents"]).fetchdf() \
+        .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], exp[sorted(exp.columns)], check_dtype=False)
+
+    n_chunks = got.groupby("doc_id").size()
+    # 63/64 tokens -> 1 chunk; 65 -> 2; 112 -> 2; 113 -> 3; no rows for 6/7
+    assert n_chunks.to_dict() == {0: 1, 1: 1, 2: 2, 3: 2, 4: 3, 5: 1, 8: 2}
+    last = got[(got.doc_id == 4) & (got.chunk_idx == 2)]
+    assert last["n_chunk_tokens"].tolist() == [113 - 2 * 48]
+
+
 def test_simhash_near_dup_pairs_vs_bruteforce(ray_session, tmp_path):
     """Banded hamming search vs an in-test all-pairs popcount: recall for
     hamming <= 3 is guaranteed by the 4x16-bit pigeonhole, precision by the

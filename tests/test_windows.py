@@ -130,6 +130,7 @@ def test_events_funnel_matches_duckdb(ray_session, sf_dir, con):
 @pytest.mark.parametrize("name,fn_name", [
     ("events_daily_active", "events_daily_active"),
     ("events_retention_cohorts", "events_retention_cohorts"),
+    ("orders_running_window", "orders_running_window"),
 ])
 def test_events_analytics_match_duckdb(ray_session, sf_dir, con, name, fn_name):
     from lexmapr_ray.pipelines import relational

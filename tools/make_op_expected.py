@@ -460,6 +460,36 @@ def serial_embedding_near_dup(vec_ids, m: np.ndarray, threshold_bp: int = 3000,
     return rows
 
 
+def serial_knn_graph(vec_ids, m: np.ndarray, k: int = 5,
+                     n_tables: int = 4, target_bucket: int = 64):
+    n = len(vec_ids)
+    n_planes = max(6, math.ceil(math.log2(max(2.0, n / target_bucket))))
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    cand: set[tuple[int, int]] = set()
+    for ti in range(n_tables):
+        planes = np.random.RandomState(777 + ti).standard_normal((m.shape[1], n_planes))
+        buckets = ((m @ planes) > 0).astype(np.int64) @ weights
+        by_bucket: dict[int, list] = {}
+        for i, b in enumerate(buckets):
+            by_bucket.setdefault(int(b), []).append(i)
+        for members in by_bucket.values():
+            for x in range(len(members)):
+                for y in range(x + 1, len(members)):
+                    cand.add((members[x], members[y]))
+    mn = _normalize(m)
+    neigh: dict[int, dict[int, int]] = {}
+    for i, j in cand:
+        bp = int(np.round(mn[i] @ mn[j] * 10_000))
+        neigh.setdefault(i, {})[j] = bp
+        neigh.setdefault(j, {})[i] = bp
+    rows = []
+    for i in sorted(neigh, key=lambda x: int(vec_ids[x])):
+        ranked = sorted(((-bp, int(vec_ids[j])) for j, bp in neigh[i].items()))
+        for rank, (neg_bp, vj) in enumerate(ranked[:k], start=1):
+            rows.append((int(vec_ids[i]), vj, -neg_bp, rank))
+    return rows
+
+
 def serial_kmeans(vec_ids, m: np.ndarray, k: int = 8, iters: int = 5):
     """Plain-loop Lloyd's k-means mirroring stages/similarity.py::
     embedding_kmeans's integer contract: micro-unit int64 vectors, exact
@@ -599,6 +629,9 @@ def main():
              ("vec_id", "sim_bp"), (i64, i64), "emb_checksum", emb_checksum),
             ("op_embedding_near_dup", serial_embedding_near_dup(vec_ids, m),
              ("vec_a", "vec_b", "sim_bp"), (i64, i64, i64), "emb_checksum", emb_checksum),
+            ("op_knn_graph", serial_knn_graph(vec_ids, m),
+             ("vec_id", "neighbor_id", "sim_bp", "rank"), (i64, i64, i64, i64),
+             "emb_checksum", emb_checksum),
             ("op_embedding_kmeans", serial_kmeans(vec_ids, m),
              ("vec_id", "cluster"), (i64, i64), "emb_checksum", emb_checksum),
             ("op_semantic_dedup", serial_semantic_dedup(vec_ids, m),
