@@ -193,7 +193,8 @@ def run_queries(sf_dir: str) -> dict:
     per session, not per query."""
     from lexmapr_ray.pipelines import relational as rel
     from lexmapr_ray.pipelines import webgraph
-    from lexmapr_ray.stages import bpe, dedup, similarity, sketches, textstats
+    from lexmapr_ray.stages import (bpe, dedup, packing, similarity, sketches,
+                                    textstats)
 
     import ray.data as rd
 
@@ -228,6 +229,9 @@ def run_queries(sf_dir: str) -> dict:
         ("inverted_index", textstats.inverted_index),
         ("pagerank_docs", webgraph.pagerank_docs),
         ("host_filtered_corpus", webgraph.host_filtered_corpus),
+        ("knn_graph", similarity.knn_graph),
+        ("chunk_documents", packing.chunk_documents),
+        ("orders_running_window", rel.orders_running_window),
     ]:
         t0 = time.time()
         res = fn(sf_dir)

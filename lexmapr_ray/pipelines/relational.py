@@ -25,9 +25,9 @@ def _cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:
 
 
 def _read(sf_dir: str, table: str, columns=None):
-    import ray.data as rd
+    from lexmapr_ray.sources.tables import sized_read_parquet
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return sized_read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 # ---------------------------------------------------------------------------

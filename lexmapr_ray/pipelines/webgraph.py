@@ -35,9 +35,9 @@ BASE = R0 * (DAMP_DEN - DAMP_NUM) // DAMP_DEN  # = 150_000
 
 
 def _read_docs(sf_dir: str, columns):
-    import ray.data as rd
+    from lexmapr_ray.sources.tables import sized_read_parquet
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    return sized_read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 def doc_links(sf_dir: str):

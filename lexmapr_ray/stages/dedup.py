@@ -49,9 +49,9 @@ def _auto_concurrency(requested=None) -> int:
 
 
 def _read_documents(sf_dir: str, columns=None):
-    import ray.data as rd
+    from lexmapr_ray.sources.tables import sized_read_parquet
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    return sized_read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 def _shingles(text: str, k: int = 3) -> set[int]:

@@ -121,7 +121,9 @@ def media_from_documents(sf_dir: str, batch_size: int = 64):
     the codec itself stays the documented stub."""
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    from lexmapr_ray.sources.tables import sized_read_parquet
+
+    ds = sized_read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def to_media(t: pa.Table) -> pa.Table:
         rows = []
@@ -201,7 +203,9 @@ def video_from_documents(sf_dir: str, batch_size: int = 32):
     column with typed metadata, exactly how real video rides a Dataset."""
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    from lexmapr_ray.sources.tables import sized_read_parquet
+
+    ds = sized_read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def to_video(t: pa.Table) -> pa.Table:
         rows = []

@@ -31,9 +31,9 @@ def _auto_concurrency(requested=None) -> int:
 
 
 def _read_embeddings(sf_dir: str, columns=None):
-    import ray.data as rd
+    from lexmapr_ray.sources.tables import sized_read_parquet
 
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=columns)
+    return sized_read_parquet(f"{sf_dir}/embeddings.parquet", columns=columns)
 
 
 def _batch_matrix(t: pa.Table) -> np.ndarray:
