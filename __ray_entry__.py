@@ -190,6 +190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": textstats.quality_score,
         "lang_distribution": textstats.lang_distribution,
         "lang_token_stats": textstats.lang_token_stats,
+        "hashed_classifier_score": textstats.hashed_classifier_score,
         "corpus_sample": textstats.corpus_sample,
         "repetition_stats": textstats.repetition_stats,
         "gopher_quality_filter": textstats.gopher_quality_filter,
@@ -655,6 +656,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_distribution": """
             SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "hashed_classifier_score": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       unnest(string_split_regex({_trim('text')}, '\\s+')) AS tok
+                FROM documents WHERE {_trim('text')} <> ''),
+            w AS (
+                SELECT doc_id,
+                       ((CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)
+                         % 262144) * 2654435761 % 2001) - 1000 AS wt
+                FROM t)
+            SELECT doc_id, SUM(wt)::BIGINT AS logit_milli,
+                   COUNT(*)::BIGINT AS n_tokens
+            FROM w GROUP BY doc_id ORDER BY doc_id
         """,
         "lang_token_stats": f"""
             SELECT lang, COUNT(*) AS n_docs,

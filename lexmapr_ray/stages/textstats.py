@@ -393,6 +393,74 @@ def md5_permille(ids) -> np.ndarray:
         dtype=np.int64)
 
 
+_CLF_BUCKETS = 1 << 18       # hashing-trick feature space (fastText default-ish)
+_CLF_MULT = 2654435761       # Knuth multiplicative constant
+_CLF_MOD = 2001              # weights span [-1000, 1000] milli-logits
+
+
+def _classifier_weights() -> np.ndarray:
+    """Deterministic stand-in weight vector for the hashed linear model.
+
+    A real deployment would load trained weights from a file; the sandbox
+    has no model artifacts, so the weights are a published pure function of
+    the bucket index (Knuth multiplicative mix into [-1000, 1000]) — the
+    DISTRIBUTED mechanics (one weight table, broadcast once, vectorized
+    bucket lookup + segment sum per batch) are exactly the production
+    shape, and the SQL oracle reproduces the same function symbolically."""
+    b = np.arange(_CLF_BUCKETS, dtype=np.int64)
+    return (b * _CLF_MULT) % _CLF_MOD - 1000
+
+
+def hashed_classifier_score(sf_dir: str):
+    """fastText-style linear quality-classifier inference with the hashing
+    trick: every token hashes into a fixed 2^18-bucket feature space, the
+    document logit is the integer sum of its tokens' bucket weights — the
+    quality-filter scoring pass (e.g. the GPT-3/CCNet quality classifier)
+    every LLM ingest runs over the raw corpus.
+
+    Scale shape: the weight table is built once driver-side (2 MiB,
+    constant in corpus size), ``ray.put`` broadcast, and read inside the
+    batch fn; each batch is one Arrow tokenize + one md5-per-UNIQUE-token
+    bucket hash (web text repeats words heavily) + one vectorized
+    weight-gather and segment-sum.  No shuffle except the final doc sort.
+    Tokenless documents emit no row (the engine's empty-text contract).
+
+    Output: (doc_id, logit_milli, n_tokens) — integer milli-logits, exact
+    vs the SQL oracle's symbolic weight function.
+    """
+    import ray
+
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+    w_ref = ray.put(_classifier_weights())
+
+    def score(t: pa.Table) -> pa.Table:
+        w = ray.get(w_ref)
+        trimmed, splits = _token_lists(t["text"])
+        empty = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(splits).to_numpy(zero_copy_only=False)
+        parent = pc.list_parent_indices(splits).to_numpy(zero_copy_only=False)
+        n = len(t)
+        logit = np.zeros(n, dtype=np.int64)
+        n_tok = np.zeros(n, dtype=np.int64)
+        if len(flat):
+            uniq, inv = np.unique(flat, return_inverse=True)
+            buckets = np.fromiter(
+                (int(hashlib.md5(u.encode("utf-8")).hexdigest()[:8], 16)
+                 % _CLF_BUCKETS for u in uniq),
+                dtype=np.int64, count=len(uniq))
+            np.add.at(logit, parent, w[buckets][inv])
+            np.add.at(n_tok, parent, 1)
+        keep = ~empty
+        return pa.table({
+            "doc_id": pc.filter(pc.cast(t["doc_id"], pa.int64()),
+                                pa.array(keep)),
+            "logit_milli": pa.array(logit[keep], pa.int64()),
+            "n_tokens": pa.array(n_tok[keep], pa.int64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow").sort("doc_id")
+
+
 def lang_token_stats(sf_dir: str):
     """Per-language corpus statistics: docs, total tokens, total chars."""
     import pandas as pd

@@ -737,6 +737,50 @@ def test_new_curation_ops_adversarial_oracle(ray_session, tmp_path):
     assert out.set_index("doc_id").loc[7, "text_clean"] == "x y z"
 
 
+def test_hashed_classifier_score_adversarial_oracle(ray_session, tmp_path):
+    """hashed_classifier_score vs its DuckDB oracle on a corpus with edge
+    whitespace, repeats (weight counted per OCCURRENCE, not per unique),
+    and empty/ws-only docs (no row); also pins the weight function."""
+    import hashlib
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+    from lexmapr_ray.stages.textstats import (_CLF_BUCKETS, _CLF_MOD,
+                                              _CLF_MULT,
+                                              hashed_classifier_score)
+
+    texts = ["alpha beta alpha", "\t gamma \n", "", "   ", "alpha"]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    got = hashed_classifier_score(str(tmp_path)).to_pandas() \
+        .reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    exp = con.execute(entrymod.oracle_sql()["hashed_classifier_score"]) \
+        .fetchdf().reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], exp[sorted(exp.columns)], check_dtype=False)
+
+    assert set(got["doc_id"]) == {0, 1, 4}  # empty/ws-only docs emit no row
+
+    def wt(tok):
+        b = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % _CLF_BUCKETS
+        return (b * _CLF_MULT) % _CLF_MOD - 1000
+
+    s = got.set_index("doc_id")["logit_milli"]
+    assert s[0] == 2 * wt("alpha") + wt("beta")  # occurrences, not uniques
+    assert s[4] == wt("alpha")
+
+
 def test_knn_graph_matches_serial_and_is_ranked(ray_session, sf_dir):
     """knn_graph vs the serial LSH+rank reimplementation; also pins the
     rank contract (contiguous 1..n per vector, sims non-increasing)."""
