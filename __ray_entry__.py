@@ -202,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_mix": textstats.source_mix,
         "sequence_pack": packing.sequence_pack,
         "chunk_documents": packing.chunk_documents,
+        "curate_pack_shuffle": packing.curate_pack_shuffle,
         "bpe_merges": bpe.bpe_train,
         "bpe_token_counts": bpe.bpe_token_counts,
         "vocab_topk": textstats.vocab_topk,
@@ -786,6 +787,51 @@ def oracle_sql() -> dict[str, str]:
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                      - n_tokens) // 512)::BIGINT AS seq_id
             FROM tok ORDER BY doc_id
+        """,
+        "curate_pack_shuffle": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex({_trim('text')}, '\\s+')) AS tok
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, tok, COUNT(*) AS c FROM toks
+              WHERE tok <> '' GROUP BY doc_id, tok
+            ), agg AS (
+              SELECT doc_id, SUM(c) AS n_tok, MAX(c) AS top_n FROM tf
+              GROUP BY doc_id
+            ), ch AS (
+              SELECT doc_id, SUM(LENGTH(tok)) AS sum_chars,
+                     SUM(CASE WHEN tok IN
+                         ('the','a','and','of','to','in','is','it')
+                         THEN 1 ELSE 0 END) AS n_stop
+              FROM toks WHERE tok <> '' GROUP BY doc_id
+            ), keepset AS (
+              SELECT d.doc_id, d.text, a.n_tok AS n_tokens
+              FROM documents d
+              JOIN agg a USING (doc_id) JOIN ch c USING (doc_id)
+              WHERE a.n_tok BETWEEN 10 AND 100000
+                AND 100 * c.sum_chars >= 300 * a.n_tok
+                AND 100 * c.sum_chars <= 1000 * a.n_tok
+                AND c.n_stop >= 2
+                AND 100 * a.top_n <= 20 * a.n_tok
+            ), win AS (
+              SELECT doc_id, n_tokens FROM (
+                SELECT doc_id, n_tokens,
+                       ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                          ORDER BY doc_id) AS rn
+                FROM keepset) WHERE rn = 1
+            ), packed AS (
+              SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                     ((SUM(n_tokens) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tokens) // 512)::BIGINT AS seq_id
+              FROM win
+            )
+            SELECT doc_id, n_tokens, seq_id,
+                   (ROW_NUMBER() OVER (
+                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+                   )::BIGINT AS shuffle_rank
+            FROM packed ORDER BY doc_id
         """,
         "chunk_documents": f"""
             WITH tok AS (

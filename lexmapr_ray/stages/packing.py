@@ -86,6 +86,138 @@ def sequence_pack(sf_dir: str, budget: int = 512):
     return ds.map_batches(pack, batch_format="pandas", batch_size=None)
 
 
+def curate_pack_shuffle(sf_dir: str, budget: int = 512):
+    """The composed curation flagship a training ingest actually runs, as
+    ONE streaming pipeline: Gopher quality gate -> exact dedup (min doc_id
+    per distinct text) -> contiguous token-budget packing over the
+    SURVIVING set -> deterministic md5 training-order rank.  One manifest
+    row per surviving document: (doc_id, n_tokens, seq_id, shuffle_rank).
+
+    Composition, not re-implementation: the quality flags, content digest
+    and token count come out of ONE corpus pass (``_doc_token_profile`` —
+    thresholds literally ``gopher_quality_filter``'s defaults); the dedup
+    election is the standard combine -> digest sort -> reduce
+    (``dedup_exact`` semantics); packing and the shuffle rank are the two
+    block-offset prefix-sum passes over the tiny surviving narrow table
+    (``sequence_pack`` / ``corpus_shuffle_order`` semantics — driver holds
+    one row per block, never per doc).  Because every sub-op's semantics
+    are published, the SQL oracle is their CTE composition and the gate is
+    value-exact end-to-end — the composability guarantee a pipeline user
+    cares about (filters change survivor sets change seq boundaries).
+    """
+    import hashlib
+
+    import ray
+    import pyarrow.compute as pc
+
+    from lexmapr_ray.functions.groupagg import sorted_group_reduce
+    from lexmapr_ray.stages.textstats import _doc_token_profile
+
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def survivors(t: pa.Table) -> pa.Table:
+        n_tok, _, top_n, sum_chars, n_stop = _doc_token_profile(t)
+        keep = (n_tok >= 10) & (n_tok <= 100_000) & \
+               (100 * sum_chars >= 300 * n_tok) & \
+               (100 * sum_chars <= 1000 * n_tok) & \
+               (n_stop >= 2) & (100 * top_n <= 20 * n_tok)
+        texts = t["text"].to_pylist()
+        tb = pa.table({
+            "digest": pa.array(
+                [hashlib.md5(s.encode("utf-8")).hexdigest() for s in texts],
+                pa.string()),
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+        })
+        return tb.filter(pa.array(keep))
+
+    def elect(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        df = df.sort_values(["digest", "doc_id"], kind="mergesort")
+        return df.drop_duplicates("digest", keep="first")
+
+    win = sorted_group_reduce(
+        ds.map_batches(survivors, batch_format="pyarrow"),
+        "digest", elect, elect,
+    ).map_batches(lambda t: t.select(["doc_id", "n_tokens"]),
+                  batch_format="pyarrow")
+    win = win.sort("doc_id").materialize()
+
+    def tok_stats(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"min_doc": pd.Series([], dtype="int64"),
+                                 "total": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"min_doc": [int(df["doc_id"].min())],
+                             "total": [int(df["n_tokens"].sum())]})
+
+    st = win.map_batches(tok_stats, batch_format="pandas",
+                         batch_size=None).to_pandas()
+    st = st.sort_values("min_doc").reset_index(drop=True)
+    tok_ref = ray.put((
+        st["min_doc"].to_numpy(dtype=np.int64),
+        st["total"].cumsum().shift(fill_value=0).to_numpy(dtype=np.int64),
+    ))
+
+    def add_seq(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "n_tokens": pd.Series([], dtype="int64"),
+                                 "seq_id": pd.Series([], dtype="int64")})
+        mins, offs = ray.get(tok_ref)
+        df = df.sort_values("doc_id", kind="mergesort")
+        i = int(np.searchsorted(mins, int(df["doc_id"].iloc[0])))
+        start = int(offs[i]) + df["n_tokens"].cumsum().shift(fill_value=0)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64").to_numpy(),
+            "n_tokens": df["n_tokens"].astype("int64").to_numpy(),
+            "seq_id": (start.to_numpy() // budget).astype("int64"),
+        })
+
+    packed = win.map_batches(add_seq, batch_format="pandas", batch_size=None)
+
+    def with_key(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        return t.append_column("k", pa.array(
+            [f"{hashlib.md5(str(d).encode()).hexdigest()}{d:020d}"
+             for d in ids], pa.string()))
+
+    keyed = packed.map_batches(with_key, batch_format="pyarrow") \
+        .sort("k").materialize()
+
+    def k_stats(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"min_k": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"min_k": [df["k"].min()], "n": [len(df)]})
+
+    ks = keyed.map_batches(k_stats, batch_format="pandas",
+                           batch_size=None).to_pandas()
+    ks = ks.sort_values("min_k").reset_index(drop=True)
+    rank_ref = ray.put((
+        np.array(ks["min_k"].tolist(), dtype=object),
+        ks["n"].cumsum().shift(fill_value=0).to_numpy(dtype=np.int64),
+    ))
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "n_tokens": pd.Series([], dtype="int64"),
+                                 "seq_id": pd.Series([], dtype="int64"),
+                                 "shuffle_rank": pd.Series([], dtype="int64")})
+        min_ks, offs = ray.get(rank_ref)
+        df = df.sort_values("k", kind="mergesort")
+        i = int(np.searchsorted(min_ks, df["k"].iloc[0]))
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64").to_numpy(),
+            "n_tokens": df["n_tokens"].astype("int64").to_numpy(),
+            "seq_id": df["seq_id"].astype("int64").to_numpy(),
+            "shuffle_rank": int(offs[i]) + np.arange(len(df), dtype=np.int64),
+        })
+
+    return keyed.map_batches(rank, batch_format="pandas", batch_size=None)
+
+
 def chunk_documents(sf_dir: str, window: int = 64, overlap: int = 16):
     """Cut every document into fixed-size overlapping token chunks — the
     context-window splitting step of RAG indexing and long-document

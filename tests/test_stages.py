@@ -737,6 +737,52 @@ def test_new_curation_ops_adversarial_oracle(ray_session, tmp_path):
     assert out.set_index("doc_id").loc[7, "text_clean"] == "x y z"
 
 
+def test_curate_pack_shuffle_adversarial_oracle(ray_session, tmp_path):
+    """The composed curation pipeline vs its CTE oracle on a corpus built
+    to bite: an exact duplicate that passes the Gopher gate (loser must
+    vanish BEFORE packing so seq boundaries shift), docs failing each
+    quality rule (too short / no stopwords / one-token repetition), and
+    a doc landing exactly on a 512-token sequence boundary."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+    from lexmapr_ray.stages.packing import curate_pack_shuffle
+
+    good = "the quick brown fox jumps over a lazy dog of the north " * 20
+    texts = [
+        good,                                 # survives, ~220 tokens
+        "short",                              # fails n_tokens >= 10
+        good,                                 # exact dup of 0 -> electorally dropped
+        "zz " * 50,                           # no stopwords + repetition fail
+        "the of " + "wwww xxxx yyyy zzzz vvvv uuuu tttt ssss qqqq rrrr " * 40,  # survives, 402 tokens
+        good.replace("dog", "cat"),           # survives, distinct text
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    got = curate_pack_shuffle(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    exp = con.execute(entrymod.oracle_sql()["curate_pack_shuffle"]) \
+        .fetchdf().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], exp[sorted(exp.columns)], check_dtype=False)
+
+    assert set(got["doc_id"]) == {0, 4, 5}      # dup 2 and failers gone
+    assert got["shuffle_rank"].sort_values().tolist() == [0, 1, 2]
+    # packing is contiguous over SURVIVORS in doc_id order
+    s = got.set_index("doc_id")
+    assert s.loc[0, "seq_id"] == 0
+
+
 def test_hashed_classifier_score_adversarial_oracle(ray_session, tmp_path):
     """hashed_classifier_score vs its DuckDB oracle on a corpus with edge
     whitespace, repeats (weight counted per OCCURRENCE, not per unique),
