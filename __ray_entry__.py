@@ -233,6 +233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": similarity.ann_ivf_topk,
         "embedding_near_dup": similarity.embedding_near_dup_pairs,
         "knn_graph": similarity.knn_graph,
+        "hybrid_search": similarity.hybrid_search,
         # exact grouped quantiles (histogram-first; functions/quantiles.py)
         "doc_length_quantiles": textstats.doc_length_quantiles,
         "event_value_quantiles": rel.event_value_quantiles,
@@ -241,6 +242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_shuffle_order": textstats.corpus_shuffle_order,
         # full outer bucketed join
         "customer_event_activity": rel.customer_event_activity,
+        "events_zscore_outliers": rel.events_zscore_outliers,
         # per-label exact integer centroids over the embedding column
         "embedding_centroids": similarity.embedding_centroids,
         "embedding_kmeans": similarity.embedding_kmeans,
@@ -1128,6 +1130,19 @@ def oracle_sql() -> dict[str, str]:
                                   * 1000000) AS BIGINT)) FROM embeddings)
             ORDER BY vec_a, vec_b
         """,
+        "hybrid_search": f"""
+            SELECT e.vec_id AS doc_id,
+                   CAST(ROUND(list_cosine_similarity(e.embedding,
+                        (SELECT embedding FROM embeddings WHERE vec_id = 0))
+                        * 10000) AS BIGINT) AS sim_bp
+            FROM embeddings e
+            JOIN (SELECT DISTINCT doc_id FROM documents
+                  WHERE list_contains(
+                      string_split_regex({_trim('text')}, '\\s+'), 'spark')) m
+              ON e.vec_id = m.doc_id
+            ORDER BY sim_bp DESC, doc_id
+            LIMIT 10
+        """,
         "knn_graph": """
             SELECT vec_id, neighbor_id, sim_bp, rank
             FROM read_parquet('/root/repo/expected/op_knn_graph.parquet')
@@ -1378,6 +1393,23 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(cents, 0.75)::BIGINT AS p75,
                    quantile_disc(cents, 0.95)::BIGINT AS p95
             FROM e GROUP BY event_type ORDER BY event_type
+        """,
+        "events_zscore_outliers": """
+            WITH c AS (
+              SELECT event_id, event_type,
+                     CAST(ROUND(value*100) AS BIGINT) AS v
+              FROM events),
+            s AS (
+              SELECT event_type, COUNT(*)::HUGEINT AS n,
+                     SUM(v)::HUGEINT AS sum_v,
+                     SUM(CAST(v AS HUGEINT) * v) AS sumsq
+              FROM c GROUP BY event_type)
+            SELECT c.event_id, c.event_type, c.v AS value_cents
+            FROM c JOIN s USING (event_type)
+            WHERE (CAST(c.v AS HUGEINT) * s.n - s.sum_v)
+                  * (CAST(c.v AS HUGEINT) * s.n - s.sum_v)
+                  > 9 * (s.n * s.sumsq - s.sum_v * s.sum_v)
+            ORDER BY event_id
         """,
         "customer_event_activity": """
             WITH ev AS (SELECT user_id, COUNT(*)::BIGINT AS n_events

@@ -576,6 +576,74 @@ def event_value_quantiles(sf_dir: str):
     )
 
 
+def events_zscore_outliers(sf_dir: str):
+    """Per-type 3-sigma outlier events, integer-exact: event ``v`` (cents)
+    of type ``T`` with per-type stats (n, sum, sumsq) is an outlier iff
+
+        (v*n - sum)^2  >  9 * (n*sumsq - sum^2)        [strict]
+
+    — the z > 3 test cleared of all division and square roots.  Squaring
+    would overflow int64, so the engine compares ``|v*n - sum| >
+    isqrt(9*(n*sumsq - sum^2))`` with the bound computed in Python bignums
+    driver-side (exact; one row per event type), while the SQL oracle
+    squares in HUGEINT (int128) — two independent exact formulations of
+    the same inequality.
+
+    Scale shape: one grouped reduce for the per-type moments (combiner
+    pre-aggregates, |types| rows to the driver — constant-size model
+    state), thresholds broadcast, then a pure vectorized filter map; the
+    only corpus-scale movement is the surviving outlier rows.  Bound
+    documentation: sumsq stays in int64 while n * max_cents^2 < 9.2e18
+    (e.g. 9e10 events/type at values <= $100); past that the moments
+    combiner needs a wider accumulator.
+
+    Output: (event_id, event_type, value_cents) for outliers only.
+    """
+    import math
+
+    import numpy as np
+
+    from lexmapr_ray.functions.groupagg import grouped_sum_count
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = _cents(t["value"])
+        return pa.table({
+            "event_type": t["event_type"],
+            "v": v,
+            "vsq": pc.multiply(v, v),
+        })
+
+    stats = grouped_sum_count(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "event_type", {"sum_v": "v", "sumsq": "vsq"}, count_alias="n",
+    ).take_all()
+
+    types = [r["event_type"] for r in stats]
+    n_arr = np.array([r["n"] for r in stats], dtype=np.int64)
+    sum_arr = np.array([r["sum_v"] for r in stats], dtype=np.int64)
+    bound_arr = np.array(
+        [math.isqrt(9 * (int(r["n"]) * int(r["sumsq"]) - int(r["sum_v"]) ** 2))
+         for r in stats], dtype=np.int64)
+    type_arr = pa.array(types, pa.string())
+
+    def flag(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t["event_type"], value_set=type_arr) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        v = _cents(t["value"]).to_numpy(zero_copy_only=False)
+        dd = v * n_arr[idx] - sum_arr[idx]
+        keep = np.abs(dd) > bound_arr[idx]
+        out = pa.table({
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "event_type": t["event_type"],
+            "value_cents": pa.array(v, pa.int64()),
+        })
+        return out.filter(pa.array(keep))
+
+    return ds.map_batches(flag, batch_format="pyarrow").sort("event_id")
+
+
 def customer_event_activity(sf_dir: str, num_buckets: int = 32):
     """FULL OUTER join: every customer and every event user, with per-user
     event counts — customers without events keep n_events=0, event users

@@ -265,6 +265,66 @@ def embedding_near_dup_pairs(sf_dir: str, threshold_bp: int = 3000,
     )
 
 
+def hybrid_search(sf_dir: str, keyword: str = "spark",
+                  query_vec_id: int = 0, k: int = 10):
+    """Hybrid retrieval: exact keyword-token prefilter over the text
+    corpus, then cosine ranking of the survivors against a broadcast query
+    embedding — the RAG-standard hybrid (sparse gate + dense rerank) in
+    its distributed shape.
+
+    Scale shape: the keyword gate is a pure map over documents emitting
+    matching KEYS only (never text); the embedding table is SEMI-JOINED to
+    those keys (size-switched broadcast <-> bucketed via
+    ``functions/joins.semi_join``) so only matching vectors are scored;
+    the query vector ships once via ``ray.put``; ranking is the exact-safe
+    per-block top-k prune + tiny sort (``global_topk``).  Nothing
+    corpus-scale is collected or all-pairs scored.
+    """
+    import ray
+    import pyarrow.compute as pc
+
+    from lexmapr_ray.functions.joins import semi_join
+    from lexmapr_ray.functions.topk import global_topk
+    from lexmapr_ray.stages.textstats import _read_documents, _token_lists
+
+    q = _get_query_vector(sf_dir, query_vec_id)
+    qn = q / np.linalg.norm(q)
+    q_ref = ray.put(qn)
+
+    def match_keys(t: pa.Table) -> pa.Table:
+        _, splits = _token_lists(t["text"])
+        flat = pc.list_flatten(splits)
+        parent = pc.list_parent_indices(splits).to_numpy(zero_copy_only=False)
+        hit = pc.equal(flat, keyword).to_numpy(zero_copy_only=False)
+        m = np.zeros(len(t), dtype=bool)
+        if len(parent):
+            m[np.unique(parent[hit])] = True
+        return pa.table({"doc_id": pc.filter(
+            pc.cast(t["doc_id"], pa.int64()), pa.array(m))})
+
+    keys = _read_documents(sf_dir, ["doc_id", "text"]) \
+        .map_batches(match_keys, batch_format="pyarrow")
+    emb = semi_join(_read_embeddings(sf_dir, ["vec_id", "embedding"]),
+                    "vec_id", keys, "doc_id")
+
+    def score(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "sim_bp": pa.array([], pa.int64())})
+        qv = ray.get(q_ref)
+        m = _batch_matrix(t)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (m @ qv) / norms
+        return pa.table({
+            "doc_id": pc.cast(t["vec_id"], pa.int64()),
+            "sim_bp": pa.array(np.round(sims * 10_000).astype(np.int64)),
+        })
+
+    return global_topk(emb.map_batches(score, batch_format="pyarrow"),
+                       ["sim_bp", "doc_id"], [True, False], k)
+
+
 def knn_graph(sf_dir: str, k: int = 5, n_tables: int = 4,
               target_bucket: int = 64):
     """Approximate k-NN graph over the embedding column: for every vector,

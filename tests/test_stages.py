@@ -737,6 +737,75 @@ def test_new_curation_ops_adversarial_oracle(ray_session, tmp_path):
     assert out.set_index("doc_id").loc[7, "text_clean"] == "x y z"
 
 
+def test_events_zscore_outliers_adversarial_oracle(ray_session, tmp_path):
+    """events_zscore_outliers vs its HUGEINT oracle on data built to bite:
+    a zero-variance type (bound 0, strict > keeps nothing), a type where
+    one wild point dominates, and negative values."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+    from lexmapr_ray.pipelines.relational import events_zscore_outliers
+
+    vals = ([10.0] * 30 + [1000.0]          # type a: one wild point
+            + [5.0] * 10                    # type b: zero variance
+            + [-3.0, -3.0, -3.0, 50.0])     # type c: negatives + outlier
+    types = ["a"] * 31 + ["b"] * 10 + ["c"] * 4
+    tbl = pa.table({
+        "event_id": pa.array(range(len(vals)), pa.int64()),
+        "ts": pa.array([1_600_000_000_000_000 + i for i in range(len(vals))],
+                       pa.timestamp("us")),
+        "user_id": pa.array([1] * len(vals), pa.int64()),
+        "event_type": pa.array(types, pa.string()),
+        "value": pa.array(vals, pa.float64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    got = events_zscore_outliers(str(tmp_path)).to_pandas() \
+        .reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    exp = con.execute(entrymod.oracle_sql()["events_zscore_outliers"]) \
+        .fetchdf().reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], exp[sorted(exp.columns)], check_dtype=False)
+
+    assert 30 in set(got["event_id"])           # the wild 1000.0
+    assert not (got["event_type"] == "b").any()  # zero variance -> none
+
+
+def test_hybrid_search_matches_duckdb(ray_session, sf_dir):
+    """hybrid_search vs its DuckDB oracle (keyword gate + dense rerank),
+    plus the semantic contract: every hit's document really contains the
+    keyword token and scores are non-increasing."""
+    import duckdb
+
+    import __ray_entry__ as entrymod
+    from lexmapr_ray.stages.similarity import hybrid_search
+
+    got = hybrid_search(sf_dir).to_pandas().reset_index(drop=True)
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    exp = con.execute(entrymod.oracle_sql()["hybrid_search"]).fetchdf() \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], exp[sorted(exp.columns)], check_dtype=False)
+    assert len(got) > 0
+    assert (got["sim_bp"].diff().dropna() <= 0).all()
+
+    import pyarrow.parquet as pq
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas() \
+        .set_index("doc_id")["text"]
+    for d in got["doc_id"]:
+        assert "spark" in docs.loc[d].split()
+
+
 def test_curate_pack_shuffle_adversarial_oracle(ray_session, tmp_path):
     """The composed curation pipeline vs its CTE oracle on a corpus built
     to bite: an exact duplicate that passes the Gopher gate (loser must
