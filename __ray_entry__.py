@@ -219,6 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_dedup": dedup.span_dedup,
         "simhash_near_dup_pairs": dedup.simhash_near_dup_pairs,
         "ngram_decontaminate": dedup.ngram_decontaminate,
+        "dup_span_trim": dedup.dup_span_trim,
         "bloom_decontaminate": dedup.bloom_decontaminate,
         "minhash_dedup_pairs": dedup.minhash_dedup_pairs,
         "minhash_index_dedup": dedup.minhash_index_dedup,
@@ -855,6 +856,33 @@ def oracle_sql() -> dict[str, str]:
                        tk[chunk_idx*48 + 1 : LEAST(chunk_idx*48 + 64, n)], ' '))
                        AS chunk_fp
             FROM c ORDER BY doc_id, chunk_idx
+        """,
+        "dup_span_trim": f"""
+            WITH t AS (
+                SELECT doc_id, string_split_regex({_trim('text')}, '\\s+') AS tk
+                FROM documents),
+            tok AS (
+                SELECT doc_id, j, tk[j] AS w FROM (
+                    SELECT doc_id, unnest(range(1, len(tk) + 1)) AS j, tk
+                    FROM t)),
+            g2 AS (
+                SELECT doc_id, i, array_to_string(tk[i:i+7], ' ') AS gram
+                FROM (SELECT doc_id, unnest(range(1, len(tk) - 8 + 2)) AS i,
+                             tk
+                      FROM t)),
+            hot AS (SELECT gram FROM g2 GROUP BY gram HAVING COUNT(*) >= 2),
+            cov AS (
+                SELECT DISTINCT doc_id, j FROM (
+                    SELECT g2.doc_id, unnest(range(g2.i, g2.i + 8)) AS j
+                    FROM g2 JOIN hot USING (gram)))
+            SELECT tok.doc_id,
+                   COALESCE(string_agg(tok.w, ' ' ORDER BY tok.j)
+                            FILTER (WHERE cov.j IS NULL), '') AS text_trimmed,
+                   COUNT(cov.j)::BIGINT AS n_removed
+            FROM tok LEFT JOIN cov
+              ON tok.doc_id = cov.doc_id AND tok.j = cov.j
+            GROUP BY tok.doc_id
+            ORDER BY tok.doc_id
         """,
         "ngram_decontaminate": f"""
             WITH h AS (

@@ -1126,3 +1126,179 @@ def minhash_index_dedup(sf_dir: str, threshold: float = 0.8,
 
     return verified.map_batches(best, batch_format="pandas", batch_size=65536) \
         .sort("doc_id").map_batches(best, batch_format="pandas", batch_size=None)
+
+
+def _window_grams(texts, k: int):
+    """Every word ``k``-gram window of every text, zero per-row Python.
+
+    Returns ``(grams, win_parent, pos)``: the gram string, the row index it
+    came from, and the 0-based window start position within that row's
+    token list.  Tokenization is the engine-wide ASCII trim + ``\\s+``
+    split (`textstats._token_lists`); rows with fewer than ``k`` tokens
+    produce no windows.  Construction is k zero-copy slices of the
+    flattened token array joined element-wise (``binary_join_element_wise``)
+    with cross-row windows masked out — no Python loop at any corpus size.
+    """
+    import pyarrow.compute as pc
+
+    from lexmapr_ray.stages.textstats import _token_lists
+
+    _, splits = _token_lists(texts)
+    flat = pc.list_flatten(splits)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    n = len(flat)
+    if n < k:
+        return (pa.array([], pa.string()), np.array([], np.int64),
+                np.array([], np.int64))
+    parent = pc.list_parent_indices(splits).to_numpy(zero_copy_only=False)
+    valid = parent[: n - k + 1] == parent[k - 1:]
+    shifted = [flat.slice(j, n - k + 1) for j in range(k)]
+    grams = pc.binary_join_element_wise(*shifted, " ").filter(pa.array(valid))
+    win_parent = parent[: n - k + 1][valid]
+    lengths = pc.list_value_length(splits).to_numpy(zero_copy_only=False)
+    starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+    pos = np.arange(n - k + 1, dtype=np.int64)[valid] - starts[win_parent]
+    return grams, win_parent.astype(np.int64), pos
+
+
+def dup_span_trim(sf_dir: str, k: int = 8, min_count: int = 2,
+                  broadcast_limit: int = 2_000_000, num_buckets: int = 32):
+    """Exact duplicated-substring removal (the Lee et al. 2022
+    "Deduplicating Training Data" exact-substring shape at word-``k``-gram
+    granularity): every token covered by ANY word k-gram whose total
+    occurrence count across the corpus is >= ``min_count`` (within-doc
+    repeats included) is removed; survivors are re-joined with single
+    spaces.  Output per doc: (doc_id, text_trimmed, n_removed), doc_id
+    sorted.  Unaffected docs pass through whitespace-normalized with
+    n_removed = 0, so the op is a drop-in corpus rewrite.
+
+    Scale shape — no all-pairs, the corpus-scale side shuffles once:
+      * pass 1 counts grams with a per-batch ``value_counts`` combiner
+        (shuffle = distinct grams per batch, the inverted-index bound),
+        grouped-summed via the standard combine -> sort -> block-reduce;
+      * hot grams (count >= min_count) gate the (doc_id, pos, gram)
+        occurrence explode through a size-switched
+        :func:`~lexmapr_ray.functions.joins.semi_join` — broadcast
+        ``pc.is_in`` while the hot set is small, bucketed co-location past
+        ``broadcast_limit``;
+      * hit positions collapse to ONE packed row per affected doc
+        (sorted_group_reduce), materialized — bounded by affected docs,
+        never the corpus;
+      * the corpus then splits: unaffected docs (anti semi join on the
+        affected ids — a pure filter map, NO shuffle on the broadcast
+        path) normalize vectorized; affected docs bucket-join their packed
+        positions and trim per block.  Only the final presentation sort
+        touches the full output; a 100 TB run would write unsorted
+        partitioned Parquet instead.
+    Gram identity is the literal space-joined token string on both engine
+    and oracle — no hashing, so exactness needs no collision caveat (hash
+    the gram column to fixed-width digests to cut pass-1 shuffle bytes if
+    gram strings dominate at extreme scale).
+    """
+    import pyarrow.compute as pc
+
+    from lexmapr_ray.functions.groupagg import grouped_sum_count, sorted_group_reduce
+    from lexmapr_ray.functions.joins import bucketed_hash_join, semi_join
+    from lexmapr_ray.stages.textstats import _token_lists
+
+    docs = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        grams, _, _ = _window_grams(t["text"], k)
+        if len(grams) == 0:
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        vc = pc.value_counts(grams)
+        return pa.table({"gram": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    gram_counts = grouped_sum_count(
+        docs.map_batches(count_partial, batch_format="pyarrow"),
+        "gram", {"n": "n"},
+    )
+    hot = gram_counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n"], min_count)).select(["gram"]),
+        batch_format="pyarrow",
+    )
+
+    def occurrences(t: pa.Table) -> pa.Table:
+        grams, win_parent, pos = _window_grams(t["text"], k)
+        doc_ids = pc.cast(t["doc_id"], pa.int64()) \
+            .take(pa.array(win_parent, pa.int64()))
+        return pa.table({"doc_id": doc_ids,
+                         "pos": pa.array(pos, pa.int64()),
+                         "gram": grams})
+
+    hits = semi_join(docs.map_batches(occurrences, batch_format="pyarrow"),
+                     "gram", hot, "gram", broadcast_limit=broadcast_limit,
+                     num_buckets=num_buckets) \
+        .map_batches(lambda t: t.select(["doc_id", "pos"]),
+                     batch_format="pyarrow")
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "hits": pd.Series([], dtype="object")})
+        if "hits" in df.columns:  # final: merge partial packs
+            merged = df.groupby("doc_id", sort=True)["hits"].agg(
+                lambda s: ",".join(
+                    map(str, sorted({int(x) for h in s for x in h.split(",")})))
+            )
+        else:
+            merged = df.groupby("doc_id", sort=False)["pos"].agg(
+                lambda s: ",".join(map(str, sorted(set(s)))))
+        return merged.rename("hits").reset_index()
+
+    # one packed row per affected doc; materialized because three
+    # consumers (anti filter, semi filter, join) would otherwise each
+    # re-execute the whole gram pipeline above
+    packed = sorted_group_reduce(hits, "doc_id", pack, pack).materialize()
+
+    def normalize(t: pa.Table) -> pa.Table:
+        _, splits = _token_lists(t["text"])
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "text_trimmed": pc.binary_join(splits, " "),
+            "n_removed": pa.array(np.zeros(len(t), dtype=np.int64)),
+        })
+
+    clean = semi_join(docs, "doc_id", packed, "doc_id", anti=True,
+                      broadcast_limit=broadcast_limit,
+                      num_buckets=num_buckets) \
+        .map_batches(normalize, batch_format="pyarrow")
+
+    def trim_block(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "text_trimmed": pd.Series([], dtype="object"),
+                                 "n_removed": pd.Series([], dtype="int64")})
+        _, splits = _token_lists(pa.array(df["text"], pa.string()))
+        toks = splits.to_pylist()
+        out_text, out_rm = [], []
+        for tok, hit_str in zip(toks, df["hits"]):
+            starts = np.array([int(x) for x in hit_str.split(",")],
+                              dtype=np.int64)
+            d = np.zeros(len(tok) + 1, dtype=np.int64)
+            np.add.at(d, starts, 1)
+            np.add.at(d, starts + k, -1)
+            covered = np.cumsum(d)[: len(tok)] > 0
+            out_text.append(" ".join(
+                w for w, c in zip(tok, covered) if not c))
+            out_rm.append(int(covered.sum()))
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64").to_numpy(),
+            "text_trimmed": out_text,
+            "n_removed": pd.Series(out_rm, dtype="int64"),
+        })
+
+    affected = semi_join(docs, "doc_id", packed, "doc_id",
+                         broadcast_limit=broadcast_limit,
+                         num_buckets=num_buckets)
+    dirty = bucketed_hash_join(
+        affected, packed, on="doc_id", num_buckets=num_buckets,
+        block_fn=trim_block,
+        left_schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())]),
+        right_schema=pa.schema([("doc_id", pa.int64()), ("hits", pa.string())]),
+    )
+    return clean.union(dirty).sort("doc_id")

@@ -1473,3 +1473,56 @@ def test_bpe_train_matches_textbook_serial(ray_session, tmp_path):
     dist = bpe_train(str(tmp_path), n_merges=8, driver_vocab_limit=0) \
         .to_pandas()
     pd.testing.assert_frame_equal(got, dist)
+
+
+def test_dup_span_trim_adversarial_oracle(ray_session, tmp_path):
+    """dup_span_trim vs its DuckDB oracle on a corpus built to bite:
+    cross-doc shared 8-gram, within-doc repeated 8-gram (multiplicity
+    counts), a doc trimmed to nothing, empty text, <8-token doc, and a
+    doc needing only whitespace normalization — on BOTH the broadcast and
+    the forced bucketed-join paths."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+    from lexmapr_ray.stages.dedup import dup_span_trim
+
+    common = "the quick brown fox jumps over the lazy dog"
+    texts = [
+        "alpha " + common + " beta gamma",
+        common + " delta epsilon zeta eta theta",
+        "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10",
+        "short doc",
+        "",
+        "r1 r2 r3 r4 r5 r6 r7 r8 x r1 r2 r3 r4 r5 r6 r7 r8",
+        common,
+        "  spaced   out    tokens here now yes no maybe ok fine ",
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array(["s"] * len(texts)),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    exp = con.execute(entrymod.oracle_sql()["dup_span_trim"]).fetchdf() \
+        .reset_index(drop=True)
+
+    for bl in (2_000_000, 1):
+        got = dup_span_trim(str(tmp_path), broadcast_limit=bl).to_pandas() \
+            .reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[sorted(got.columns)], exp[sorted(exp.columns)],
+            check_dtype=False)
+
+    g = got.set_index("doc_id")
+    assert g.loc[6, "text_trimmed"] == ""          # fully covered doc
+    assert g.loc[5, "text_trimmed"] == "x"         # within-doc repeat trims
+    assert g.loc[3, "n_removed"] == 0              # <8 tokens untouched
+    assert g.loc[7, "text_trimmed"].count("  ") == 0   # normalized
