@@ -264,6 +264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_docs": webgraph.pagerank_docs,
         "host_stats": webgraph.host_stats,
         "host_filtered_corpus": webgraph.host_filtered_corpus,
+        "token_triangles": webgraph.token_triangles,
         # knowledge-graph pipeline (the flagship; non-SQL)
         "kg_triples": _kg_triples,
         "kg_entities": _kg_entities,
@@ -1247,6 +1248,37 @@ def oracle_sql() -> dict[str, str]:
         # Integer fixed-point PageRank, 3 iterations unrolled — the link
         # model, constants and int division mirror pipelines/webgraph.py
         # literally, so the comparison is bit-exact (no float tolerance).
+        "token_triangles": f"""
+            WITH t AS (
+                SELECT doc_id, string_split_regex({_trim('text')}, '\\s+') AS tk
+                FROM documents WHERE {_trim('text')} <> ''),
+            bg AS (
+                SELECT CASE WHEN w1 < w2 THEN w1 ELSE w2 END AS a,
+                       CASE WHEN w1 < w2 THEN w2 ELSE w1 END AS b
+                FROM (SELECT tk[i] AS w1, tk[i+1] AS w2
+                      FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM t))
+                WHERE w1 <> w2),
+            e AS (SELECT a, b FROM bg GROUP BY a, b
+                  HAVING COUNT(*) * 1000 >=
+                         100 * (SELECT COUNT(*) FROM documents)),
+            deg AS (SELECT w AS token, COUNT(*)::BIGINT AS degree FROM
+                    (SELECT a AS w FROM e UNION ALL SELECT b AS w FROM e)
+                    GROUP BY w),
+            tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                    FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+                    JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+            tc AS (SELECT w AS token, COUNT(*)::BIGINT AS triangles FROM
+                   (SELECT x AS w FROM tri UNION ALL SELECT y FROM tri
+                    UNION ALL SELECT z FROM tri) GROUP BY w)
+            SELECT deg.token, deg.degree,
+                   COALESCE(tc.triangles, 0)::BIGINT AS triangles,
+                   (CASE WHEN deg.degree >= 2
+                        THEN (2000 * COALESCE(tc.triangles, 0))
+                             // (deg.degree * (deg.degree - 1))
+                        ELSE 0 END)::BIGINT AS clustering_mpt
+            FROM deg LEFT JOIN tc USING (token)
+            ORDER BY deg.token
+        """,
         "pagerank_docs": """
             WITH edges AS (
                 SELECT d.doc_id AS src,

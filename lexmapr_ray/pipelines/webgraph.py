@@ -265,3 +265,170 @@ def host_filtered_corpus(sf_dir: str, max_dup_permille: int = 187,
     )
     return semi_join(docs, "host", good, "host",
                      broadcast_limit=broadcast_limit).sort("doc_id")
+
+
+def token_triangles(sf_dir: str, permille: int = 100, num_buckets: int = 32):
+    """Triangle count + local clustering coefficient per node of the token
+    ADJACENCY graph (nodes = tokens; undirected edge a—b when the bigram
+    "a b" or "b a" occurs at least ``permille``/1000 times per corpus
+    document) — the graph-analytics pass (community structure, semantic
+    cliques) a KG build runs after co-occurrence extraction.
+
+    Output: (token, degree, triangles, clustering_mpt) token-sorted, where
+    clustering_mpt = floor(2000 * triangles / (degree * (degree-1))) in
+    milli-units (0 when degree < 2) — integer-exact, engine-independent.
+
+    Scale shape — the node-iterator with DEGREE-ORDERED ORIENTATION
+    (Schank & Wagner 2005): every undirected edge is directed from its
+    (degree, token)-smaller endpoint, which caps any node's out-degree at
+    O(sqrt(|E|)), so the wedge explode is Σ out_deg² ≤ |E|^1.5 instead of
+    the Σ deg² that a hub node turns quadratic.  Each triangle is
+    enumerated exactly once (at its orientation-minimal vertex).
+      * bigram pairs: zero-copy shifted-slice explode + per-batch combiner
+        (shuffle = distinct bigrams per batch);
+      * degrees attach to both edge endpoints via bucketed joins (never a
+        driver/broadcast vocabulary table);
+      * wedges form per co-located out-neighborhood block, close via one
+        bucketed join against the oriented edge keys ("a b" space-joined —
+        tokens are \\S+ so the key is collision-free);
+      * per-node triangle counts = 3-way explode + grouped count.
+    Edge/degree tables are vocabulary-scale; ``edges`` is materialized
+    once because three downstream consumers would otherwise each re-run
+    the corpus bigram pass.
+    """
+    import pandas as pd
+
+    from lexmapr_ray.stages.textstats import _token_lists
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    total_docs = docs.count()
+
+    def bigram_partial(t: pa.Table) -> pa.Table:
+        _, splits = _token_lists(t["text"])
+        flat = pc.list_flatten(splits)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        n = len(flat)
+        empty = pa.table({"a": pa.array([], pa.string()),
+                          "b": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if n < 2:
+            return empty
+        parent = pc.list_parent_indices(splits).to_numpy(zero_copy_only=False)
+        valid = parent[: n - 1] == parent[1:]
+        x = flat.slice(0, n - 1).filter(pa.array(valid))
+        y = flat.slice(1, n - 1).filter(pa.array(valid))
+        lo = pc.min_element_wise(x, y)
+        hi = pc.max_element_wise(x, y)
+        keep = pc.invert(pc.equal(lo, hi))  # no self-loops; '' bigrams never
+        df = pa.table({"a": lo.filter(keep), "b": hi.filter(keep)}).to_pandas()
+        if len(df) == 0:
+            return empty
+        g = df.groupby(["a", "b"], sort=False).size().rename("n").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = grouped_sum_count(
+        docs.map_batches(bigram_partial, batch_format="pyarrow"),
+        ["a", "b"], {"n": "n"},
+    )
+    edges = counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(
+            pc.multiply(t["n"], pa.scalar(1000, pa.int64())),
+            pa.scalar(permille * total_docs, pa.int64()))).select(["a", "b"]),
+        batch_format="pyarrow",
+    ).materialize()
+
+    deg = grouped_sum_count(
+        edges.map_batches(
+            lambda t: pa.table({"token": pa.concat_arrays([
+                t["a"].combine_chunks().cast(pa.string()),
+                t["b"].combine_chunks().cast(pa.string())])}),
+            batch_format="pyarrow"),
+        "token", count_alias="degree",
+    )
+
+    str_schema = lambda *names: pa.schema([(n_, pa.int64()) if n_ in
+                                           ("degree", "deg_u", "deg_v")
+                                           else (n_, pa.string())
+                                           for n_ in names])
+    with_da = bucketed_hash_join(
+        edges, deg.map_batches(
+            lambda t: t.rename_columns(["a", "deg_u"]), batch_format="pyarrow"),
+        on="a", num_buckets=num_buckets,
+        left_schema=str_schema("a", "b"), right_schema=str_schema("a", "deg_u"))
+    with_db = bucketed_hash_join(
+        with_da, deg.map_batches(
+            lambda t: t.rename_columns(["b", "deg_v"]), batch_format="pyarrow"),
+        on="b", num_buckets=num_buckets,
+        left_schema=str_schema("a", "b", "deg_u"),
+        right_schema=str_schema("b", "deg_v"))
+
+    def orient(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        a_first = (df["deg_u"] < df["deg_v"]) | (
+            (df["deg_u"] == df["deg_v"]) & (df["a"] < df["b"]))
+        return pa.table({
+            "u": pa.array(np.where(a_first, df["a"], df["b"]), pa.string()),
+            "v": pa.array(np.where(a_first, df["b"], df["a"]), pa.string()),
+            "dv": pa.array(np.where(a_first, df["deg_v"], df["deg_u"])
+                           .astype("int64")),
+        })
+
+    oriented = with_db.map_batches(orient, batch_format="pyarrow")
+
+    def wedge_block(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"key": "object", "u": "object", "x": "object", "y": "object"}
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d)
+                                 for c, d in cols.items()})
+        m = df.merge(df, on="u")
+        first = (m["dv_x"] < m["dv_y"]) | (
+            (m["dv_x"] == m["dv_y"]) & (m["v_x"] < m["v_y"]))
+        m = m[first]
+        return pd.DataFrame({"key": m["v_x"] + " " + m["v_y"],
+                             "u": m["u"], "x": m["v_x"], "y": m["v_y"]})
+
+
+    wedges = oriented.sort("u").map_batches(
+        wedge_block, batch_format="pandas", batch_size=None)
+    edge_keys = oriented.map_batches(
+        lambda t: pa.table({"key": pc.binary_join_element_wise(
+            t["u"].combine_chunks().cast(pa.string()),
+            t["v"].combine_chunks().cast(pa.string()), " ")}),
+        batch_format="pyarrow")
+
+    tri = bucketed_hash_join(
+        wedges, edge_keys, on="key", num_buckets=num_buckets,
+        left_schema=str_schema("key", "u", "x", "y"),
+        right_schema=str_schema("key"))
+
+    tri_counts = grouped_sum_count(
+        tri.map_batches(
+            lambda t: pa.table({"token": pa.concat_arrays([
+                t[c].combine_chunks().cast(pa.string())
+                for c in ("u", "x", "y")])}),
+            batch_format="pyarrow"),
+        "token", count_alias="triangles",
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"token": pd.Series([], dtype="object"),
+                                 "degree": pd.Series([], dtype="int64"),
+                                 "triangles": pd.Series([], dtype="int64"),
+                                 "clustering_mpt": pd.Series([], dtype="int64")})
+        d = df["degree"].astype("int64")
+        tr = df["triangles"].fillna(0).astype("int64")
+        denom = d * (d - 1)
+        mpt = np.where(denom > 0, (2000 * tr) // denom.where(denom > 0, 1), 0)
+        return pd.DataFrame({"token": df["token"], "degree": d,
+                             "triangles": tr,
+                             "clustering_mpt": mpt.astype("int64")})
+
+    combined = bucketed_hash_join(
+        deg, tri_counts, on="token", how="left", num_buckets=num_buckets,
+        block_fn=finish,
+        left_schema=pa.schema([("token", pa.string()), ("degree", pa.int64())]),
+        right_schema=pa.schema([("token", pa.string()),
+                                ("triangles", pa.int64())]))
+    return combined.sort("token")

@@ -1526,3 +1526,50 @@ def test_dup_span_trim_adversarial_oracle(ray_session, tmp_path):
     assert g.loc[5, "text_trimmed"] == "x"         # within-doc repeat trims
     assert g.loc[3, "n_removed"] == 0              # <8 tokens untouched
     assert g.loc[7, "text_trimmed"].count("  ") == 0   # normalized
+
+
+def test_token_triangles_adversarial_oracle(ray_session, tmp_path):
+    """token_triangles on a hand-built graph that exercises the
+    degree-ordered orientation: a clean triangle (clustering 1000 mpt), a
+    4-cycle with no diagonals (degree 2, zero triangles), a 5-spoke hub
+    (high degree, zero triangles), and a pendant edge — plus the DuckDB
+    oracle equality."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+    from lexmapr_ray.pipelines.webgraph import token_triangles
+
+    edges = [("p", "q"), ("q", "r"), ("p", "r"),              # triangle
+             ("w", "x"), ("x", "y"), ("y", "z"), ("z", "w"),  # square
+             ("h", "h1"), ("h", "h2"), ("h", "h3"),
+             ("h", "h4"), ("h", "h5"),                        # hub
+             ("s", "t")]                                      # pendant
+    texts = [f"{a} {b} {a} {b}" for a, b in edges]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array(["s"] * len(texts)),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    got = token_triangles(str(tmp_path)).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    exp = con.execute(entrymod.oracle_sql()["token_triangles"]).fetchdf() \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], exp[sorted(exp.columns)], check_dtype=False)
+
+    g = got.set_index("token")
+    for n in ("p", "q", "r"):
+        assert g.loc[n, "triangles"] == 1
+        assert g.loc[n, "clustering_mpt"] == 1000
+    for n in ("w", "x", "y", "z"):
+        assert g.loc[n, "triangles"] == 0 and g.loc[n, "degree"] == 2
+    assert g.loc["h", "degree"] == 5 and g.loc["h", "triangles"] == 0
+    assert g.loc["s", "degree"] == 1 and g.loc["s", "clustering_mpt"] == 0
