@@ -246,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_zscore_outliers": rel.events_zscore_outliers,
         # per-label exact integer centroids over the embedding column
         "embedding_centroids": similarity.embedding_centroids,
+        "embedding_covariance": similarity.embedding_covariance,
         "embedding_kmeans": similarity.embedding_kmeans,
         "semantic_dedup": similarity.semantic_dedup,
         "embedding_quantize": similarity.embedding_quantize,
@@ -1212,6 +1213,26 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('/root/repo/expected/kg_triples.parquet')
             WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)
             ORDER BY subj, pred, obj
+        """,
+        "embedding_covariance": """
+            WITH v AS (
+                SELECT vec_id, unnest(range(1, len(embedding)+1)) AS dim,
+                       CAST(FLOOR(unnest(embedding)::DOUBLE * 1000000)
+                            AS BIGINT) AS mu
+                FROM embeddings),
+            p AS (
+                SELECT a.dim AS dim_i, b.dim AS dim_j,
+                       a.mu::HUGEINT AS ma, b.mu::HUGEINT AS mb
+                FROM v a JOIN v b
+                  ON a.vec_id = b.vec_id AND a.dim <= b.dim),
+            s AS (
+                SELECT dim_i, dim_j, COUNT(*)::HUGEINT AS n,
+                       SUM(ma) AS si, SUM(mb) AS sj, SUM(ma * mb) AS sij
+                FROM p GROUP BY dim_i, dim_j)
+            SELECT dim_i::BIGINT AS dim_i, dim_j::BIGINT AS dim_j,
+                   n::BIGINT AS n_vecs,
+                   ((n * sij - si * sj) // (n * n))::BIGINT AS cov_micro2
+            FROM s ORDER BY dim_i, dim_j
         """,
         "embedding_quantize": """
             WITH e AS (

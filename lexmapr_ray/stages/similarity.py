@@ -864,3 +864,73 @@ def semantic_dedup(sf_dir: str, k: int = 8, iters: int = 5,
             .map_batches(greedy_block, batch_format="pandas",
                          batch_size=None)
             .sort("vec_id"))
+
+
+def embedding_covariance(sf_dir: str):
+    """Corpus covariance matrix of the embedding column, integer-exact —
+    the whitening / PCA-prep statistic (the d x d second-moment reduce) of
+    an embedding pipeline, in the same floor-micro units as
+    :func:`embedding_centroids`.
+
+    Output: (dim_i, dim_j, n_vecs, cov_micro2) for i <= j (upper
+    triangle), dim-sorted.  cov_micro2 = trunc((n*Sij - Si*Sj) / n^2)
+    where S are sums of floor(v * 1e6) int64 micro-units — truncating
+    division toward zero, matching DuckDB's integer ``//``, computed in
+    Python bignums so no intermediate overflows.
+
+    Scale shape: each batch reduces to ONE d(d+1)/2-row second-moment
+    partial (int64 mu^T mu per batch — vectorized matmul, no per-vector
+    Python) plus a d-row first-moment partial; the grouped sum moves
+    constant-size model state regardless of corpus size, and the final
+    bignum division touches d^2 driver rows (the k-means-centroid
+    pattern).  int64 bound: the grouped Sij accumulator holds while
+    n_vecs * 1e12 < 9.2e18 (~9e6 vectors at |v| <= 1); past that the
+    combiner needs a wider (split hi/lo) accumulator.
+    """
+    import ray.data as rd
+
+    from lexmapr_ray.functions.groupagg import grouped_sum_count
+
+    ds = _read_embeddings(sf_dir, ["vec_id", "embedding"])
+
+    def partial2(t: pa.Table) -> pa.Table:
+        m = _batch_matrix(t)
+        micro = np.floor(m * 1e6).astype(np.int64)
+        sij = micro.T @ micro
+        iu, ju = np.triu_indices(micro.shape[1])
+        return pa.table({
+            "dim_i": pa.array(iu.astype(np.int64) + 1),
+            "dim_j": pa.array(ju.astype(np.int64) + 1),
+            "sij": pa.array(sij[iu, ju]),
+        })
+
+    def partial1(t: pa.Table) -> pa.Table:
+        m = _batch_matrix(t)
+        micro = np.floor(m * 1e6).astype(np.int64)
+        d = micro.shape[1]
+        return pa.table({
+            "dim": pa.array(np.arange(1, d + 1, dtype=np.int64)),
+            "s": pa.array(micro.sum(axis=0)),
+            "n": pa.array(np.full(d, len(micro), dtype=np.int64)),
+        })
+
+    m2 = grouped_sum_count(
+        ds.map_batches(partial2, batch_format="pyarrow", batch_size=4096),
+        ["dim_i", "dim_j"], {"sij": "sij"}).take_all()
+    m1 = grouped_sum_count(
+        ds.map_batches(partial1, batch_format="pyarrow", batch_size=4096),
+        "dim", {"s": "s", "n": "n"}).take_all()
+
+    s_by_dim = {int(r["dim"]): int(r["s"]) for r in m1}
+    n = int(m1[0]["n"]) if m1 else 0
+    rows = []
+    for r in m2:
+        i, j = int(r["dim_i"]), int(r["dim_j"])
+        num = n * int(r["sij"]) - s_by_dim[i] * s_by_dim[j]
+        den = n * n
+        q = abs(num) // den if den else 0
+        rows.append({"dim_i": i, "dim_j": j, "n_vecs": n,
+                     "cov_micro2": q if num >= 0 else -q})
+    df = pd.DataFrame(rows, columns=["dim_i", "dim_j", "n_vecs", "cov_micro2"]) \
+        .astype("int64").sort_values(["dim_i", "dim_j"]).reset_index(drop=True)
+    return rd.from_pandas(df)

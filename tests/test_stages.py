@@ -1573,3 +1573,41 @@ def test_token_triangles_adversarial_oracle(ray_session, tmp_path):
         assert g.loc[n, "triangles"] == 0 and g.loc[n, "degree"] == 2
     assert g.loc["h", "degree"] == 5 and g.loc["h", "triangles"] == 0
     assert g.loc["s", "degree"] == 1 and g.loc["s", "clustering_mpt"] == 0
+
+
+def test_embedding_covariance_adversarial_oracle(ray_session, tmp_path):
+    """embedding_covariance vs its HUGEINT oracle on vectors built to
+    bite: perfectly anti-correlated dims (negative covariance exercises
+    the truncate-toward-zero division), a constant dim (zero variance),
+    and values whose floor-micro conversion is negative."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+    from lexmapr_ray.stages.similarity import embedding_covariance
+
+    vecs = [[1.0, -1.0, 0.5, 0.25],
+            [-1.0, 1.0, 0.5, -0.75],
+            [0.5, -0.5, 0.5, 0.125],
+            [-0.5, 0.5, 0.5, -0.3]]
+    tbl = pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": pa.array([0] * len(vecs), pa.int32()),
+    })
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+    got = embedding_covariance(str(tmp_path)).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/embeddings.parquet')")
+    exp = con.execute(entrymod.oracle_sql()["embedding_covariance"]).fetchdf() \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], exp[sorted(exp.columns)], check_dtype=False)
+
+    g = got.set_index(["dim_i", "dim_j"])["cov_micro2"]
+    assert g.loc[(1, 2)] < 0          # anti-correlated pair
+    assert g.loc[(3, 3)] == 0         # constant dim: zero variance
+    assert g.loc[(1, 1)] > 0
