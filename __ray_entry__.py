@@ -235,6 +235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": similarity.embedding_near_dup_pairs,
         "knn_graph": similarity.knn_graph,
         "hybrid_search": similarity.hybrid_search,
+        "rrf_search": similarity.rrf_search,
         # exact grouped quantiles (histogram-first; functions/quantiles.py)
         "doc_length_quantiles": textstats.doc_length_quantiles,
         "event_value_quantiles": rel.event_value_quantiles,
@@ -1172,6 +1173,33 @@ def oracle_sql() -> dict[str, str]:
               ON e.vec_id = m.doc_id
             ORDER BY sim_bp DESC, doc_id
             LIMIT 10
+        """,
+        "rrf_search": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest(string_split_regex({_trim('text')},
+                       '\\s+')) AS w
+                FROM documents),
+            cnt AS (SELECT doc_id, COUNT(*)::BIGINT AS c
+                    FROM tok WHERE w = 'spark' GROUP BY doc_id),
+            ra AS (SELECT doc_id,
+                          ROW_NUMBER() OVER (ORDER BY c DESC, doc_id) AS r
+                   FROM cnt),
+            sim AS (SELECT vec_id AS doc_id,
+                           CAST(ROUND(list_cosine_similarity(embedding,
+                                (SELECT embedding FROM embeddings
+                                 WHERE vec_id = 0)) * 10000) AS BIGINT)
+                               AS sim_bp
+                    FROM embeddings),
+            rb AS (SELECT doc_id,
+                          ROW_NUMBER() OVER (ORDER BY sim_bp DESC, doc_id)
+                              AS r
+                   FROM sim)
+            SELECT rb.doc_id,
+                   (1000000000 // (60 + rb.r)
+                    + COALESCE(1000000000 // (60 + ra.r), 0))::BIGINT
+                       AS rrf_score
+            FROM rb LEFT JOIN ra USING (doc_id)
+            ORDER BY rrf_score DESC, rb.doc_id LIMIT 10
         """,
         "knn_graph": """
             SELECT vec_id, neighbor_id, sim_bp, rank

@@ -873,14 +873,12 @@ def corpus_shuffle_order(sf_dir: str):
     would stream the corpus in, reproducible by any engine from doc_id
     alone (no RNG state to ship).
 
-    Same distributed prefix-sum shape as ``packing.sequence_pack``: sort on
-    the hash key, one tiny stats row per block (driver holds one row per
-    block, never per doc), exclusive cumsum, broadcast offsets, per-block
-    local ranks.  The sort key embeds the zero-padded doc_id so it is
-    unique even under an md5 collision."""
-    import pandas as pd
-
-    import ray
+    The distributed prefix-sum shape lives in
+    :func:`lexmapr_ray.functions.ranks.global_dense_rank` (factored from
+    this op; same shape as ``packing.sequence_pack``).  The sort key
+    embeds the zero-padded doc_id so it is unique even under an md5
+    collision."""
+    from lexmapr_ray.functions.ranks import global_dense_rank
 
     ds = _read_documents(sf_dir, ["doc_id"])
 
@@ -893,35 +891,8 @@ def corpus_shuffle_order(sf_dir: str):
                  for d in ids], pa.string()),
         })
 
-    keyed = ds.map_batches(key, batch_format="pyarrow").sort("k").materialize()
-
-    def block_stats(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return pd.DataFrame({"min_k": pd.Series([], dtype="object"),
-                                 "n": pd.Series([], dtype="int64")})
-        return pd.DataFrame({"min_k": [df["k"].min()], "n": [len(df)]})
-
-    stats = keyed.map_batches(block_stats, batch_format="pandas",
-                              batch_size=None).to_pandas()
-    stats = stats.sort_values("min_k").reset_index(drop=True)
-    offsets_ref = ray.put((
-        np.array(stats["min_k"].tolist(), dtype=object),
-        stats["n"].cumsum().shift(fill_value=0).to_numpy(dtype=np.int64),
-    ))
-
-    def rank(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                                 "shuffle_rank": pd.Series([], dtype="int64")})
-        min_ks, offs = ray.get(offsets_ref)
-        df = df.sort_values("k", kind="mergesort")
-        i = int(np.searchsorted(min_ks, df["k"].iloc[0]))
-        return pd.DataFrame({
-            "doc_id": df["doc_id"].astype("int64").to_numpy(),
-            "shuffle_rank": int(offs[i]) + np.arange(len(df), dtype=np.int64),
-        })
-
-    return keyed.map_batches(rank, batch_format="pandas", batch_size=None)
+    return global_dense_rank(ds.map_batches(key, batch_format="pyarrow"),
+                             rank_col="shuffle_rank")
 
 
 def token_rarity(sf_dir: str, vocab_broadcast_limit: int = 10_000_000):

@@ -1611,3 +1611,63 @@ def test_embedding_covariance_adversarial_oracle(ray_session, tmp_path):
     assert g.loc[(1, 2)] < 0          # anti-correlated pair
     assert g.loc[(3, 3)] == 0         # constant dim: zero variance
     assert g.loc[(1, 1)] > 0
+
+
+def test_rrf_search_adversarial_oracle(ray_session, tmp_path):
+    """rrf_search vs its DuckDB oracle on a corpus where the two rankings
+    disagree: the best-cosine doc has no keyword, the most-keyword doc has
+    a poor embedding, tied keyword counts break by doc_id, and fusion must
+    surface a middling-in-both doc above single-ranking extremists."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+    from lexmapr_ray.stages.similarity import rrf_search
+
+    texts = [
+        "query probe",                               # doc 0: the query row
+        "spark spark spark spark noise",             # doc 1: keyword king
+        "no keywords here at all",                   # doc 2: cosine king
+        "spark middle doc",                          # doc 3: decent in both
+        "spark also here",                           # doc 4: tie-count w/ 3
+        "nothing relevant",                          # doc 5
+    ]
+    vecs = np.array([
+        [1.0, 0.0, 0.0, 0.0],
+        [-1.0, 0.5, 0.0, 0.0],     # keyword king: worst cosine
+        [1.0, 0.01, 0.0, 0.0],     # cosine king
+        [0.8, 0.5, 0.0, 0.0],      # middling
+        [0.7, 0.6, 0.0, 0.0],      # middling
+        [0.0, 1.0, 0.0, 0.0],
+    ], dtype=np.float32)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array(["s"] * len(texts)),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array([list(v) for v in vecs], pa.list_(pa.float32())),
+        "label": pa.array([0] * len(vecs), pa.int32()),
+    }), str(tmp_path / "embeddings.parquet"))
+
+    got = rrf_search(str(tmp_path), k=6).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/{t}.parquet')")
+    exp = con.execute(entrymod.oracle_sql()["rrf_search"]
+                      .replace("LIMIT 10", "LIMIT 6")).fetchdf() \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], exp[sorted(exp.columns)], check_dtype=False)
+
+    order = got["doc_id"].tolist()
+    # docs in both rankings beat the single-ranking extremists
+    assert order.index(3) < order.index(2)
+    assert order.index(3) < order.index(1)
+    assert (got["rrf_score"].diff().dropna() <= 0).all()
