@@ -267,6 +267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_stats": webgraph.host_stats,
         "host_filtered_corpus": webgraph.host_filtered_corpus,
         "token_triangles": webgraph.token_triangles,
+        "k_core": webgraph.k_core,
         # knowledge-graph pipeline (the flagship; non-SQL)
         "kg_triples": _kg_triples,
         "kg_entities": _kg_entities,
@@ -1297,6 +1298,12 @@ def oracle_sql() -> dict[str, str]:
         # Integer fixed-point PageRank, 3 iterations unrolled — the link
         # model, constants and int division mirror pipelines/webgraph.py
         # literally, so the comparison is bit-exact (no float tolerance).
+        "k_core": """
+            SELECT token, core_degree
+            FROM read_parquet('/root/repo/expected/op_k_core.parquet')
+            WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)
+            ORDER BY token
+        """,
         "token_triangles": f"""
             WITH t AS (
                 SELECT doc_id, string_split_regex({_trim('text')}, '\\s+') AS tk

@@ -267,37 +267,15 @@ def host_filtered_corpus(sf_dir: str, max_dup_permille: int = 187,
                      broadcast_limit=broadcast_limit).sort("doc_id")
 
 
-def token_triangles(sf_dir: str, permille: int = 100, num_buckets: int = 32):
-    """Triangle count + local clustering coefficient per node of the token
-    ADJACENCY graph (nodes = tokens; undirected edge a—b when the bigram
-    "a b" or "b a" occurs at least ``permille``/1000 times per corpus
-    document) — the graph-analytics pass (community structure, semantic
-    cliques) a KG build runs after co-occurrence extraction.
-
-    Output: (token, degree, triangles, clustering_mpt) token-sorted, where
-    clustering_mpt = floor(2000 * triangles / (degree * (degree-1))) in
-    milli-units (0 when degree < 2) — integer-exact, engine-independent.
-
-    Scale shape — the node-iterator with DEGREE-ORDERED ORIENTATION
-    (Schank & Wagner 2005): every undirected edge is directed from its
-    (degree, token)-smaller endpoint, which caps any node's out-degree at
-    O(sqrt(|E|)), so the wedge explode is Σ out_deg² ≤ |E|^1.5 instead of
-    the Σ deg² that a hub node turns quadratic.  Each triangle is
-    enumerated exactly once (at its orientation-minimal vertex).
-      * bigram pairs: zero-copy shifted-slice explode + per-batch combiner
-        (shuffle = distinct bigrams per batch);
-      * degrees attach to both edge endpoints via bucketed joins (never a
-        driver/broadcast vocabulary table);
-      * wedges form per co-located out-neighborhood block, close via one
-        bucketed join against the oriented edge keys ("a b" space-joined —
-        tokens are \\S+ so the key is collision-free);
-      * per-node triangle counts = 3-way explode + grouped count.
-    Edge/degree tables are vocabulary-scale; ``edges`` is materialized
-    once because three downstream consumers would otherwise each re-run
-    the corpus bigram pass.
-    """
-    import pandas as pd
-
+def _token_edges(sf_dir: str, permille: int):
+    """Undirected token-adjacency edge list (a < b, distinct): tokens are
+    linked when their bigram occurs at least ``permille``/1000 times per
+    corpus document (occurrence count, both orders, self-loops excluded).
+    Zero-copy shifted-slice bigram explode with a per-batch combiner
+    (shuffle = distinct bigrams per batch), one grouped count, vectorized
+    threshold filter.  Returned MATERIALIZED — every graph op has several
+    consumers that would otherwise each re-run the corpus pass; the edge
+    list itself is vocabulary-scale."""
     from lexmapr_ray.stages.textstats import _token_lists
 
     docs = _read_docs(sf_dir, ["doc_id", "text"])
@@ -331,12 +309,98 @@ def token_triangles(sf_dir: str, permille: int = 100, num_buckets: int = 32):
         docs.map_batches(bigram_partial, batch_format="pyarrow"),
         ["a", "b"], {"n": "n"},
     )
-    edges = counts.map_batches(
+    return counts.map_batches(
         lambda t: t.filter(pc.greater_equal(
             pc.multiply(t["n"], pa.scalar(1000, pa.int64())),
             pa.scalar(permille * total_docs, pa.int64()))).select(["a", "b"]),
         batch_format="pyarrow",
     ).materialize()
+
+
+def _node_degrees(edges, count_alias: str = "degree"):
+    """(token, degree) from an (a, b) edge Dataset via endpoint explode +
+    grouped count."""
+    return grouped_sum_count(
+        edges.map_batches(
+            lambda t: pa.table({"token": pa.concat_arrays([
+                t["a"].combine_chunks().cast(pa.string()),
+                t["b"].combine_chunks().cast(pa.string())])}),
+            batch_format="pyarrow"),
+        "token", count_alias=count_alias,
+    )
+
+
+def k_core(sf_dir: str, k: int = 22, permille: int = 100):
+    """The k-core of the token-adjacency graph (same graph as
+    :func:`token_triangles`): iteratively peel every node of degree < k
+    until a fixpoint — the standard dense-subgraph extraction (Seidman
+    1983) a KG/community pass runs to separate topic cores from
+    long-tail noise.  Output: (token, core_degree) for surviving nodes,
+    token-sorted, where core_degree is the node's degree WITHIN the core.
+
+    Scale shape: each peel round is one vocabulary-scale grouped degree
+    count plus two size-switched anti semi joins dropping edges touching
+    peeled nodes; all rounds operate on the (materialized,
+    vocabulary-scale) edge list — the corpus is touched exactly once, by
+    the edge build.  Rounds are bounded by the graph's degeneracy
+    ordering depth (every round removes at least one node or terminates),
+    with a hard cap at the initial node count as a runaway guard.
+    """
+    from lexmapr_ray.functions.joins import semi_join
+
+    edges = _token_edges(sf_dir, permille)
+    n_nodes = _node_degrees(edges).count()
+
+    for _ in range(max(1, n_nodes)):
+        deg = _node_degrees(edges)
+        low = deg.map_batches(
+            lambda t: t.filter(pc.less(t["degree"], k)).select(["token"]),
+            batch_format="pyarrow",
+        ).materialize()
+        if low.count() == 0:
+            break
+        edges = semi_join(
+            semi_join(edges, "a", low, "token", anti=True),
+            "b", low, "token", anti=True,
+        ).materialize()
+        if edges.count() == 0:
+            break
+
+    return _node_degrees(edges, count_alias="core_degree").sort("token")
+
+
+def token_triangles(sf_dir: str, permille: int = 100, num_buckets: int = 32):
+    """Triangle count + local clustering coefficient per node of the token
+    ADJACENCY graph (nodes = tokens; undirected edge a—b when the bigram
+    "a b" or "b a" occurs at least ``permille``/1000 times per corpus
+    document) — the graph-analytics pass (community structure, semantic
+    cliques) a KG build runs after co-occurrence extraction.
+
+    Output: (token, degree, triangles, clustering_mpt) token-sorted, where
+    clustering_mpt = floor(2000 * triangles / (degree * (degree-1))) in
+    milli-units (0 when degree < 2) — integer-exact, engine-independent.
+
+    Scale shape — the node-iterator with DEGREE-ORDERED ORIENTATION
+    (Schank & Wagner 2005): every undirected edge is directed from its
+    (degree, token)-smaller endpoint, which caps any node's out-degree at
+    O(sqrt(|E|)), so the wedge explode is Σ out_deg² ≤ |E|^1.5 instead of
+    the Σ deg² that a hub node turns quadratic.  Each triangle is
+    enumerated exactly once (at its orientation-minimal vertex).
+      * bigram pairs: zero-copy shifted-slice explode + per-batch combiner
+        (shuffle = distinct bigrams per batch);
+      * degrees attach to both edge endpoints via bucketed joins (never a
+        driver/broadcast vocabulary table);
+      * wedges form per co-located out-neighborhood block, close via one
+        bucketed join against the oriented edge keys ("a b" space-joined —
+        tokens are \\S+ so the key is collision-free);
+      * per-node triangle counts = 3-way explode + grouped count.
+    Edge/degree tables are vocabulary-scale; ``edges`` is materialized
+    once because three downstream consumers would otherwise each re-run
+    the corpus bigram pass.
+    """
+    import pandas as pd
+
+    edges = _token_edges(sf_dir, permille)
 
     deg = grouped_sum_count(
         edges.map_batches(

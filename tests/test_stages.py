@@ -1671,3 +1671,44 @@ def test_rrf_search_adversarial_oracle(ray_session, tmp_path):
     assert order.index(3) < order.index(2)
     assert order.index(3) < order.index(1)
     assert (got["rrf_score"].diff().dropna() <= 0).all()
+
+
+def test_k_core_cascading_peel(ray_session, tmp_path):
+    """k_core on a hand-built graph where peeling must CASCADE: a 4-clique
+    (the 3-core) with a pendant chain hanging off it — each chain node
+    only drops below degree 2 after its outer neighbour is peeled, so a
+    single-round filter would get it wrong.  Also checks the serial
+    oracle mirror agrees."""
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lexmapr_ray.pipelines.webgraph import k_core
+
+    clique = [("c1", "c2"), ("c1", "c3"), ("c1", "c4"),
+              ("c2", "c3"), ("c2", "c4"), ("c3", "c4")]
+    chain = [("c4", "t1"), ("t1", "t2"), ("t2", "t3"), ("t3", "t4")]
+    texts = [f"{a} {b} {a} {b}" for a, b in clique + chain]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array(["s"] * len(texts)),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+
+    got = k_core(str(tmp_path), k=2).to_pandas().reset_index(drop=True)
+    # the whole chain peels away one node per round; the clique survives
+    assert got["token"].tolist() == ["c1", "c2", "c3", "c4"]
+    assert got["core_degree"].tolist() == [3, 3, 3, 3]
+
+    got3 = k_core(str(tmp_path), k=3).to_pandas()
+    assert got3["token"].tolist() == ["c1", "c2", "c3", "c4"]
+    got4 = k_core(str(tmp_path), k=4).to_pandas()
+    assert len(got4) == 0
+
+    sys.path.insert(0, "/root/repo/tools")
+    import make_op_expected as ops
+    assert ops.serial_k_core(texts, len(texts), k=2) == \
+        list(zip(got["token"], got["core_degree"]))

@@ -195,6 +195,36 @@ def serial_bpe_token_counts(doc_ids, texts, merges):
     return rows
 
 
+def serial_k_core(texts, n_docs: int, k: int = 22, permille: int = 100):
+    """Serial mirror of pipelines/webgraph.py::k_core: token-adjacency
+    graph (ASCII-whitespace tokenization, canonical bigram pairs with
+    multiplicity, permille-of-corpus threshold) peeled to the k-core."""
+    import collections
+    import re
+
+    cnt = collections.Counter()
+    for txt in texts:
+        toks = re.split(r"[ \t\n\f\r]+", txt.strip(" \t\n\f\r"))
+        for x, y in zip(toks, toks[1:]):
+            if x != y:
+                cnt[(min(x, y), max(x, y))] += 1
+    edges = {e for e, n in cnt.items() if n * 1000 >= permille * n_docs}
+    while edges:
+        deg = collections.Counter()
+        for a, b in edges:
+            deg[a] += 1
+            deg[b] += 1
+        low = {w for w, d in deg.items() if d < k}
+        if not low:
+            break
+        edges = {(a, b) for a, b in edges if a not in low and b not in low}
+    deg = collections.Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    return sorted(deg.items())
+
+
 def serial_union_find_clusters(doc_ids, pairs):
     """Union-find over verified near-dup pairs -> (doc_id, min-id cluster)."""
     parent = {d: d for d in doc_ids}
@@ -598,6 +628,8 @@ def main():
              serial_bpe_token_counts(doc_ids, texts, bpe_merges),
              ("doc_id", "n_tokens", "n_bpe_tokens"), (i64, i64, i64),
              "corpus_len", corpus_len),
+            ("op_k_core", serial_k_core(texts, len(doc_ids)),
+             ("token", "core_degree"), (s, i64), "corpus_len", corpus_len),
             ("op_near_dup_clusters",
              serial_union_find_clusters(doc_ids, word_pairs),
              ("doc_id", "cluster_id"), (i64, i64), "corpus_len", corpus_len),
