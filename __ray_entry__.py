@@ -268,6 +268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_filtered_corpus": webgraph.host_filtered_corpus,
         "token_triangles": webgraph.token_triangles,
         "k_core": webgraph.k_core,
+        "bfs_distances": webgraph.bfs_distances,
         # knowledge-graph pipeline (the flagship; non-SQL)
         "kg_triples": _kg_triples,
         "kg_entities": _kg_entities,
@@ -288,6 +289,27 @@ _TRIM = "TRIM({col}, concat(' ', chr(9), chr(10), chr(12), chr(13)))"
 
 def _trim(col: str) -> str:
     return _TRIM.format(col=col)
+
+
+def _bfs_sql(hops: int = 12, seed: int = 0) -> str:
+    """Mirror of pipelines/webgraph.py::bfs_distances: the synthetic edge
+    CTE (same formula as the pagerank oracle) plus ``hops`` unrolled
+    min-union rounds — generated so engine rounds and oracle rounds can
+    never drift."""
+    parts = [
+        "WITH e AS (SELECT d.doc_id AS src, (d.doc_id * 31 + 7 + 13 * u.j)"
+        " % (SELECT COUNT(*) FROM documents) AS dst"
+        " FROM documents d, UNNEST(range(0, 1 + d.doc_id % 3)) AS u(j)),",
+        f"d0 AS (SELECT {seed}::BIGINT AS node, 0::BIGINT AS dist),",
+    ]
+    for i in range(1, hops + 1):
+        parts.append(
+            f"d{i} AS (SELECT node, MIN(dist)::BIGINT AS dist FROM ("
+            f"SELECT node, dist FROM d{i-1} UNION ALL "
+            f"SELECT e.dst AS node, p.dist + 1 AS dist"
+            f" FROM e JOIN d{i-1} p ON e.src = p.node) GROUP BY node),")
+    sql = "\n".join(parts).rstrip(",")
+    return sql + f"\nSELECT node, dist FROM d{hops} ORDER BY node"
 
 
 def _pii_sql() -> str:
@@ -1298,6 +1320,7 @@ def oracle_sql() -> dict[str, str]:
         # Integer fixed-point PageRank, 3 iterations unrolled — the link
         # model, constants and int division mirror pipelines/webgraph.py
         # literally, so the comparison is bit-exact (no float tolerance).
+        "bfs_distances": _bfs_sql(),
         "k_core": """
             SELECT token, core_degree
             FROM read_parquet('/root/repo/expected/op_k_core.parquet')

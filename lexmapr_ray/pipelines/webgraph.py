@@ -496,3 +496,55 @@ def token_triangles(sf_dir: str, permille: int = 100, num_buckets: int = 32):
         right_schema=pa.schema([("token", pa.string()),
                                 ("triangles", pa.int64())]))
     return combined.sort("token")
+
+
+def bfs_distances(sf_dir: str, seed: int = 0, hops: int = 12,
+                  num_buckets: int = 32):
+    """Single-source unweighted shortest paths (BFS level sets) over the
+    synthetic doc link graph, within ``hops`` rounds — crawl-depth /
+    seed-proximity analysis.  Output: (node, dist) for every node
+    reachable from ``seed`` in <= hops steps, node-sorted.
+
+    Shape per round (the Pregel BFS exchange, mirrored literally by the
+    ``hops``-times-unrolled SQL oracle): frontier distances JOIN the
+    (materialized, rescanned) edge list on src -> (dst, dist+1)
+    candidates, unioned with the standing table, ONE grouped MIN.  The
+    distance table re-materializes per round so lineage stays flat
+    (12 nested joins would otherwise re-execute multiplicatively).  A
+    production run would early-stop when a round's min-union changes no
+    row — the fixed unroll keeps engine and oracle definitionally
+    identical.
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from lexmapr_ray.functions.groupagg import sorted_group_reduce
+
+    edges = doc_links(sf_dir).materialize()
+    i64 = pa.int64()
+
+    def mn(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                 "dist": pd.Series([], dtype="int64")})
+        out = df.groupby("node", as_index=False, sort=True)["dist"].min()
+        return out.astype({"node": "int64", "dist": "int64"})
+
+    def bump(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df["dst"].astype("int64"),
+                             "dist": df["dist"].astype("int64") + 1})
+
+    # pandas blocks throughout: union requires both sides the same block
+    # type, and the sorted_group_reduce final emits pandas
+    dist = rd.from_items([{"node": seed, "dist": 0}]).map_batches(
+        lambda df: df.astype("int64"), batch_format="pandas")
+    for _ in range(hops):
+        contrib = bucketed_hash_join(
+            edges, dist, on="src", right_on="node",
+            num_buckets=num_buckets,
+            left_schema=pa.schema([("src", i64), ("dst", i64)]),
+            right_schema=pa.schema([("node", i64), ("dist", i64)]),
+        ).map_batches(bump, batch_format="pandas")
+        dist = sorted_group_reduce(dist.union(contrib), "node", mn, mn) \
+            .materialize()
+    return dist

@@ -1712,3 +1712,41 @@ def test_k_core_cascading_peel(ray_session, tmp_path):
     import make_op_expected as ops
     assert ops.serial_k_core(texts, len(texts), k=2) == \
         list(zip(got["token"], got["core_degree"]))
+
+
+def test_bfs_distances_matches_serial(ray_session, tmp_path):
+    """bfs_distances vs an in-test serial BFS with the same hop cap, on a
+    corpus small enough that the cap binds (nodes beyond `hops` levels
+    must be absent, not present-with-wrong-distance)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lexmapr_ray.pipelines.webgraph import bfs_distances
+
+    n = 40
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(["x"] * n, pa.string()),
+        "lang": pa.array(["en"] * n),
+        "source": pa.array(["s"] * n),
+        "n_chars": pa.array([1] * n, pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+
+    hops = 3
+    got = bfs_distances(str(tmp_path), hops=hops).to_pandas()
+
+    from collections import deque
+    dist = {0: 0}
+    q = deque([0])
+    while q:
+        u = q.popleft()
+        if dist[u] >= hops:
+            continue
+        for j in range(1 + u % 3):
+            v = (u * 31 + 7 + 13 * j) % n
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    exp = sorted(dist.items())
+    assert list(zip(got["node"], got["dist"])) == exp
+    assert got["dist"].max() == hops          # the cap binds on this graph
