@@ -191,6 +191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_distribution": textstats.lang_distribution,
         "lang_token_stats": textstats.lang_token_stats,
         "hashed_classifier_score": textstats.hashed_classifier_score,
+        "score_percentile": textstats.score_percentile,
         "corpus_sample": textstats.corpus_sample,
         "repetition_stats": textstats.repetition_stats,
         "gopher_quality_filter": textstats.gopher_quality_filter,
@@ -700,6 +701,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, SUM(wt)::BIGINT AS logit_milli,
                    COUNT(*)::BIGINT AS n_tokens
             FROM w GROUP BY doc_id ORDER BY doc_id
+        """,
+        "score_percentile": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       unnest(string_split_regex({_trim('text')}, '\\s+')) AS tok
+                FROM documents WHERE {_trim('text')} <> ''),
+            w AS (
+                SELECT doc_id,
+                       ((CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)
+                         % 262144) * 2654435761 % 2001) - 1000 AS wt
+                FROM t),
+            s AS (SELECT doc_id, SUM(wt)::BIGINT AS logit_milli
+                  FROM w GROUP BY doc_id),
+            r AS (SELECT doc_id, logit_milli,
+                         ROW_NUMBER() OVER (ORDER BY logit_milli, doc_id) - 1
+                             AS rk
+                  FROM s)
+            SELECT doc_id, logit_milli,
+                   ((1000 * rk) // GREATEST((SELECT COUNT(*) FROM s) - 1, 1))
+                       ::BIGINT AS pct_permille
+            FROM r ORDER BY doc_id
         """,
         "lang_token_stats": f"""
             SELECT lang, COUNT(*) AS n_docs,

@@ -232,6 +232,9 @@ def run_queries(sf_dir: str) -> dict:
         ("knn_graph", similarity.knn_graph),
         ("chunk_documents", packing.chunk_documents),
         ("orders_running_window", rel.orders_running_window),
+        ("dup_span_trim", dedup.dup_span_trim),
+        ("token_triangles", webgraph.token_triangles),
+        ("rrf_search", similarity.rrf_search),
     ]:
         t0 = time.time()
         res = fn(sf_dir)

@@ -428,6 +428,14 @@ def hashed_classifier_score(sf_dir: str):
     Output: (doc_id, logit_milli, n_tokens) — integer milli-logits, exact
     vs the SQL oracle's symbolic weight function.
     """
+    return _classifier_scores(sf_dir).sort("doc_id")
+
+
+def _classifier_scores(sf_dir: str):
+    """Unsorted (doc_id, logit_milli, n_tokens) classifier inference —
+    the shared scoring pass behind :func:`hashed_classifier_score` and
+    :func:`score_percentile` (the latter re-keys for ranking, so a
+    doc-sorted intermediate would be a wasted corpus shuffle)."""
     import ray
 
     ds = _read_documents(sf_dir, ["doc_id", "text"])
@@ -458,7 +466,54 @@ def hashed_classifier_score(sf_dir: str):
             "n_tokens": pa.array(n_tok[keep], pa.int64()),
         })
 
-    return ds.map_batches(score, batch_format="pyarrow").sort("doc_id")
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def score_percentile(sf_dir: str):
+    """Permille percentile calibration of the hashed-classifier logit —
+    how curation pipelines turn a raw classifier score into a corpus-
+    relative keep threshold ("drop the bottom 20%") that is stable across
+    corpus mixes.  ``pct_permille = floor(1000 * rank / (n - 1))`` with
+    rank = dense 0-based position in (logit_milli, doc_id) order (ties
+    broken by doc_id, so the definition is total and engine-independent);
+    n = scored (non-empty) docs, degenerate n <= 1 maps to 0.
+
+    Scale shape: one scoring pass (broadcast weight table), one global
+    dense rank via the shared block-offset prefix-sum helper
+    (:func:`~lexmapr_ray.functions.ranks.global_dense_rank`), a broadcast
+    scalar n, and the presentation sort.  Output: (doc_id, logit_milli,
+    pct_permille), doc-sorted.
+    """
+    from lexmapr_ray.functions.ranks import global_dense_rank
+
+    scored = _classifier_scores(sf_dir).map_batches(
+        lambda t: t.select(["doc_id", "logit_milli"]),
+        batch_format="pyarrow").materialize()   # count + rank both consume
+    n = scored.count()
+    den = max(n - 1, 1)
+
+    def key(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lg = t["logit_milli"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "logit_milli": pa.array(lg),
+            "k": pa.array([f"{10**9 + v:012d}{d:020d}"
+                           for v, d in zip(lg, ids)], pa.string()),
+        })
+
+    ranked = global_dense_rank(scored.map_batches(key, batch_format="pyarrow"),
+                               rank_col="rk")
+
+    def finish(df):
+        import pandas as pd
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "logit_milli": df["logit_milli"].astype("int64"),
+            "pct_permille": (1000 * df["rk"].astype("int64")) // den,
+        })
+
+    return ranked.map_batches(finish, batch_format="pandas").sort("doc_id")
 
 
 def lang_token_stats(sf_dir: str):

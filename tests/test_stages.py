@@ -1750,3 +1750,41 @@ def test_bfs_distances_matches_serial(ray_session, tmp_path):
     exp = sorted(dist.items())
     assert list(zip(got["node"], got["dist"])) == exp
     assert got["dist"].max() == hops          # the cap binds on this graph
+
+
+def test_score_percentile_adversarial_oracle(ray_session, tmp_path):
+    """score_percentile vs its ROW_NUMBER oracle on a corpus with tied
+    logits (identical texts — tie must break by doc_id), an excluded
+    empty doc, and the degenerate denominator guard."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+    from lexmapr_ray.stages.textstats import score_percentile
+
+    texts = ["alpha beta gamma", "alpha beta gamma",   # tied logits
+             "delta epsilon", "", "zeta eta theta iota"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array(["s"] * len(texts)),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+
+    got = score_percentile(str(tmp_path)).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    exp = con.execute(entrymod.oracle_sql()["score_percentile"]).fetchdf() \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], exp[sorted(exp.columns)], check_dtype=False)
+
+    g = got.set_index("doc_id")
+    assert 3 not in g.index                      # empty doc excluded
+    assert g.loc[0, "logit_milli"] == g.loc[1, "logit_milli"]
+    assert g.loc[0, "pct_permille"] < g.loc[1, "pct_permille"]  # id tiebreak
+    assert set([g["pct_permille"].min(), g["pct_permille"].max()]) \
+        <= set(range(0, 1001))
