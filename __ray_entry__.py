@@ -270,6 +270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_triangles": webgraph.token_triangles,
         "k_core": webgraph.k_core,
         "bfs_distances": webgraph.bfs_distances,
+        "link_prediction": webgraph.link_prediction,
         # knowledge-graph pipeline (the flagship; non-SQL)
         "kg_triples": _kg_triples,
         "kg_entities": _kg_entities,
@@ -1343,6 +1344,30 @@ def oracle_sql() -> dict[str, str]:
         # model, constants and int division mirror pipelines/webgraph.py
         # literally, so the comparison is bit-exact (no float tolerance).
         "bfs_distances": _bfs_sql(),
+        "link_prediction": f"""
+            WITH t AS (
+                SELECT doc_id, string_split_regex({_trim('text')}, '\\s+') AS tk
+                FROM documents WHERE {_trim('text')} <> ''),
+            bg AS (
+                SELECT CASE WHEN w1 < w2 THEN w1 ELSE w2 END AS a,
+                       CASE WHEN w1 < w2 THEN w2 ELSE w1 END AS b
+                FROM (SELECT tk[i] AS w1, tk[i+1] AS w2
+                      FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM t))
+                WHERE w1 <> w2),
+            e AS (SELECT a, b FROM bg GROUP BY a, b
+                  HAVING COUNT(*) * 1000 >=
+                         100 * (SELECT COUNT(*) FROM documents)),
+            adj AS (SELECT a AS u, b AS v FROM e
+                    UNION ALL SELECT b AS u, a AS v FROM e),
+            cn AS (SELECT w1.v AS x, w2.v AS y,
+                          COUNT(*)::BIGINT AS common_neighbors
+                   FROM adj w1 JOIN adj w2 ON w1.u = w2.u AND w1.v < w2.v
+                   GROUP BY w1.v, w2.v HAVING COUNT(*) >= 2)
+            SELECT cn.x, cn.y, cn.common_neighbors
+            FROM cn LEFT JOIN e ON e.a = cn.x AND e.b = cn.y
+            WHERE e.a IS NULL
+            ORDER BY cn.common_neighbors DESC, cn.x, cn.y LIMIT 20
+        """,
         "k_core": """
             SELECT token, core_degree
             FROM read_parquet('/root/repo/expected/op_k_core.parquet')

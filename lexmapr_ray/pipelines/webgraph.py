@@ -548,3 +548,68 @@ def bfs_distances(sf_dir: str, seed: int = 0, hops: int = 12,
         dist = sorted_group_reduce(dist.union(contrib), "node", mn, mn) \
             .materialize()
     return dist
+
+
+def link_prediction(sf_dir: str, permille: int = 100, min_common: int = 2,
+                    k: int = 20, num_buckets: int = 32):
+    """Common-neighbor link prediction over the token graph — the
+    KG-completion pass that proposes MISSING edges: for every non-adjacent
+    pair (x, y) sharing >= ``min_common`` neighbors, score = the exact
+    common-neighbor count; top-``k`` by (score desc, x, y).
+
+    Shape: adjacency = both edge directions, one sort co-locates each
+    node's neighborhood, per-block pair explode (x < y) — Σ deg(u)² rows,
+    the inherent common-neighbor cost; a production run caps per-node
+    neighborhoods (drop hubs above ~sqrt(|E|), they predict nothing
+    specific anyway) — then ONE grouped count, an anti semi join against
+    the existing edge keys (space-joined, collision-free), and the
+    exact-safe pruned top-k.
+    """
+    import pandas as pd
+
+    from lexmapr_ray.functions.joins import semi_join
+    from lexmapr_ray.functions.topk import global_topk
+
+    edges = _token_edges(sf_dir, permille)
+
+    adj = edges.map_batches(
+        lambda t: pa.table({
+            "u": pa.concat_arrays([t["a"].combine_chunks().cast(pa.string()),
+                                   t["b"].combine_chunks().cast(pa.string())]),
+            "v": pa.concat_arrays([t["b"].combine_chunks().cast(pa.string()),
+                                   t["a"].combine_chunks().cast(pa.string())]),
+        }),
+        batch_format="pyarrow")
+
+    def pair_block(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"x": pd.Series([], dtype="object"),
+                                 "y": pd.Series([], dtype="object")})
+        m = df.merge(df, on="u")
+        m = m[m["v_x"] < m["v_y"]]
+        return pd.DataFrame({"x": m["v_x"], "y": m["v_y"]})
+
+    def keep_and_key(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["common_neighbors"],
+                                      pa.scalar(min_common, pa.int64())))
+        return t.append_column("key", pc.binary_join_element_wise(
+            t["x"].combine_chunks().cast(pa.string()),
+            t["y"].combine_chunks().cast(pa.string()), " "))
+
+    cn = grouped_sum_count(
+        adj.sort("u").map_batches(pair_block, batch_format="pandas",
+                                  batch_size=None),
+        ["x", "y"], count_alias="common_neighbors",
+    ).map_batches(keep_and_key, batch_format="pyarrow")
+
+    edge_keys = edges.map_batches(
+        lambda t: pa.table({"key": pc.binary_join_element_wise(
+            t["a"].combine_chunks().cast(pa.string()),
+            t["b"].combine_chunks().cast(pa.string()), " ")}),
+        batch_format="pyarrow")
+
+    missing = semi_join(cn, "key", edge_keys, "key", anti=True) \
+        .map_batches(lambda t: t.select(["x", "y", "common_neighbors"]),
+                     batch_format="pyarrow")
+    return global_topk(missing, ["common_neighbors", "x", "y"],
+                       [True, False, False], k)

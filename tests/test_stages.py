@@ -1788,3 +1788,45 @@ def test_score_percentile_adversarial_oracle(ray_session, tmp_path):
     assert g.loc[0, "pct_permille"] < g.loc[1, "pct_permille"]  # id tiebreak
     assert set([g["pct_permille"].min(), g["pct_permille"].max()]) \
         <= set(range(0, 1001))
+
+
+def test_link_prediction_adversarial_oracle(ray_session, tmp_path):
+    """link_prediction on a hand-built graph: two hubs sharing 3 spokes
+    but NOT adjacent (the top prediction), an existing edge whose
+    endpoints also share neighbors (must be excluded — it exists), and a
+    pair sharing exactly one neighbor (below min_common)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+    from lexmapr_ray.pipelines.webgraph import link_prediction
+
+    edges = [("p", "s1"), ("p", "s2"), ("p", "s3"),   # hub p
+             ("q", "s1"), ("q", "s2"), ("q", "s3"),   # hub q (p-q missing)
+             ("a", "b"), ("a", "c"), ("b", "c"),      # triangle: a-b exists
+             ("a", "d"), ("b", "d"),                  # a,b also share d
+             ("m", "z"), ("n", "z")]                  # m,n share only z
+    texts = [f"{x} {y} {x} {y}" for x, y in edges]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array(["s"] * len(texts)),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+
+    got = link_prediction(str(tmp_path)).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    exp = con.execute(entrymod.oracle_sql()["link_prediction"]).fetchdf() \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], exp[sorted(exp.columns)], check_dtype=False)
+
+    pairs = {(r.x, r.y): r.common_neighbors for r in got.itertuples()}
+    assert pairs.get(("p", "q")) == 3           # the missing-link winner
+    assert got.iloc[0][["x", "y"]].tolist() == ["p", "q"]
+    assert ("a", "b") not in pairs              # existing edge excluded
+    assert ("m", "n") not in pairs              # below min_common
