@@ -246,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # full outer bucketed join
         "customer_event_activity": rel.customer_event_activity,
         "events_zscore_outliers": rel.events_zscore_outliers,
+        "fuzzy_name_pairs": rel.fuzzy_name_pairs,
         # per-label exact integer centroids over the embedding column
         "embedding_centroids": similarity.embedding_centroids,
         "embedding_covariance": similarity.embedding_covariance,
@@ -1579,6 +1580,12 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(cents, 0.75)::BIGINT AS p75,
                    quantile_disc(cents, 0.95)::BIGINT AS p95
             FROM e GROUP BY event_type ORDER BY event_type
+        """,
+        "fuzzy_name_pairs": """
+            SELECT a.c_name AS name_a, b.c_name AS name_b
+            FROM customer a JOIN customer b ON a.c_name < b.c_name
+            WHERE levenshtein(a.c_name, b.c_name) = 1
+            ORDER BY name_a, name_b
         """,
         "events_zscore_outliers": """
             WITH c AS (

@@ -772,3 +772,77 @@ def events_retention_cohorts(sf_dir: str):
         .map_batches(cohort_block, batch_format="pandas", batch_size=None)
     return grouped_sum_count(rows, ["cohort_day", "day_offset"], {},
                              count_alias="n_users")
+
+
+def fuzzy_name_pairs(sf_dir: str):
+    """Fuzzy entity resolution over customer names: every unordered pair
+    of names at Levenshtein distance EXACTLY 1 — the distributed
+    generalization of the reference's spelling-correction lookup
+    (lexmapr/pipeline_resources mis-spellings table) to corpus-derived
+    vocabularies.
+
+    Scale shape — FastSS/SymSpell deletion-neighborhood blocking, never
+    an all-pairs scan: every name explodes to its <= len+1 depth-1
+    deletion variants (self included); names at edit distance <= 1 MUST
+    share a variant, so ONE variant-key sort co-locates all candidates;
+    per-block pair explode, grouped pair dedup, then an exact DP verify
+    over the candidate sliver only (the blocking admits distance-2 pairs
+    like "ab"/"ba" — the verify is semantic, not a formality).  Variant
+    generation is len(name)+1 rows per name — dimension-table scale here,
+    and linear (not quadratic) in vocabulary size always.
+
+    Output: (name_a, name_b), name_a < name_b, pair-sorted.
+    """
+    import pandas as pd
+
+    from lexmapr_ray.functions.groupagg import grouped_sum_count
+
+    names = _read(sf_dir, "customer", ["c_name"])
+
+    def variants(t: pa.Table) -> pa.Table:
+        vs, ns = [], []
+        for name in t["c_name"].to_pylist():
+            vs.append(name)
+            ns.append(name)
+            for i in range(len(name)):
+                vs.append(name[:i] + name[i + 1:])
+                ns.append(name)
+        return pa.table({"variant": pa.array(vs, pa.string()),
+                         "name": pa.array(ns, pa.string())})
+
+    def pair_block(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"name_a": pd.Series([], dtype="object"),
+                                 "name_b": pd.Series([], dtype="object")})
+        d = df.drop_duplicates(["variant", "name"])
+        m = d.merge(d, on="variant")
+        m = m[m["name_x"] < m["name_y"]]
+        return pd.DataFrame({"name_a": m["name_x"], "name_b": m["name_y"]})
+
+    candidates = grouped_sum_count(
+        names.map_batches(variants, batch_format="pyarrow")
+        .sort("variant")
+        .map_batches(pair_block, batch_format="pandas", batch_size=None),
+        ["name_a", "name_b"],
+    )
+
+    def _lev(a: str, b: str) -> int:
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    def verify(t: pa.Table) -> pa.Table:
+        keep = [_lev(a, b) == 1 for a, b in zip(t["name_a"].to_pylist(),
+                                                t["name_b"].to_pylist())]
+        return t.select(["name_a", "name_b"]).filter(pa.array(keep, pa.bool_()))
+
+    # the grouped dedup leaves rows globally (name_a, name_b)-sorted and
+    # the verify filter preserves block order — no extra presentation sort
+    return candidates.map_batches(verify, batch_format="pyarrow")

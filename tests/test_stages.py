@@ -1830,3 +1830,48 @@ def test_link_prediction_adversarial_oracle(ray_session, tmp_path):
     assert got.iloc[0][["x", "y"]].tolist() == ["p", "q"]
     assert ("a", "b") not in pairs              # existing edge excluded
     assert ("m", "n") not in pairs              # below min_common
+
+
+def test_fuzzy_name_pairs_adversarial_oracle(ray_session, tmp_path):
+    """fuzzy_name_pairs vs the levenshtein oracle on names built to bite
+    the blocking: a transposition pair ("ab"/"ba" shares a deletion
+    variant but is distance 2 — the verify must kill it), insertion /
+    deletion / substitution pairs (all distance 1), and an unrelated
+    name."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+    from lexmapr_ray.pipelines.relational import fuzzy_name_pairs
+
+    names = ["ab", "ba",          # transposition: distance 2, must NOT pair
+             "kitten", "sitten",  # substitution: distance 1
+             "cart", "car",       # deletion: distance 1
+             "car", "care",       # insertion: distance 1 (car dup'd is fine)
+             "zzz"]
+    names = list(dict.fromkeys(names))   # unique, order-stable
+    tbl = pa.table({
+        "c_custkey": pa.array(range(len(names)), pa.int64()),
+        "c_name": pa.array(names, pa.string()),
+        "c_nationkey": pa.array([0] * len(names), pa.int64()),
+        "c_mktsegment": pa.array(["BUILDING"] * len(names), pa.string()),
+        "c_acctbal": pa.array([0.0] * len(names), pa.float64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "customer.parquet"))
+
+    got = fuzzy_name_pairs(str(tmp_path)).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW customer AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/customer.parquet')")
+    exp = con.execute(entrymod.oracle_sql()["fuzzy_name_pairs"]).fetchdf() \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], exp[sorted(exp.columns)], check_dtype=False)
+
+    pairs = set(map(tuple, got[["name_a", "name_b"]].itertuples(index=False)))
+    assert ("ab", "ba") not in pairs
+    assert ("kitten", "sitten") in pairs
+    assert ("car", "cart") in pairs
+    assert ("car", "care") in pairs
+    assert not any("zzz" in p for p in pairs)
