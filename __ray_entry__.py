@@ -251,6 +251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroids": similarity.embedding_centroids,
         "embedding_covariance": similarity.embedding_covariance,
         "embedding_kmeans": similarity.embedding_kmeans,
+        "cluster_top_terms": similarity.cluster_top_terms,
         "semantic_dedup": similarity.semantic_dedup,
         "embedding_quantize": similarity.embedding_quantize,
         # text heuristics / fingerprints (non-SQL)
@@ -1261,6 +1262,27 @@ def oracle_sql() -> dict[str, str]:
             WHERE emb_checksum = (SELECT SUM(CAST(FLOOR(CAST(embedding[1] AS DOUBLE)
                                   * 1000000) AS BIGINT)) FROM embeddings)
             ORDER BY vec_id
+        """,
+        "cluster_top_terms": f"""
+            WITH cl AS (
+                SELECT vec_id, cluster
+                FROM read_parquet('/root/repo/expected/op_embedding_kmeans.parquet')
+                WHERE emb_checksum = (SELECT SUM(CAST(FLOOR(
+                      CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT))
+                      FROM embeddings)),
+            tok AS (
+                SELECT doc_id,
+                       unnest(string_split_regex({_trim('text')}, '\\s+'))
+                           AS token
+                FROM documents WHERE {_trim('text')} <> ''),
+            ct AS (SELECT cl.cluster, tok.token, COUNT(*)::BIGINT AS n
+                   FROM tok JOIN cl ON tok.doc_id = cl.vec_id
+                   GROUP BY cl.cluster, tok.token),
+            r AS (SELECT *, ROW_NUMBER() OVER
+                      (PARTITION BY cluster ORDER BY n DESC, token) AS rank
+                  FROM ct)
+            SELECT cluster, token, n, rank::BIGINT AS rank
+            FROM r WHERE rank <= 5 ORDER BY cluster, rank
         """,
         "semantic_dedup": """
             SELECT vec_id, cluster, keep, dup_of

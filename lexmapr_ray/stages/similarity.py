@@ -1035,3 +1035,76 @@ def rrf_search(sf_dir: str, keyword: str = "spark", query_vec_id: int = 0,
         left_schema=pa.schema([("doc_id", pa.int64()), ("cb", pa.int64())]),
         right_schema=pa.schema([("doc_id", pa.int64()), ("ca", pa.int64())]))
     return global_topk(fused, ["rrf_score", "doc_id"], [True, False], k)
+
+
+def cluster_top_terms(sf_dir: str, top: int = 5, num_buckets: int = 32):
+    """Semantic cluster labeling: the ``top`` most frequent tokens of each
+    k-means cluster's documents — how an embedding-clustered corpus gets
+    human-readable topic labels (and how cluster-balanced mixes are
+    audited).  Output: (cluster, token, n, rank) with rank 1..top by
+    (count desc, token asc), cluster-then-rank sorted.
+
+    Scale shape: the distributed k-means assignment joins the documents
+    table bucketed on the id (never a broadcast corpus map), one token
+    explode with per-batch (cluster, token) combining, and a per-cluster
+    exact-safe top-k prune before the one cluster sort — the
+    ``top_orders_per_customer`` pattern at vocabulary scale.  The oracle
+    replays the same composition in SQL over the committed serial k-means
+    assignment, so what the gate checks is the join + explode + grouped
+    top-k orchestration."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from lexmapr_ray.functions.groupagg import grouped_sum_count, sorted_group_reduce
+    from lexmapr_ray.functions.joins import bucketed_hash_join
+    from lexmapr_ray.stages.textstats import _read_documents, _token_lists
+
+    clusters = embedding_kmeans(sf_dir)
+    docs = _read_documents(sf_dir, ["doc_id", "text"])
+    joined = bucketed_hash_join(
+        docs, clusters, on="doc_id", right_on="vec_id",
+        num_buckets=num_buckets,
+        left_schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())]),
+        right_schema=pa.schema([("vec_id", pa.int64()),
+                                ("cluster", pa.int64())]))
+
+    def explode(t: pa.Table) -> pa.Table:
+        trimmed, splits = _token_lists(t["text"])
+        keep = pc.invert(pc.equal(trimmed, ""))
+        splits = splits.filter(keep) if isinstance(splits, pa.ChunkedArray) \
+            else pc.filter(splits, keep)
+        cl = pc.filter(pc.cast(t["cluster"], pa.int64()), keep)
+        flat = pc.list_flatten(splits)
+        parent = pc.list_parent_indices(splits)
+        df = pa.table({"cluster": pc.take(cl, parent),
+                       "token": flat}).to_pandas()
+        g = df.groupby(["cluster", "token"], sort=False).size() \
+            .rename("n").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = grouped_sum_count(joined.map_batches(explode, batch_format="pyarrow"),
+                               ["cluster", "token"], {"n": "n"})
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        return df.sort_values(["cluster", "n", "token"],
+                              ascending=[True, False, True]) \
+            .groupby("cluster", sort=False).head(top)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            out = df.copy()
+            out["rank"] = pd.Series([], dtype="int64")
+            return out
+        out = df.sort_values(["cluster", "n", "token"],
+                             ascending=[True, False, True]) \
+            .groupby("cluster", sort=False).head(top).reset_index(drop=True)
+        out["rank"] = out.groupby("cluster", sort=False).cumcount() + 1
+        return out.astype({"cluster": "int64", "n": "int64", "rank": "int64"})
+
+    # exact-safe: each part's per-cluster top-`top` superset contains the
+    # global per-cluster top-`top`
+    return sorted_group_reduce(
+        counts.map_batches(prune, batch_format="pandas", batch_size=65536),
+        "cluster", prune, finish)

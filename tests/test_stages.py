@@ -1875,3 +1875,56 @@ def test_fuzzy_name_pairs_adversarial_oracle(ray_session, tmp_path):
     assert ("car", "cart") in pairs
     assert ("car", "care") in pairs
     assert not any("zzz" in p for p in pairs)
+
+
+def test_cluster_top_terms_composition(ray_session, tmp_path):
+    """cluster_top_terms vs an in-test pandas recompute from the engine's
+    own k-means assignment, on two well-separated embedding clusters with
+    engineered token frequencies (ties broken by token)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lexmapr_ray.stages.similarity import cluster_top_terms, embedding_kmeans
+
+    rng = np.random.RandomState(7)
+    n_half, dim = 12, 8
+    a = rng.normal(5, 0.1, (n_half, dim)).astype(np.float32)
+    b = rng.normal(-5, 0.1, (n_half, dim)).astype(np.float32)
+    vecs = np.vstack([a, b])
+    texts = (["apple apple banana cherry"] * n_half
+             + ["zebra zebra yak xray walrus"] * n_half)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(2 * n_half), pa.int64()),
+        "embedding": pa.array([list(v) for v in vecs], pa.list_(pa.float32())),
+        "label": pa.array([0] * (2 * n_half), pa.int32()),
+    }), str(tmp_path / "embeddings.parquet"))
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(2 * n_half), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * (2 * n_half)),
+        "source": pa.array(["s"] * (2 * n_half)),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+
+    got = cluster_top_terms(str(tmp_path), top=3).to_pandas() \
+        .reset_index(drop=True)
+
+    assign = embedding_kmeans(str(tmp_path)).to_pandas() \
+        .set_index("vec_id")["cluster"]
+    rows = []
+    for doc_id, text in enumerate(texts):
+        for tok in text.split():
+            rows.append((int(assign.loc[doc_id]), tok))
+    exp = (pd.DataFrame(rows, columns=["cluster", "token"])
+           .groupby(["cluster", "token"]).size().rename("n").reset_index()
+           .sort_values(["cluster", "n", "token"],
+                        ascending=[True, False, True])
+           .groupby("cluster").head(3).reset_index(drop=True))
+    exp["rank"] = exp.groupby("cluster").cumcount() + 1
+    pd.testing.assert_frame_equal(
+        got[["cluster", "token", "n", "rank"]].reset_index(drop=True),
+        exp[["cluster", "token", "n", "rank"]], check_dtype=False)
+    # the two text populations must label their clusters differently
+    tops = got[got["rank"] == 1].set_index("cluster")["token"]
+    assert set(tops) == {"apple", "zebra"}
