@@ -247,6 +247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_event_activity": rel.customer_event_activity,
         "events_zscore_outliers": rel.events_zscore_outliers,
         "fuzzy_name_pairs": rel.fuzzy_name_pairs,
+        "q10_returned_revenue": rel.q10_returned_revenue,
         # per-label exact integer centroids over the embedding column
         "embedding_centroids": similarity.embedding_centroids,
         "embedding_covariance": similarity.embedding_covariance,
@@ -1602,6 +1603,23 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(cents, 0.75)::BIGINT AS p75,
                    quantile_disc(cents, 0.95)::BIGINT AS p95
             FROM e GROUP BY event_type ORDER BY event_type
+        """,
+        "q10_returned_revenue": """
+            SELECT c.c_custkey, c.c_name,
+                   SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+                       ::BIGINT AS revenue_e4,
+                   CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+                   n.n_name
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE l.l_returnflag = 'R'
+              AND o.o_orderdate >= DATE '1996-01-01'
+              AND o.o_orderdate < DATE '1996-04-01'
+            GROUP BY c.c_custkey, c.c_name, acctbal_cents, n.n_name
+            ORDER BY revenue_e4 DESC, c.c_custkey LIMIT 20
         """,
         "fuzzy_name_pairs": """
             SELECT a.c_name AS name_a, b.c_name AS name_b

@@ -846,3 +846,96 @@ def fuzzy_name_pairs(sf_dir: str):
     # the grouped dedup leaves rows globally (name_a, name_b)-sorted and
     # the verify filter preserves block order — no extra presentation sort
     return candidates.map_batches(verify, batch_format="pyarrow")
+
+
+def q10_returned_revenue(sf_dir: str, date_lo: str = "1996-01-01",
+                         date_hi: str = "1996-04-01", k: int = 20,
+                         num_buckets: int = 32):
+    """TPC-H Q10 shape: top-``k`` customers by revenue of RETURNED items
+    in a quarter — the 4-table join composition (lineitem x orders x
+    customer x nation) that exercises every join primitive in its right
+    role: fact x fact bucketed join with an in-merge partial reduce, a
+    grouped re-reduce on the customer key, a bucketed join to the large
+    customer dimension, a broadcast probe of the tiny nation table, and
+    the exact-safe pruned top-k.  Revenue in integer e4 units (cents x
+    (100 - discount_cents)); deterministic tie-break by c_custkey.
+    """
+    from lexmapr_ray.functions.broadcast import lookup, put_lookup
+    from lexmapr_ray.functions.groupagg import grouped_sum_count
+    from lexmapr_ray.functions.joins import bucketed_hash_join
+    from lexmapr_ray.functions.topk import global_topk
+
+    lo = pa.scalar(pc.strptime(date_lo, format="%Y-%m-%d", unit="us"))
+    hi = pa.scalar(pc.strptime(date_hi, format="%Y-%m-%d", unit="us"))
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(
+            lambda t: t.filter(pc.and_(
+                pc.greater_equal(t["o_orderdate"], lo),
+                pc.less(t["o_orderdate"], hi)))
+            .select(["o_orderkey", "o_custkey"]),
+            batch_format="pyarrow")
+
+    def prep(t: pa.Table) -> pa.Table:
+        return _prep_li_revenue(t.filter(pc.equal(t["l_returnflag"], "R")))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount",
+                "l_returnflag"]) \
+        .map_batches(prep, batch_format="pyarrow")
+
+    # per-custkey PARTIALS inside the orderkey-merge block (custkeys span
+    # blocks; the grouped_sum_count below is the exact re-reduce), with
+    # the q3 int cast against the merge's NaN float promotion
+    def block_sum(df):
+        out = df.groupby("o_custkey", as_index=False, sort=False)["revenue_e4"].sum()
+        out["o_custkey"] = out["o_custkey"].astype("int64")
+        out["revenue_e4"] = out["revenue_e4"].astype("int64")
+        return out
+
+    j1 = bucketed_hash_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey",
+        num_buckets=num_buckets, block_fn=block_sum,
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("revenue_e4", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_custkey", pa.int64())]))
+    rev = grouped_sum_count(j1, "o_custkey", {"revenue_e4": "revenue_e4"})
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_name", "c_nationkey", "c_acctbal"]) \
+        .map_batches(
+            lambda t: pa.table({
+                "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+                "c_name": t["c_name"],
+                "c_nationkey": pc.cast(t["c_nationkey"], pa.int64()),
+                "acctbal_cents": _cents(t["c_acctbal"]),
+            }),
+            batch_format="pyarrow")
+
+    j2 = bucketed_hash_join(
+        rev, cust, on="o_custkey", right_on="c_custkey",
+        num_buckets=num_buckets,
+        left_schema=pa.schema([("o_custkey", pa.int64()),
+                               ("revenue_e4", pa.int64())]),
+        right_schema=pa.schema([("c_custkey", pa.int64()),
+                                ("c_name", pa.string()),
+                                ("c_nationkey", pa.int64()),
+                                ("acctbal_cents", pa.int64())]))
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nation_ref = put_lookup(nation["n_nationkey"].to_numpy(),
+                            nation["n_name"].to_numpy())
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": pc.cast(t["o_custkey"], pa.int64()),
+            "c_name": t["c_name"],
+            "revenue_e4": pc.cast(t["revenue_e4"], pa.int64()),
+            "acctbal_cents": pc.cast(t["acctbal_cents"], pa.int64()),
+            "n_name": lookup(t["c_nationkey"], nation_ref),
+        })
+
+    return global_topk(j2.map_batches(finish, batch_format="pyarrow"),
+                       ["revenue_e4", "c_custkey"], [True, False], k)

@@ -1928,3 +1928,24 @@ def test_cluster_top_terms_composition(ray_session, tmp_path):
     # the two text populations must label their clusters differently
     tops = got[got["rank"] == 1].set_index("cluster")["token"]
     assert set(tops) == {"apple", "zebra"}
+
+
+def test_q10_returned_revenue_oracle(ray_session, sf_dir):
+    """q10 (4-table join composition) vs its DuckDB oracle at sf0.001,
+    plus the ordering contract."""
+    import duckdb
+
+    import __ray_entry__ as entrymod
+    from lexmapr_ray.pipelines.relational import q10_returned_revenue
+
+    got = q10_returned_revenue(sf_dir).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "nation"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    exp = con.execute(entrymod.oracle_sql()["q10_returned_revenue"]).fetchdf() \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], exp[sorted(exp.columns)], check_dtype=False)
+    assert len(got) > 0
+    assert (got["revenue_e4"].diff().dropna() <= 0).all()
