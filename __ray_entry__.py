@@ -248,6 +248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_zscore_outliers": rel.events_zscore_outliers,
         "fuzzy_name_pairs": rel.fuzzy_name_pairs,
         "q10_returned_revenue": rel.q10_returned_revenue,
+        "events_daily_gapfill": rel.events_daily_gapfill,
         # per-label exact integer centroids over the embedding column
         "embedding_centroids": similarity.embedding_centroids,
         "embedding_covariance": similarity.embedding_covariance,
@@ -1603,6 +1604,25 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(cents, 0.75)::BIGINT AS p75,
                    quantile_disc(cents, 0.95)::BIGINT AS p95
             FROM e GROUP BY event_type ORDER BY event_type
+        """,
+        "events_daily_gapfill": """
+            WITH c AS (
+                SELECT event_type,
+                       CAST(FLOOR(epoch(ts)/86400) AS BIGINT) AS day,
+                       COUNT(*)::BIGINT AS n,
+                       SUM(CAST(ROUND(value*100) AS BIGINT))::BIGINT AS s
+                FROM events GROUP BY event_type, day),
+            spine AS (
+                SELECT t.event_type, d.day
+                FROM (SELECT DISTINCT event_type FROM c) t,
+                     (SELECT unnest(range((SELECT MIN(day) FROM c),
+                                          (SELECT MAX(day) FROM c) + 1))
+                          AS day) d)
+            SELECT s.event_type, s.day,
+                   COALESCE(c.n, 0)::BIGINT AS n,
+                   COALESCE(c.s, 0)::BIGINT AS sum_value_cents
+            FROM spine s LEFT JOIN c USING (event_type, day)
+            ORDER BY s.event_type, s.day
         """,
         "q10_returned_revenue": """
             SELECT c.c_custkey, c.c_name,

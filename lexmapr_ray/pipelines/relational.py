@@ -939,3 +939,47 @@ def q10_returned_revenue(sf_dir: str, date_lo: str = "1996-01-01",
 
     return global_topk(j2.map_batches(finish, batch_format="pyarrow"),
                        ["revenue_e4", "c_custkey"], [True, False], k)
+
+
+def events_daily_gapfill(sf_dir: str):
+    """Daily event counts/sums per type with EXPLICIT ZERO ROWS for gap
+    days — the resample-and-fill step every time-series feature pipeline
+    needs (a missing day must read as 0, not as an absent row, before
+    windowed models consume it).  Spine = every (event_type, day) in the
+    corpus-global [min_day, max_day] range.
+
+    Scale note: the distributed work is one grouped reduce; the filled
+    output is |types| x |days| — DOMAIN-bounded (calendar days x an
+    enumerable type set), not corpus-scale, so the spine product is built
+    driver-side like any other constant-size model state.  Output:
+    (event_type, day, n, sum_value_cents), type-then-day sorted.
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        epoch_us = pc.cast(t["ts"], pa.int64())
+        return pa.table({
+            "event_type": t["event_type"],
+            "day": pc.divide(epoch_us, pa.scalar(86_400_000_000, pa.int64())),
+            "value_cents": _cents(t["value"]),
+        })
+
+    counts = grouped_sum_count(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "day"], {"sum_value_cents": "value_cents"},
+        count_alias="n",
+    ).to_pandas()
+
+    spine = pd.MultiIndex.from_product(
+        [sorted(counts["event_type"].unique()),
+         range(int(counts["day"].min()), int(counts["day"].max()) + 1)],
+        names=["event_type", "day"])
+    out = counts.set_index(["event_type", "day"]) \
+        .reindex(spine, fill_value=0).reset_index() \
+        .astype({"day": "int64", "n": "int64", "sum_value_cents": "int64"}) \
+        [["event_type", "day", "n", "sum_value_cents"]] \
+        .sort_values(["event_type", "day"]).reset_index(drop=True)
+    return rd.from_pandas(out)

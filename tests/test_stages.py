@@ -1949,3 +1949,45 @@ def test_q10_returned_revenue_oracle(ray_session, sf_dir):
         got[sorted(got.columns)], exp[sorted(exp.columns)], check_dtype=False)
     assert len(got) > 0
     assert (got["revenue_e4"].diff().dropna() <= 0).all()
+
+
+def test_events_daily_gapfill_adversarial_oracle(ray_session, tmp_path):
+    """Gap-fill vs its spine oracle on events engineered with a 3-day hole
+    in one type and a type active on only the first day — the zero rows
+    must appear for both."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+    from lexmapr_ray.pipelines.relational import events_daily_gapfill
+
+    day_us = 86_400_000_000
+    rows = [("a", 0, 1.0), ("a", 0, 2.0), ("a", 4, 3.0),   # a: hole days 1-3
+            ("b", 0, 5.0)]                                  # b: day 0 only
+    tbl = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array([1_600_000_000_000_000 + d * day_us
+                        for _, d, _ in rows], pa.timestamp("us")),
+        "user_id": pa.array([1] * len(rows), pa.int64()),
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "value": pa.array([r[2] for r in rows], pa.float64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    got = events_daily_gapfill(str(tmp_path)).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    exp = con.execute(entrymod.oracle_sql()["events_daily_gapfill"]).fetchdf() \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], exp[sorted(exp.columns)], check_dtype=False)
+
+    assert len(got) == 10                      # 2 types x 5 days
+    g = got.set_index(["event_type", "day"])
+    base = got["day"].min()
+    for d in (1, 2, 3):
+        assert g.loc[("a", base + d), "n"] == 0
+    assert g.loc[("b", base + 4), "n"] == 0
+    assert g.loc[("a", base), "sum_value_cents"] == 300
