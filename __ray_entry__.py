@@ -249,6 +249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_name_pairs": rel.fuzzy_name_pairs,
         "q10_returned_revenue": rel.q10_returned_revenue,
         "events_daily_gapfill": rel.events_daily_gapfill,
+        "referential_audit": rel.referential_audit,
         # per-label exact integer centroids over the embedding column
         "embedding_centroids": similarity.embedding_centroids,
         "embedding_covariance": similarity.embedding_covariance,
@@ -1604,6 +1605,34 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(cents, 0.75)::BIGINT AS p75,
                    quantile_disc(cents, 0.95)::BIGINT AS p95
             FROM e GROUP BY event_type ORDER BY event_type
+        """,
+        "referential_audit": """
+            SELECT * FROM (
+                SELECT 'events_user_in_customer' AS check_name,
+                       (SELECT COUNT(*) FROM events e LEFT JOIN customer c
+                        ON e.user_id = c.c_custkey
+                        WHERE c.c_custkey IS NULL)::BIGINT AS n_orphans
+                UNION ALL
+                SELECT 'lineitem_order_in_orders',
+                       (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o
+                        ON l.l_orderkey = o.o_orderkey
+                        WHERE o.o_orderkey IS NULL)::BIGINT
+                UNION ALL
+                SELECT 'orders_cust_in_customer',
+                       (SELECT COUNT(*) FROM orders o LEFT JOIN customer c
+                        ON o.o_custkey = c.c_custkey
+                        WHERE c.c_custkey IS NULL)::BIGINT
+                UNION ALL
+                SELECT 'supplier_nation_in_nation',
+                       (SELECT COUNT(*) FROM supplier s LEFT JOIN nation n
+                        ON s.s_nationkey = n.n_nationkey
+                        WHERE n.n_nationkey IS NULL)::BIGINT
+                UNION ALL
+                SELECT 'vectors_doc_in_documents',
+                       (SELECT COUNT(*) FROM embeddings v LEFT JOIN documents d
+                        ON v.vec_id = d.doc_id
+                        WHERE d.doc_id IS NULL)::BIGINT
+            ) ORDER BY check_name
         """,
         "events_daily_gapfill": """
             WITH c AS (

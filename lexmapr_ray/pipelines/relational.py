@@ -983,3 +983,49 @@ def events_daily_gapfill(sf_dir: str):
         [["event_type", "day", "n", "sum_value_cents"]] \
         .sort_values(["event_type", "day"]).reset_index(drop=True)
     return rd.from_pandas(out)
+
+
+def referential_audit(sf_dir: str):
+    """Referential-integrity audit across the star schema: for each
+    fact -> dimension reference, the number of ORPHAN fact rows (foreign
+    key with no matching dimension row) — the data-quality gate an ingest
+    runs before joins silently drop or null-promote rows.
+
+    Each check is one size-switched anti semi join (broadcast key-set
+    probe while the dimension is small, bucketed co-location past the
+    limit) followed by a count; only per-check scalars reach the driver.
+    Output: (check_name, n_orphans), check-sorted — zeros on healthy
+    data are the point, not a degenerate case.
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from lexmapr_ray.functions.joins import semi_join
+
+    def keys(table: str, col: str):
+        return _read(sf_dir, table, [col])
+
+    checks = [
+        ("events_user_in_customer",
+         keys("events", "user_id"), "user_id",
+         keys("customer", "c_custkey"), "c_custkey"),
+        ("lineitem_order_in_orders",
+         keys("lineitem", "l_orderkey"), "l_orderkey",
+         keys("orders", "o_orderkey"), "o_orderkey"),
+        ("orders_cust_in_customer",
+         keys("orders", "o_custkey"), "o_custkey",
+         keys("customer", "c_custkey"), "c_custkey"),
+        ("supplier_nation_in_nation",
+         keys("supplier", "s_nationkey"), "s_nationkey",
+         keys("nation", "n_nationkey"), "n_nationkey"),
+        ("vectors_doc_in_documents",
+         keys("embeddings", "vec_id"), "vec_id",
+         keys("documents", "doc_id"), "doc_id"),
+    ]
+    rows = []
+    for name, left, on, right, right_on in checks:
+        n = semi_join(left, on, right, right_on, anti=True).count()
+        rows.append({"check_name": name, "n_orphans": n})
+    out = pd.DataFrame(rows).sort_values("check_name").reset_index(drop=True)
+    out["n_orphans"] = out["n_orphans"].astype("int64")
+    return rd.from_pandas(out)

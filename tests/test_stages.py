@@ -1991,3 +1991,84 @@ def test_events_daily_gapfill_adversarial_oracle(ray_session, tmp_path):
         assert g.loc[("a", base + d), "n"] == 0
     assert g.loc[("b", base + 4), "n"] == 0
     assert g.loc[("a", base), "sum_value_cents"] == 300
+
+
+def test_referential_audit_detects_orphans(ray_session, tmp_path):
+    """referential_audit vs its oracle on tables with PLANTED violations:
+    two events pointing at missing customers, one orphan lineitem row, a
+    supplier with an unknown nation — and clean vector/doc alignment."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+    from lexmapr_ray.pipelines.relational import referential_audit
+
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2], pa.int64()),
+        "c_name": pa.array(["a", "b"]),
+        "c_nationkey": pa.array([0, 0], pa.int32()),
+        "c_acctbal": pa.array([0.0, 0.0]),
+        "c_mktsegment": pa.array(["X", "X"]),
+    }), str(tmp_path / "customer.parquet"))
+    pq.write_table(pa.table({
+        "event_id": pa.array([0, 1, 2], pa.int64()),
+        "ts": pa.array([1] * 3, pa.timestamp("us")),
+        "user_id": pa.array([1, 99, 98], pa.int64()),   # 2 orphans
+        "event_type": pa.array(["v"] * 3),
+        "value": pa.array([1.0] * 3),
+    }), str(tmp_path / "events.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([10], pa.int64()),
+        "o_custkey": pa.array([1], pa.int64()),
+        "o_orderdate": pa.array([1], pa.timestamp("us")),
+        "o_totalprice": pa.array([1.0]),
+    }), str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([10, 11], pa.int64()),   # 11 orphan
+        "l_extendedprice": pa.array([1.0, 1.0]),
+        "l_discount": pa.array([0.0, 0.0]),
+        "l_returnflag": pa.array(["N", "N"]),
+        "l_linestatus": pa.array(["O", "O"]),
+        "l_quantity": pa.array([1.0, 1.0]),
+        "l_partkey": pa.array([1, 1], pa.int64()),
+        "l_shipdate": pa.array([1, 1], pa.timestamp("us")),
+    }), str(tmp_path / "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0], pa.int64()),
+        "n_name": pa.array(["X"]),
+        "n_regionkey": pa.array([0], pa.int64()),
+    }), str(tmp_path / "nation.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1, 2], pa.int64()),
+        "s_nationkey": pa.array([0, 7], pa.int64()),    # 7 unknown
+    }), str(tmp_path / "supplier.parquet"))
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array(["x"]),
+        "lang": pa.array(["en"]),
+        "source": pa.array(["s"]),
+        "n_chars": pa.array([1], pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+    pq.write_table(pa.table({
+        "vec_id": pa.array([0], pa.int64()),
+        "embedding": pa.array([[0.0]], pa.list_(pa.float32())),
+        "label": pa.array([0], pa.int32()),
+    }), str(tmp_path / "embeddings.parquet"))
+
+    got = referential_audit(str(tmp_path)).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    for t in ("customer", "events", "orders", "lineitem", "nation",
+              "supplier", "documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/{t}.parquet')")
+    exp = con.execute(entrymod.oracle_sql()["referential_audit"]).fetchdf() \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], exp[sorted(exp.columns)], check_dtype=False)
+
+    g = got.set_index("check_name")["n_orphans"]
+    assert g["events_user_in_customer"] == 2
+    assert g["lineitem_order_in_orders"] == 1
+    assert g["supplier_nation_in_nation"] == 1
+    assert g["vectors_doc_in_documents"] == 0
