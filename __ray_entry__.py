@@ -193,6 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hashed_classifier_score": textstats.hashed_classifier_score,
         "score_percentile": textstats.score_percentile,
         "corpus_sample": textstats.corpus_sample,
+        "corpus_sample_exact": textstats.corpus_sample_exact,
         "repetition_stats": textstats.repetition_stats,
         "gopher_quality_filter": textstats.gopher_quality_filter,
         "source_stats": textstats.source_stats,
@@ -276,6 +277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_core": webgraph.k_core,
         "bfs_distances": webgraph.bfs_distances,
         "link_prediction": webgraph.link_prediction,
+        "degree_histogram": webgraph.degree_histogram,
         # knowledge-graph pipeline (the flagship; non-SQL)
         "kg_triples": _kg_triples,
         "kg_entities": _kg_entities,
@@ -736,6 +738,10 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT))::BIGINT AS sum_tokens,
                    SUM(CAST(LENGTH(text) AS BIGINT))::BIGINT AS sum_chars
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "corpus_sample_exact": """
+            SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS sample_key
+            FROM documents ORDER BY sample_key, doc_id LIMIT 100
         """,
         "corpus_sample": """
             SELECT doc_id, text FROM documents
@@ -1370,6 +1376,27 @@ def oracle_sql() -> dict[str, str]:
         # model, constants and int division mirror pipelines/webgraph.py
         # literally, so the comparison is bit-exact (no float tolerance).
         "bfs_distances": _bfs_sql(),
+        "degree_histogram": """
+            WITH e AS (
+                SELECT d.doc_id AS src,
+                       (d.doc_id * 31 + 7 + 13 * u.j)
+                           % (SELECT COUNT(*) FROM documents) AS dst
+                FROM documents d,
+                     UNNEST(range(0, 1 + d.doc_id % 3)) AS u(j)),
+            ind AS (SELECT dst, COUNT(*)::BIGINT AS deg FROM e GROUP BY dst),
+            outd AS (SELECT src, COUNT(*)::BIGINT AS deg FROM e GROUP BY src),
+            h AS (
+                SELECT 'in' AS direction, deg AS degree,
+                       COUNT(*)::BIGINT AS n_nodes FROM ind GROUP BY deg
+                UNION ALL
+                SELECT 'in', 0::BIGINT,
+                       ((SELECT COUNT(*) FROM documents)
+                        - (SELECT COUNT(*) FROM ind))::BIGINT
+                UNION ALL
+                SELECT 'out', deg, COUNT(*)::BIGINT FROM outd GROUP BY deg)
+            SELECT direction, degree, n_nodes FROM h
+            WHERE n_nodes > 0 ORDER BY direction, degree
+        """,
         "link_prediction": f"""
             WITH t AS (
                 SELECT doc_id, string_split_regex({_trim('text')}, '\\s+') AS tk

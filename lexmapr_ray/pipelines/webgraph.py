@@ -613,3 +613,47 @@ def link_prediction(sf_dir: str, permille: int = 100, min_common: int = 2,
                      batch_format="pyarrow")
     return global_topk(missing, ["common_neighbors", "x", "y"],
                        [True, False, False], k)
+
+
+def degree_histogram(sf_dir: str):
+    """Degree distribution of the link graph: for each direction, how
+    many nodes have each in/out-degree (including the in-degree-0 row
+    when pages exist that nothing links to) — the first diagnostic any
+    web-graph ingest plots (power-law check, crawl-frontier health).
+
+    Shape: the classic two-level aggregation — grouped count per node,
+    then grouped count per degree; both through the standard combiner
+    path.  The histograms themselves are degree-domain bounded, so final
+    assembly (and the arithmetic zero-degree row: N minus nodes with
+    in-links) is driver-side constant state.  Output: (direction,
+    degree, n_nodes), direction-then-degree sorted.
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    n_docs = _read_docs(sf_dir, ["doc_id"]).count()
+    edges = doc_links(sf_dir).materialize()
+
+    def hist(col: str):
+        per_node = grouped_sum_count(
+            edges.map_batches(lambda t, c=col: t.select([c]),
+                              batch_format="pyarrow"),
+            col, count_alias="deg")
+        return grouped_sum_count(
+            per_node.map_batches(lambda df: df[["deg"]],
+                                 batch_format="pandas"),
+            "deg", count_alias="n_nodes").take_all()
+
+    rows = []
+    for direction, col in (("in", "dst"), ("out", "src")):
+        h = hist(col)
+        covered = sum(int(r["n_nodes"]) for r in h)
+        if direction == "in" and covered < n_docs:
+            rows.append({"direction": "in", "degree": 0,
+                         "n_nodes": n_docs - covered})
+        rows.extend({"direction": direction, "degree": int(r["deg"]),
+                     "n_nodes": int(r["n_nodes"])} for r in h)
+    out = pd.DataFrame(rows).sort_values(["direction", "degree"]) \
+        .reset_index(drop=True).astype({"degree": "int64",
+                                        "n_nodes": "int64"})
+    return rd.from_pandas(out)

@@ -1371,3 +1371,35 @@ def target_affinity(sf_dir: str, target_lang: str = "en",
         scored = joined.map_batches(attach_joined, batch_format="pandas",
                                     batch_size=65536)
     return sorted_group_reduce(scored, "doc_id", doc_partial, doc_final)
+
+
+def corpus_sample_exact(sf_dir: str, n: int = 100):
+    """EXACT-size deterministic sample: precisely ``n`` documents, chosen
+    as the n smallest md5(doc_id) hex keys — the distributed LIMIT-with-
+    deterministic-order contract (a permille gate like
+    :func:`corpus_sample` only approximates the sample size; eval-set
+    construction needs exactly n).  Engine-independent: any system
+    hashing doc_id the same way picks the same rows.
+
+    Scale shape: the exact-safe per-block top-k prune
+    (:func:`~lexmapr_ray.functions.topk.global_topk`) keeps <= n rows per
+    block before the one tiny sort — no corpus-scale shuffle.  Output:
+    (doc_id, sample_key), key-sorted.
+    """
+    from lexmapr_ray.functions.topk import global_topk
+
+    ds = _read_documents(sf_dir, ["doc_id"])
+
+    def key(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "sample_key": pa.array(
+                [hashlib.md5(str(d).encode()).hexdigest() for d in ids],
+                pa.string()),
+        })
+
+    # ascending on the hash key, doc_id never ties (hash collisions broken
+    # by the second sort column)
+    return global_topk(ds.map_batches(key, batch_format="pyarrow"),
+                       ["sample_key", "doc_id"], [False, False], n)

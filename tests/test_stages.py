@@ -2072,3 +2072,41 @@ def test_referential_audit_detects_orphans(ray_session, tmp_path):
     assert g["lineitem_order_in_orders"] == 1
     assert g["supplier_nation_in_nation"] == 1
     assert g["vectors_doc_in_documents"] == 0
+
+
+def test_corpus_sample_exact_and_degree_histogram(ray_session, tmp_path):
+    """corpus_sample_exact returns EXACTLY n rows in hash order;
+    degree_histogram's counts sum to the node/edge totals and include the
+    in-degree-0 row when pages exist that nothing links to."""
+    import hashlib as _hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lexmapr_ray.pipelines.webgraph import degree_histogram
+    from lexmapr_ray.stages.textstats import corpus_sample_exact
+
+    n = 37
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(["x"] * n, pa.string()),
+        "lang": pa.array(["en"] * n),
+        "source": pa.array(["s"] * n),
+        "n_chars": pa.array([1] * n, pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+
+    got = corpus_sample_exact(str(tmp_path), n=10).to_pandas()
+    assert len(got) == 10
+    exp = sorted(range(n),
+                 key=lambda d: (_hashlib.md5(str(d).encode()).hexdigest(), d))[:10]
+    assert got["doc_id"].tolist() == exp
+    assert got["sample_key"].is_monotonic_increasing
+
+    h = degree_histogram(str(tmp_path)).to_pandas()
+    hin = h[h["direction"] == "in"]
+    hout = h[h["direction"] == "out"]
+    assert hin["n_nodes"].sum() == n                 # every node counted once
+    n_edges = sum(1 + d % 3 for d in range(n))
+    assert (hout["degree"] * hout["n_nodes"]).sum() == n_edges
+    assert (hin["degree"] * hin["n_nodes"]).sum() == n_edges
+    assert (h["n_nodes"] > 0).all()
