@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "score_percentile": textstats.score_percentile,
         "corpus_sample": textstats.corpus_sample,
         "corpus_sample_exact": textstats.corpus_sample_exact,
+        "collocations": textstats.collocations,
         "repetition_stats": textstats.repetition_stats,
         "gopher_quality_filter": textstats.gopher_quality_filter,
         "source_stats": textstats.source_stats,
@@ -738,6 +739,25 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT))::BIGINT AS sum_tokens,
                    SUM(CAST(LENGTH(text) AS BIGINT))::BIGINT AS sum_chars
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "collocations": f"""
+            WITH t AS (
+                SELECT string_split_regex({_trim('text')}, '\\s+') AS tk
+                FROM documents WHERE {_trim('text')} <> ''),
+            tok AS (SELECT unnest(tk) AS w FROM t),
+            uni AS (SELECT w, COUNT(*)::HUGEINT AS n FROM tok GROUP BY w),
+            bg AS (SELECT tk[i] AS w1, tk[i+1] AS w2
+                   FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM t)),
+            bgc AS (SELECT w1, w2, COUNT(*)::HUGEINT AS n_pair
+                    FROM bg GROUP BY w1, w2 HAVING COUNT(*) >= 5),
+            sc AS (SELECT b.w1, b.w2, b.n_pair,
+                          (1000000 * b.n_pair
+                           * (SELECT COUNT(*)::HUGEINT FROM tok))
+                          // (u1.n * u2.n) AS pmi
+                   FROM bgc b JOIN uni u1 ON b.w1 = u1.w
+                              JOIN uni u2 ON b.w2 = u2.w)
+            SELECT w1, w2, n_pair::BIGINT AS n_pair, pmi::BIGINT AS pmi_scaled
+            FROM sc ORDER BY pmi DESC, w1, w2 LIMIT 20
         """,
         "corpus_sample_exact": """
             SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS sample_key

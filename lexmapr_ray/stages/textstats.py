@@ -1403,3 +1403,101 @@ def corpus_sample_exact(sf_dir: str, n: int = 100):
     # by the second sort column)
     return global_topk(ds.map_batches(key, batch_format="pyarrow"),
                        ["sample_key", "doc_id"], [False, False], n)
+
+
+def collocations(sf_dir: str, k: int = 20, min_count: int = 5):
+    """Top-``k`` bigram collocations by pointwise mutual information in
+    scaled integer units: pmi_scaled = floor(1e6 * c(w1,w2) * N /
+    (c(w1) * c(w2))) over ordered adjacent token pairs with pair count
+    >= ``min_count`` — the association-strength pass (NPMI / collocation
+    extraction) a phrase-mining or tokenizer-merge step runs corpus-wide.
+
+    Scale shape: two combiner-first grouped counts (unigrams with a
+    materialized vocabulary-scale table + one scalar total; bigrams with
+    the min_count floor applied post-reduce), two bucketed joins attach
+    the marginals — never a broadcast vocabulary — and the exact-safe
+    pruned top-k closes.  int64 bound: 1e6 * c_pair * N stays exact while
+    c_pair * N < 9.2e12 * 1e6 — document-scale corpora far beyond the
+    test data; the SQL oracle computes the identical quotient in HUGEINT,
+    so any drift is the engine's overflow, loudly caught by the gate.
+    """
+    from lexmapr_ray.functions.groupagg import grouped_sum_count
+    from lexmapr_ray.functions.joins import bucketed_hash_join
+    from lexmapr_ray.functions.topk import global_topk
+
+    docs = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def uni_partial(t: pa.Table) -> pa.Table:
+        trimmed, splits = _token_lists(t["text"])
+        keep = pc.invert(pc.equal(trimmed, ""))
+        splits = splits.filter(keep) if isinstance(splits, pa.ChunkedArray) \
+            else pc.filter(splits, keep)
+        flat = pc.list_flatten(splits)
+        vc = pc.value_counts(flat.combine_chunks()
+                             if isinstance(flat, pa.ChunkedArray) else flat)
+        return pa.table({"w": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    def bi_partial(t: pa.Table) -> pa.Table:
+        _, splits = _token_lists(t["text"])
+        flat = pc.list_flatten(splits)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        n = len(flat)
+        empty = pa.table({"w1": pa.array([], pa.string()),
+                          "w2": pa.array([], pa.string()),
+                          "n_pair": pa.array([], pa.int64())})
+        if n < 2:
+            return empty
+        parent = pc.list_parent_indices(splits).to_numpy(zero_copy_only=False)
+        valid = parent[: n - 1] == parent[1:]
+        df = pa.table({
+            "w1": flat.slice(0, n - 1).filter(pa.array(valid)),
+            "w2": flat.slice(1, n - 1).filter(pa.array(valid)),
+        }).to_pandas()
+        if len(df) == 0:
+            return empty
+        g = df.groupby(["w1", "w2"], sort=False).size().rename("n_pair") \
+            .reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    uni = grouped_sum_count(
+        docs.map_batches(uni_partial, batch_format="pyarrow"),
+        "w", {"n": "n"}).materialize()
+    n_total = int(uni.sum("n"))
+
+    big = grouped_sum_count(
+        docs.map_batches(bi_partial, batch_format="pyarrow"),
+        ["w1", "w2"], {"n_pair": "n_pair"},
+    ).map_batches(
+        lambda t: t.filter(pc.greater_equal(
+            t["n_pair"], pa.scalar(min_count, pa.int64()))),
+        batch_format="pyarrow")
+
+    s = lambda *ns: pa.schema([(x, pa.int64()) if x.startswith("n") else
+                               (x, pa.string()) for x in ns])
+    j1 = bucketed_hash_join(
+        big, uni.map_batches(lambda t: t.rename_columns(["w1", "n1"]),
+                             batch_format="pyarrow"),
+        on="w1", left_schema=s("w1", "w2", "n_pair"),
+        right_schema=s("w1", "n1"))
+    j2 = bucketed_hash_join(
+        j1, uni.map_batches(lambda t: t.rename_columns(["w2", "n2"]),
+                            batch_format="pyarrow"),
+        on="w2", left_schema=s("w1", "w2", "n_pair", "n1"),
+        right_schema=s("w2", "n2"))
+
+    def score(t: pa.Table) -> pa.Table:
+        npair = t["n_pair"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n1 = t["n1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n2 = t["n2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pmi = (1_000_000 * npair * n_total) // (n1 * n2)
+        return pa.table({
+            "w1": t["w1"].combine_chunks().cast(pa.string()),
+            "w2": t["w2"].combine_chunks().cast(pa.string()),
+            "n_pair": pa.array(npair),
+            "pmi_scaled": pa.array(pmi),
+        })
+
+    return global_topk(j2.map_batches(score, batch_format="pyarrow"),
+                       ["pmi_scaled", "w1", "w2"], [True, False, False], k)

@@ -2110,3 +2110,45 @@ def test_corpus_sample_exact_and_degree_histogram(ray_session, tmp_path):
     assert (hout["degree"] * hout["n_nodes"]).sum() == n_edges
     assert (hin["degree"] * hin["n_nodes"]).sum() == n_edges
     assert (h["n_nodes"] > 0).all()
+
+
+def test_collocations_adversarial_oracle(ray_session, tmp_path):
+    """collocations vs its HUGEINT PMI oracle on a corpus where a rare
+    but perfectly-bound pair ("hong kong") must out-score a frequent but
+    promiscuous pair ("the cat"/"the dog"), and sub-min_count pairs must
+    not appear."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+    from lexmapr_ray.stages.textstats import collocations
+
+    texts = (["hong kong"] * 6                      # bound pair, 6x
+             + ["the cat sat"] * 10
+             + ["the dog ran"] * 10
+             + ["rare pair"] * 4                    # below min_count=5
+             + ["filler words here"] * 10)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array(["s"] * len(texts)),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+
+    got = collocations(str(tmp_path)).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    exp = con.execute(entrymod.oracle_sql()["collocations"]).fetchdf() \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], exp[sorted(exp.columns)], check_dtype=False)
+
+    pairs = list(zip(got["w1"], got["w2"]))
+    assert pairs[0] == ("hong", "kong")
+    assert ("rare", "pair") not in pairs            # min_count floor
+    hk = got.iloc[0]["pmi_scaled"]
+    the_cat = got.set_index(["w1", "w2"])["pmi_scaled"].get(("the", "cat"))
+    assert the_cat is None or hk > the_cat
