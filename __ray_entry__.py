@@ -195,6 +195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_sample": textstats.corpus_sample,
         "corpus_sample_exact": textstats.corpus_sample_exact,
         "collocations": textstats.collocations,
+        "vocab_coverage": textstats.vocab_coverage,
         "repetition_stats": textstats.repetition_stats,
         "gopher_quality_filter": textstats.gopher_quality_filter,
         "source_stats": textstats.source_stats,
@@ -739,6 +740,36 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT))::BIGINT AS sum_tokens,
                    SUM(CAST(LENGTH(text) AS BIGINT))::BIGINT AS sum_chars
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "vocab_coverage": f"""
+            WITH t AS (
+                SELECT string_split_regex({_trim('text')}, '\\s+') AS tk
+                FROM documents WHERE {_trim('text')} <> ''),
+            tok AS (SELECT unnest(tk) AS w FROM t),
+            uni AS (SELECT w, COUNT(*)::BIGINT AS n FROM tok GROUP BY w),
+            tot AS (SELECT SUM(n)::BIGINT AS n FROM uni),
+            r AS (SELECT w, n,
+                         SUM(n) OVER (ORDER BY n DESC, w)::BIGINT AS cum,
+                         ROW_NUMBER() OVER (ORDER BY n DESC, w)::BIGINT AS rk
+                  FROM uni)
+            SELECT * FROM (
+                SELECT 500::BIGINT AS permille, rk AS n_types,
+                       cum AS tokens_covered FROM r
+                WHERE cum * 1000 >= 500 * (SELECT n FROM tot)
+                ORDER BY rk LIMIT 1)
+            UNION ALL SELECT * FROM (
+                SELECT 900::BIGINT, rk, cum FROM r
+                WHERE cum * 1000 >= 900 * (SELECT n FROM tot)
+                ORDER BY rk LIMIT 1)
+            UNION ALL SELECT * FROM (
+                SELECT 950::BIGINT, rk, cum FROM r
+                WHERE cum * 1000 >= 950 * (SELECT n FROM tot)
+                ORDER BY rk LIMIT 1)
+            UNION ALL SELECT * FROM (
+                SELECT 990::BIGINT, rk, cum FROM r
+                WHERE cum * 1000 >= 990 * (SELECT n FROM tot)
+                ORDER BY rk LIMIT 1)
+            ORDER BY permille
         """,
         "collocations": f"""
             WITH t AS (

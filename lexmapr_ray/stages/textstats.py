@@ -1501,3 +1501,102 @@ def collocations(sf_dir: str, k: int = 20, min_count: int = 5):
 
     return global_topk(j2.map_batches(score, batch_format="pyarrow"),
                        ["pmi_scaled", "w1", "w2"], [True, False, False], k)
+
+
+def vocab_coverage(sf_dir: str, permilles: tuple = (500, 900, 950, 990)):
+    """Vocabulary coverage curve: for each permille threshold, the
+    smallest number of most-frequent types whose cumulative occurrence
+    count covers that fraction of all tokens — the statistic that sizes
+    tokenizer vocabularies and stop-lists ("how many words cover 90% of
+    the corpus").  Output: (permille, n_types, tokens_covered),
+    permille-sorted; n_types is the 1-based rank of the crossing type.
+
+    Scale shape: one combiner-first unigram reduce, then the block-offset
+    prefix-sum pattern (``functions/ranks.py`` / ``packing.sequence_pack``)
+    extended to carry BOTH a row-count and a token-sum offset per block —
+    rank and cumulative coverage in one pass, one stats row per block to
+    the driver.  Each threshold then resolves with an exact-safe top-1
+    prune over the materialized ranked vocabulary.
+    """
+    import pandas as pd
+
+    import ray
+
+    from lexmapr_ray.functions.groupagg import grouped_sum_count
+    from lexmapr_ray.functions.topk import global_topk
+
+    docs = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def uni_partial(t: pa.Table) -> pa.Table:
+        trimmed, splits = _token_lists(t["text"])
+        keep = pc.invert(pc.equal(trimmed, ""))
+        splits = splits.filter(keep) if isinstance(splits, pa.ChunkedArray) \
+            else pc.filter(splits, keep)
+        flat = pc.list_flatten(splits)
+        vc = pc.value_counts(flat.combine_chunks()
+                             if isinstance(flat, pa.ChunkedArray) else flat)
+        return pa.table({"w": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    uni = grouped_sum_count(
+        docs.map_batches(uni_partial, batch_format="pyarrow"),
+        "w", {"n": "n"}).materialize()
+    n_total = int(uni.sum("n"))
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "k": [f"{10**13 - n:014d}{w}" for w, n in zip(df["w"], df["n"])],
+            "n": df["n"].astype("int64"),
+        })
+
+    keyed = uni.map_batches(key, batch_format="pandas").sort("k").materialize()
+
+    def block_stats(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"min_k": pd.Series([], dtype="object"),
+                                 "rows": pd.Series([], dtype="int64"),
+                                 "toks": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"min_k": [df["k"].min()], "rows": [len(df)],
+                             "toks": [int(df["n"].sum())]})
+
+    stats = keyed.map_batches(block_stats, batch_format="pandas",
+                              batch_size=None).to_pandas() \
+        .sort_values("min_k").reset_index(drop=True)
+    offsets_ref = ray.put((
+        np.array(stats["min_k"].tolist(), dtype=object),
+        stats["rows"].cumsum().shift(fill_value=0).to_numpy(dtype=np.int64),
+        stats["toks"].cumsum().shift(fill_value=0).to_numpy(dtype=np.int64),
+    ))
+
+    def cumulate(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"rk": pd.Series([], dtype="int64"),
+                                 "cum": pd.Series([], dtype="int64")})
+        min_ks, row_offs, tok_offs = ray.get(offsets_ref)
+        df = df.sort_values("k", kind="mergesort")
+        i = int(np.searchsorted(min_ks, df["k"].iloc[0]))
+        return pd.DataFrame({
+            "rk": int(row_offs[i]) + 1 + np.arange(len(df), dtype=np.int64),
+            "cum": int(tok_offs[i]) + df["n"].cumsum().to_numpy(np.int64),
+        })
+
+    ranked = keyed.map_batches(cumulate, batch_format="pandas",
+                               batch_size=None).materialize()
+
+    rows = []
+    for p in permilles:
+        hit = global_topk(
+            ranked.map_batches(
+                lambda t, p=p: t.filter(pc.greater_equal(
+                    pc.multiply(t["cum"], pa.scalar(1000, pa.int64())),
+                    pa.scalar(p * n_total, pa.int64()))),
+                batch_format="pyarrow"),
+            ["rk"], [False], 1).take_all()
+        if hit:
+            rows.append({"permille": int(p), "n_types": int(hit[0]["rk"]),
+                         "tokens_covered": int(hit[0]["cum"])})
+    out = pd.DataFrame(rows).astype("int64").sort_values("permille") \
+        .reset_index(drop=True)
+    import ray.data as rd
+
+    return rd.from_pandas(out)

@@ -2152,3 +2152,38 @@ def test_collocations_adversarial_oracle(ray_session, tmp_path):
     hk = got.iloc[0]["pmi_scaled"]
     the_cat = got.set_index(["w1", "w2"])["pmi_scaled"].get(("the", "cat"))
     assert the_cat is None or hk > the_cat
+
+
+def test_vocab_coverage_adversarial_oracle(ray_session, tmp_path):
+    """vocab_coverage on a Zipf-like toy corpus with a hand-checkable
+    curve: 'a' x 50, 'b' x 30, 'c' x 15, 'd' x 5 — 50% crosses at 1 type
+    (exactly at the boundary), 90% at 3, 99% at 4."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+    from lexmapr_ray.stages.textstats import vocab_coverage
+
+    text = " ".join(["a"] * 50 + ["b"] * 30 + ["c"] * 15 + ["d"] * 5)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array([text], pa.string()),
+        "lang": pa.array(["en"]),
+        "source": pa.array(["s"]),
+        "n_chars": pa.array([len(text)], pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+
+    got = vocab_coverage(str(tmp_path)).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    exp = con.execute(entrymod.oracle_sql()["vocab_coverage"]).fetchdf() \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], exp[sorted(exp.columns)], check_dtype=False)
+
+    g = got.set_index("permille")
+    assert g.loc[500, "n_types"] == 1 and g.loc[500, "tokens_covered"] == 50
+    assert g.loc[900, "n_types"] == 3
+    assert g.loc[990, "n_types"] == 4
