@@ -224,6 +224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dup_pairs": dedup.simhash_near_dup_pairs,
         "ngram_decontaminate": dedup.ngram_decontaminate,
         "dup_span_trim": dedup.dup_span_trim,
+        "host_near_dup": dedup.host_near_dup,
         "bloom_decontaminate": dedup.bloom_decontaminate,
         "minhash_dedup_pairs": dedup.minhash_dedup_pairs,
         "minhash_index_dedup": dedup.minhash_index_dedup,
@@ -967,6 +968,12 @@ def oracle_sql() -> dict[str, str]:
                        tk[chunk_idx*48 + 1 : LEAST(chunk_idx*48 + 64, n)], ' '))
                        AS chunk_fp
             FROM c ORDER BY doc_id, chunk_idx
+        """,
+        "host_near_dup": """
+            SELECT host_a, host_b, sig_match_pct
+            FROM read_parquet('/root/repo/expected/op_host_near_dup.parquet')
+            WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)
+            ORDER BY host_a, host_b
         """,
         "dup_span_trim": f"""
             WITH t AS (

@@ -283,32 +283,41 @@ class MinHasher:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         texts = t["text"].to_pylist()
-        n = len(texts)
         sig = self._signatures(texts)  # (n, 64), row-contiguous per doc
-        # band buckets: fold each band's ROWS_PER_BAND signature values
-        # into the band seed with a splitmix64-finalized absorb round per
-        # value — all uint64 numpy (wrapping multiply is the intended
-        # semantics), zero Python per row
-        cube = sig.reshape(n, NUM_BANDS, ROWS_PER_BAND)
-        h = np.broadcast_to(self.band_seeds[None, :], (n, NUM_BANDS)).copy()
-        GOLD = np.uint64(0x9E3779B97F4A7C15)
-        M1 = np.uint64(0xBF58476D1CE4E5B9)
-        M2 = np.uint64(0x94D049BB133111EB)
-        for r in range(ROWS_PER_BAND):
-            h ^= cube[:, :, r]
-            h += GOLD
-            h ^= h >> np.uint64(30)
-            h *= M1
-            h ^= h >> np.uint64(27)
-            h *= M2
-            h ^= h >> np.uint64(31)
-        buckets = (h >> np.uint64(1)).astype(np.int64).ravel()  # fit int64
+        buckets = _band_mix(sig, self.band_seeds).ravel()
         doc_ids = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False),
                             NUM_BANDS)
         return pa.table({
             "doc_id": pa.array(doc_ids, pa.int64()),
             "bucket": pa.array(buckets, pa.int64()),
         })
+
+
+def _band_mix(sig: np.ndarray, band_seeds: np.ndarray, *,
+              n_bands: int = NUM_BANDS,
+              rows_per_band: int = ROWS_PER_BAND) -> np.ndarray:
+    """(n, NUM_BANDS) int64 LSH bucket ids: fold each band's
+    ROWS_PER_BAND signature values into the band seed with a
+    splitmix64-finalized absorb round per value — all uint64 numpy
+    (wrapping multiply is the intended semantics), zero Python per row.
+    Factored from ``MinHasher.__call__``; any consumer of a signature
+    matrix (doc- or host-level) buckets identically through this one
+    function, and the serial oracle mirrors it in Python bignums."""
+    n = sig.shape[0]
+    cube = sig.reshape(n, n_bands, rows_per_band)
+    h = np.broadcast_to(band_seeds[None, :], (n, n_bands)).copy()
+    GOLD = np.uint64(0x9E3779B97F4A7C15)
+    M1 = np.uint64(0xBF58476D1CE4E5B9)
+    M2 = np.uint64(0x94D049BB133111EB)
+    for r in range(rows_per_band):
+        h ^= cube[:, :, r]
+        h += GOLD
+        h ^= h >> np.uint64(30)
+        h *= M1
+        h ^= h >> np.uint64(27)
+        h *= M2
+        h ^= h >> np.uint64(31)
+    return (h >> np.uint64(1)).astype(np.int64)  # fit int64
 
 
 def _prune_singleton_buckets(banded, broadcast_limit: int = 2_000_000):
@@ -1302,3 +1311,125 @@ def dup_span_trim(sf_dir: str, k: int = 8, min_count: int = 2,
         right_schema=pa.schema([("doc_id", pa.int64()), ("hits", pa.string())]),
     )
     return clean.union(dirty).sort("doc_id")
+
+
+HOST_BANDS, HOST_ROWS = 32, 2  # 2-lane bands: host-level recall tuning
+
+
+def host_near_dup(sf_dir: str, min_match_pct: int = 5,
+                  docs_per_host: int = 16, concurrency: int | None = None):
+    """Host-level mirror/template detection via MERGEABLE MinHash: a
+    host's signature is the element-wise MIN of its documents' signatures
+    — min-merge of minhash sketches IS the minhash of the union of the
+    hosts' shingle sets, so host-granularity near-dup becomes a
+    constant-state grouped reduce (64 uint64 lanes per host) instead of
+    concatenating host text.  Candidate host pairs come from the same
+    banded LSH as doc-level dedup (``_band_mix``), scored by exact
+    signature agreement: sig_match_pct = floor(100 * equal_lanes / 64),
+    the standard unbiased Jaccard estimate.
+
+    Scale shape: actor-pool signatures with a per-batch per-host min
+    combiner (hosts are an implicit salt across batches), one grouped min
+    via the sorted reduce, banding + bucket sort over hosts (vocab-scale,
+    not corpus-scale), per-bucket pair explode carrying the hex-packed
+    signatures, grouped pair dedup, vectorized agreement scoring.
+    Gramless (empty-text) docs carry the all-max identity signature and
+    are excluded before the merge; host ids use the synthetic
+    ``doc_id // docs_per_host`` model shared with
+    ``pipelines/webgraph.py``."""
+    import pyarrow.compute as pc
+
+    from lexmapr_ray.functions.groupagg import sorted_group_reduce
+
+    sig_cols = [f"s{i:02d}" for i in range(NUM_HASHES)]
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    class HostSigPartial:
+        def __init__(self):
+            self.mh = MinHasher("word")
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            sig = self.mh._signatures(t["text"].to_pylist())
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = sig[:, 0] != np.iinfo(np.uint64).max  # gramless out
+            sig, ids = sig[keep], ids[keep]
+            hosts = ids // docs_per_host
+            order = np.argsort(hosts, kind="stable")
+            hs = hosts[order]
+            uniq, starts = np.unique(hs, return_index=True)
+            mins = np.minimum.reduceat(sig[order], starts, axis=0)
+            cols = {"host_id": pa.array(uniq, pa.int64())}
+            for i, c in enumerate(sig_cols):
+                cols[c] = pa.array(mins[:, i].astype(np.int64))  # < 2^61
+            return pa.table(cols)
+
+    partial = ds.map_batches(HostSigPartial, batch_format="pyarrow",
+                             concurrency=_auto_concurrency(concurrency),
+                             batch_size=1024)
+
+    def min_combine(df):
+        if len(df) == 0:
+            return df
+        return df.groupby("host_id", as_index=False, sort=False)[sig_cols].min()
+
+    host_sigs = sorted_group_reduce(partial, "host_id",
+                                    min_combine, min_combine).materialize()
+
+    band_seeds = np.array([
+        int.from_bytes(hashlib.blake2b(b"word" + bytes([b]),
+                                       digest_size=8).digest(), "big")
+        for b in range(HOST_BANDS)
+    ], dtype=np.uint64)
+
+    def band(df):
+        import pandas as pd
+        if len(df) == 0:
+            return pd.DataFrame({"bucket": pd.Series([], dtype="int64"),
+                                 "host_id": pd.Series([], dtype="int64"),
+                                 "sig_hex": pd.Series([], dtype="object")})
+        sig = df[sig_cols].to_numpy(dtype=np.int64).astype(np.uint64)
+        buckets = _band_mix(sig, band_seeds, n_bands=HOST_BANDS,
+                            rows_per_band=HOST_ROWS)
+        hexes = ["".join(f"{v:016x}" for v in row) for row in sig]
+        return pd.DataFrame({
+            "bucket": buckets.ravel(),
+            "host_id": np.repeat(df["host_id"].to_numpy(np.int64), HOST_BANDS),
+            "sig_hex": np.repeat(np.array(hexes, dtype=object), HOST_BANDS),
+        })
+
+    banded = host_sigs.map_batches(band, batch_format="pandas")
+
+    def pair_block(df):
+        import pandas as pd
+        cols = {"host_a": "int64", "host_b": "int64", "pct": "int64"}
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d)
+                                 for c, d in cols.items()})
+        d = df.drop_duplicates(["bucket", "host_id"])
+        m = d.merge(d, on="bucket")
+        m = m[m["host_id_x"] < m["host_id_y"]]
+        if len(m) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d_)
+                                 for c, d_ in cols.items()})
+        a = np.array([[int(h[i:i + 16], 16) for i in range(0, 1024, 16)]
+                      for h in m["sig_hex_x"]], dtype=np.uint64)
+        b = np.array([[int(h[i:i + 16], 16) for i in range(0, 1024, 16)]
+                      for h in m["sig_hex_y"]], dtype=np.uint64)
+        pct = (100 * (a == b).sum(axis=1)) // NUM_HASHES
+        out = pd.DataFrame({"host_a": m["host_id_x"].to_numpy(np.int64),
+                            "host_b": m["host_id_y"].to_numpy(np.int64),
+                            "pct": pct.astype(np.int64)})
+        return out[out["pct"] >= min_match_pct]
+
+    def dedupe(df):
+        if len(df) == 0:
+            return df
+        return df.drop_duplicates(["host_a", "host_b"])
+
+    pairs = banded.sort("bucket").map_batches(pair_block,
+                                              batch_format="pandas",
+                                              batch_size=None)
+    out = sorted_group_reduce(pairs, ["host_a", "host_b"], dedupe, dedupe)
+    return out.map_batches(
+        lambda t: t.rename_columns(["host_a", "host_b", "sig_match_pct"]),
+        batch_format="pyarrow")

@@ -65,6 +65,7 @@ def test_op_expected_fresh(corpus):
         "op_media_resize_features": ops.serial_media_resize(ids, texts),
         "op_video_frame_features": ops.serial_video_frames(ids, texts),
         "op_k_core": ops.serial_k_core(texts, len(ids)),
+        "op_host_near_dup": ops.serial_host_near_dup(ids, texts),
     }
     word_pairs = checks["op_minhash_dedup_pairs"]
     checks["op_near_dup_clusters"] = ops.serial_union_find_clusters(ids, word_pairs)

@@ -2187,3 +2187,48 @@ def test_vocab_coverage_adversarial_oracle(ray_session, tmp_path):
     assert g.loc[500, "n_types"] == 1 and g.loc[500, "tokens_covered"] == 50
     assert g.loc[900, "n_types"] == 3
     assert g.loc[990, "n_types"] == 4
+
+
+def test_host_near_dup_mirror_detection(ray_session, tmp_path):
+    """host_near_dup on a planted mirror: host 1 carries byte-identical
+    copies of host 0's docs (100% signature agreement — min-merge of
+    identical sketch sets), host 2 shares half the docs (partial
+    agreement), host 3 is unrelated noise — plus serial-mirror equality."""
+    import sys
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lexmapr_ray.stages.dedup import host_near_dup
+
+    rng = np.random.RandomState(42)
+    vocab = [f"w{i}" for i in range(200)]
+
+    def doc(seed):
+        r = np.random.RandomState(seed)
+        return " ".join(r.choice(vocab, 40))
+
+    base = [doc(100 + i) for i in range(16)]
+    mirror = list(base)                       # host 1 == host 0
+    half = base[:8] + [doc(300 + i) for i in range(8)]   # host 2: 50% shared
+    noise = [doc(500 + i) for i in range(16)]
+    texts = base + mirror + half + noise
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array(["s"] * len(texts)),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+
+    got = host_near_dup(str(tmp_path)).to_pandas().reset_index(drop=True)
+    pairs = {(r.host_a, r.host_b): r.sig_match_pct for r in got.itertuples()}
+    assert pairs.get((0, 1)) == 100          # perfect mirror
+    assert (0, 2) in pairs and 5 <= pairs[(0, 2)] < 100
+    assert all(3 not in p for p in pairs)    # noise host pairs with no one
+
+    sys.path.insert(0, "/root/repo/tools")
+    import make_op_expected as ops
+    exp = ops.serial_host_near_dup(list(range(len(texts))), texts)
+    assert sorted(map(tuple, got.itertuples(index=False))) == sorted(exp)

@@ -225,6 +225,57 @@ def serial_k_core(texts, n_docs: int, k: int = 22, permille: int = 100):
     return sorted(deg.items())
 
 
+def _splitmix_bucket(vals, seed: int) -> int:
+    """Python-bignum mirror of stages/dedup.py::_band_mix for one band."""
+    MASK = (1 << 64) - 1
+    h = seed
+    for v in vals:
+        h ^= int(v)
+        h = (h + 0x9E3779B97F4A7C15) & MASK
+        h ^= h >> 30
+        h = (h * 0xBF58476D1CE4E5B9) & MASK
+        h ^= h >> 27
+        h = (h * 0x94D049BB133111EB) & MASK
+        h ^= h >> 31
+    return h >> 1
+
+
+def serial_host_near_dup(doc_ids, texts, min_match_pct: int = 5,
+                         docs_per_host: int = 16,
+                         n_bands: int = 32, rows_per_band: int = 2):
+    """Serial mirror of stages/dedup.py::host_near_dup: per-doc minhash,
+    element-wise-min merge per host (gramless docs excluded), banded
+    splitmix buckets, candidate pairs, exact lane-agreement scoring."""
+    host_sig: dict = {}
+    maxu = np.iinfo(np.uint64).max
+    for d, t in zip(doc_ids, texts):
+        s = minhash_sig(word_shingles(t))
+        if s[0] == maxu:
+            continue
+        h = d // docs_per_host
+        host_sig[h] = s if h not in host_sig else np.minimum(host_sig[h], s)
+    seeds = [int.from_bytes(hashlib.blake2b(b"word" + bytes([b]),
+                                            digest_size=8).digest(), "big")
+             for b in range(n_bands)]
+    buckets: dict = {}
+    for h, s in host_sig.items():
+        for b in range(n_bands):
+            chunk = s[b * rows_per_band:(b + 1) * rows_per_band]
+            buckets.setdefault((_splitmix_bucket(chunk, seeds[b])), set()).add(h)
+    pairs = set()
+    for members in buckets.values():
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                pairs.add((ms[i], ms[j]))
+    rows = []
+    for a, b in sorted(pairs):
+        pct = 100 * int((host_sig[a] == host_sig[b]).sum()) // NUM_HASHES
+        if pct >= min_match_pct:
+            rows.append((a, b, pct))
+    return rows
+
+
 def serial_union_find_clusters(doc_ids, pairs):
     """Union-find over verified near-dup pairs -> (doc_id, min-id cluster)."""
     parent = {d: d for d in doc_ids}
@@ -627,6 +678,9 @@ def main():
             ("op_bpe_token_counts",
              serial_bpe_token_counts(doc_ids, texts, bpe_merges),
              ("doc_id", "n_tokens", "n_bpe_tokens"), (i64, i64, i64),
+             "corpus_len", corpus_len),
+            ("op_host_near_dup", serial_host_near_dup(doc_ids, texts),
+             ("host_a", "host_b", "sig_match_pct"), (i64, i64, i64),
              "corpus_len", corpus_len),
             ("op_k_core", serial_k_core(texts, len(doc_ids)),
              ("token", "core_degree"), (s, i64), "corpus_len", corpus_len),
