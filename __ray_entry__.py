@@ -176,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_last_order": windows.events_last_order,
         "events_purchase_context": windows.events_purchase_context,
         "events_funnel": windows.events_funnel,
+        "max_concurrent_sessions": windows.max_concurrent_sessions,
         "customer_order_stats": rel.customer_order_stats,
         "part_brand_revenue": rel.part_brand_revenue,
         "top_orders_per_customer": rel.top_orders_per_customer,
@@ -439,6 +440,37 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n,
                    SUM(CAST(ROUND(value*100) AS BIGINT))::BIGINT AS sum_value_cents
             FROM events GROUP BY event_type, hour ORDER BY event_type, hour
+        """,
+        "max_concurrent_sessions": """
+            WITH e AS (
+              SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+              FROM events
+            ), l AS (
+              SELECT *, LAG(ts_us) OVER (PARTITION BY user_id
+                        ORDER BY ts_us, event_id) AS prev
+              FROM e
+            ), s AS (
+              SELECT *, SUM(CASE WHEN prev IS NULL
+                                      OR ts_us - prev > 30*60*1000000
+                                 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS session_id
+              FROM l
+            ), iv AS (
+              SELECT user_id, session_id, MIN(ts_us) AS start_us,
+                     MAX(ts_us) AS end_us
+              FROM s GROUP BY user_id, session_id
+            ), b AS (
+              SELECT start_us AS ts, 1 AS delta FROM iv
+              UNION ALL SELECT end_us + 1, -1 FROM iv
+            ), c AS (
+              SELECT ts, SUM(delta) OVER (ORDER BY ts, delta DESC
+                         ROWS UNBOUNDED PRECEDING) AS cum
+              FROM b)
+            SELECT (SELECT MAX(cum) FROM c)::BIGINT AS max_concurrent,
+                   (SELECT MIN(ts) FROM c
+                    WHERE cum = (SELECT MAX(cum) FROM c))::BIGINT AS at_ts_us
         """,
         "events_sessions": """
             WITH e AS (

@@ -19,6 +19,7 @@ oracles in ``__ray_entry__`` compare bit-exactly.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -448,3 +449,80 @@ def events_funnel(sf_dir: str):
     # block-count rows, not data)
     return partials.repartition(1).map_batches(
         total, batch_format="pandas", batch_size=None)
+
+
+def max_concurrent_sessions(sf_dir: str, gap_us: int = SESSION_GAP_US):
+    """Peak session concurrency — the sweep-line statistic (max
+    simultaneous open sessions, and the first instant it is reached) a
+    capacity/abuse analysis runs over sessionized activity.
+
+    Shape: sessionize to (start, end) intervals (user-sorted co-location,
+    as :func:`events_sessions`), explode each interval to +1 / -1
+    boundary rows (-1 at end+1 — end-inclusive intervals), ONE global
+    sort on (ts, delta desc) so same-instant openings count before
+    closings, then the block-offset prefix-sum pattern collapsed to its
+    terminal form: each sorted block emits ONE stats row (delta sum,
+    local running max, first ts at that max), and the driver folds block
+    offsets into the global max + earliest instant.  Equal sort keys
+    co-partition (the pinned sort invariant), so ties never straddle
+    blocks; ordering among identical rows cannot change the max or its
+    first instant.  Output: one row (max_concurrent, at_ts_us).
+    """
+    import ray.data as rd
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+        })
+
+    def intervals(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"ts": pd.Series([], dtype="int64"),
+                                 "delta": pd.Series([], dtype="int64")})
+        df = df.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        prev = df.groupby("user_id", sort=False)["ts_us"].shift()
+        new_session = prev.isna() | (df["ts_us"] - prev > gap_us)
+        sid = new_session.astype("int64").groupby(df["user_id"]).cumsum()
+        iv = df.assign(session_id=sid) \
+            .groupby(["user_id", "session_id"], sort=False)["ts_us"] \
+            .agg(["min", "max"]).reset_index()
+        return pd.DataFrame({
+            "ts": np.concatenate([iv["min"].to_numpy(np.int64),
+                                  iv["max"].to_numpy(np.int64) + 1]),
+            "delta": np.concatenate([np.ones(len(iv), dtype=np.int64),
+                                     -np.ones(len(iv), dtype=np.int64)]),
+        })
+
+    bounds = ds.map_batches(prep, batch_format="pyarrow", batch_size=65536) \
+        .sort("user_id") \
+        .map_batches(intervals, batch_format="pandas", batch_size=None) \
+        .sort(["ts", "delta"], descending=[False, True])
+
+    def block_stats(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"min_ts": pd.Series([], dtype="int64"),
+                                 "dsum": pd.Series([], dtype="int64"),
+                                 "lmax": pd.Series([], dtype="int64"),
+                                 "lmax_ts": pd.Series([], dtype="int64")})
+        run = df["delta"].cumsum().to_numpy(np.int64)
+        i = int(run.argmax())
+        return pd.DataFrame({"min_ts": [int(df["ts"].iloc[0])],
+                             "dsum": [int(run[-1])],
+                             "lmax": [int(run.max())],
+                             "lmax_ts": [int(df["ts"].iloc[i])]})
+
+    stats = bounds.map_batches(block_stats, batch_format="pandas",
+                               batch_size=None).to_pandas() \
+        .sort_values("min_ts").reset_index(drop=True)
+    if len(stats) == 0:
+        return rd.from_items([{"max_concurrent": 0, "at_ts_us": 0}])
+    offsets = stats["dsum"].cumsum().shift(fill_value=0).to_numpy(np.int64)
+    global_max = int((offsets + stats["lmax"].to_numpy(np.int64)).max())
+    for off, lmax, lts in zip(offsets, stats["lmax"], stats["lmax_ts"]):
+        if int(off) + int(lmax) == global_max:
+            return rd.from_items([{"max_concurrent": global_max,
+                                   "at_ts_us": int(lts)}])

@@ -2232,3 +2232,47 @@ def test_host_near_dup_mirror_detection(ray_session, tmp_path):
     import make_op_expected as ops
     exp = ops.serial_host_near_dup(list(range(len(texts))), texts)
     assert sorted(map(tuple, got.itertuples(index=False))) == sorted(exp)
+
+
+def test_max_concurrent_sessions_adversarial_oracle(ray_session, tmp_path):
+    """Sweep-line vs its window-cumsum oracle on hand-built overlap: three
+    users whose sessions nest (peak 3), a same-instant open/close tie
+    (+1 must count before -1), and a later equal-peak that must NOT move
+    the earliest-instant answer."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+    from lexmapr_ray.pipelines.windows import max_concurrent_sessions
+
+    m = 60_000_000  # one minute in us
+    base = 1_700_000_000_000_000
+    rows = [
+        (1, base + 0 * m), (1, base + 10 * m),        # u1: [0, 10]
+        (2, base + 5 * m), (2, base + 12 * m),        # u2: [5, 12]
+        (3, base + 10 * m),                           # u3: [10,10] (tie)
+        # second window, same peak of 3, later — must not win argmin
+        (4, base + 100 * m), (4, base + 110 * m),
+        (5, base + 105 * m), (5, base + 112 * m),
+        (6, base + 108 * m),
+    ]
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array([t for _, t in rows], pa.timestamp("us")),
+        "user_id": pa.array([u for u, _ in rows], pa.int64()),
+        "event_type": pa.array(["v"] * len(rows)),
+        "value": pa.array([1.0] * len(rows)),
+    }), str(tmp_path / "events.parquet"))
+
+    got = max_concurrent_sessions(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    exp = con.execute(
+        entrymod.oracle_sql()["max_concurrent_sessions"]).fetchdf()
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], exp[sorted(exp.columns)], check_dtype=False)
+
+    assert got["max_concurrent"].iloc[0] == 3
+    assert got["at_ts_us"].iloc[0] == base + 10 * m   # the tie instant
