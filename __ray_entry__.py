@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_purchase_context": windows.events_purchase_context,
         "events_funnel": windows.events_funnel,
         "max_concurrent_sessions": windows.max_concurrent_sessions,
+        "event_transitions": windows.event_transitions,
         "customer_order_stats": rel.customer_order_stats,
         "part_brand_revenue": rel.part_brand_revenue,
         "top_orders_per_customer": rel.top_orders_per_customer,
@@ -440,6 +441,26 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n,
                    SUM(CAST(ROUND(value*100) AS BIGINT))::BIGINT AS sum_value_cents
             FROM events GROUP BY event_type, hour ORDER BY event_type, hour
+        """,
+        "event_transitions": """
+            WITH e AS (
+              SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                     event_type
+              FROM events),
+            l AS (
+              SELECT event_type AS to_type,
+                     LAG(event_type) OVER (PARTITION BY user_id
+                         ORDER BY ts_us, event_id) AS from_type
+              FROM e),
+            c AS (SELECT from_type, to_type, COUNT(*)::BIGINT AS n
+                  FROM l WHERE from_type IS NOT NULL
+                  GROUP BY from_type, to_type),
+            t AS (SELECT from_type, SUM(n)::BIGINT AS total
+                  FROM c GROUP BY from_type)
+            SELECT c.from_type, c.to_type, c.n,
+                   ((1000 * c.n) // t.total)::BIGINT AS p_permille
+            FROM c JOIN t USING (from_type)
+            ORDER BY c.from_type, c.to_type
         """,
         "max_concurrent_sessions": """
             WITH e AS (

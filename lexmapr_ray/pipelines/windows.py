@@ -526,3 +526,57 @@ def max_concurrent_sessions(sf_dir: str, gap_us: int = SESSION_GAP_US):
         if int(off) + int(lmax) == global_max:
             return rd.from_items([{"max_concurrent": global_max,
                                    "at_ts_us": int(lts)}])
+
+
+def event_transitions(sf_dir: str):
+    """First-order event-type transition matrix: for every ordered pair
+    of CONSECUTIVE events of one user, count (from_type -> to_type) and
+    its permille share of all transitions leaving from_type — the Markov
+    sequence statistic behind funnel design and next-action models.
+    p_permille = floor(1000 * n / total_from); deterministic (ts,
+    event_id) ordering.
+
+    Shape: one user sort co-locates each history; per-block shifted-pair
+    explode (vectorized, first event of each user dropped); one grouped
+    count; the from-type marginals are an |event_types|-row constant
+    table folded driver-side.  Output: (from_type, to_type, n,
+    p_permille), pair-sorted.
+    """
+    import ray.data as rd
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "event_type": t["event_type"],
+        })
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"from_type": pd.Series([], dtype="object"),
+                                 "to_type": pd.Series([], dtype="object")})
+        df = df.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        prev_user = df["user_id"].shift()
+        prev_type = df["event_type"].shift()
+        keep = prev_user == df["user_id"]
+        return pd.DataFrame({"from_type": prev_type[keep],
+                             "to_type": df["event_type"][keep]})
+
+    from lexmapr_ray.functions.groupagg import grouped_sum_count
+
+    counts = grouped_sum_count(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+        .sort("user_id")
+        .map_batches(pairs, batch_format="pandas", batch_size=None),
+        ["from_type", "to_type"], count_alias="n",
+    ).to_pandas()   # |event_types|^2 rows — domain-bounded
+
+    totals = counts.groupby("from_type")["n"].sum()
+    counts["p_permille"] = (1000 * counts["n"]) \
+        // counts["from_type"].map(totals).astype("int64")
+    out = counts.sort_values(["from_type", "to_type"]).reset_index(drop=True) \
+        .astype({"n": "int64", "p_permille": "int64"})
+    return rd.from_pandas(out)

@@ -2276,3 +2276,41 @@ def test_max_concurrent_sessions_adversarial_oracle(ray_session, tmp_path):
 
     assert got["max_concurrent"].iloc[0] == 3
     assert got["at_ts_us"].iloc[0] == base + 10 * m   # the tie instant
+
+
+def test_event_transitions_adversarial_oracle(ray_session, tmp_path):
+    """event_transitions vs its LAG oracle on hand-built sequences: each
+    user's first event starts no transition, cross-user adjacency must
+    not leak, and the permille rows of each from-type are exact."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+    from lexmapr_ray.pipelines.windows import event_transitions
+
+    seq = [(1, "a"), (1, "b"), (1, "a"), (1, "c"),   # u1: a->b, b->a, a->c
+           (2, "b"), (2, "a"), (2, "a")]             # u2: b->a, a->a
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(len(seq)), pa.int64()),
+        "ts": pa.array([1_700_000_000_000_000 + i * 1_000_000
+                        for i in range(len(seq))], pa.timestamp("us")),
+        "user_id": pa.array([u for u, _ in seq], pa.int64()),
+        "event_type": pa.array([t for _, t in seq], pa.string()),
+        "value": pa.array([1.0] * len(seq)),
+    }), str(tmp_path / "events.parquet"))
+
+    got = event_transitions(str(tmp_path)).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    exp = con.execute(entrymod.oracle_sql()["event_transitions"]).fetchdf() \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], exp[sorted(exp.columns)], check_dtype=False)
+
+    g = got.set_index(["from_type", "to_type"])
+    assert g.loc[("a", "b"), "n"] == 1 and g.loc[("a", "b"), "p_permille"] == 333
+    assert g.loc[("b", "a"), "n"] == 2 and g.loc[("b", "a"), "p_permille"] == 1000
+    assert ("c", "b") not in g.index      # u1 ends at c; u2 starts at b
+    assert int(got["n"].sum()) == len(seq) - 2   # one lost start per user
