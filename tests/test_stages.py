@@ -2314,3 +2314,32 @@ def test_event_transitions_adversarial_oracle(ray_session, tmp_path):
     assert g.loc[("b", "a"), "n"] == 2 and g.loc[("b", "a"), "p_permille"] == 1000
     assert ("c", "b") not in g.index      # u1 ends at c; u2 starts at b
     assert int(got["n"].sum()) == len(seq) - 2   # one lost start per user
+
+
+def test_new_ops_survive_tiny_block_target(ray_session):
+    """End-to-end block-split stress for this round's heavy composite ops:
+    dup_span_trim and token_triangles at sf0.001 must produce IDENTICAL
+    output under a 16 KiB target_max_block_size (forcing maximal dynamic
+    splitting everywhere the pinned invariants allow) as under the
+    default — any reliance on 'one key per batch' outside the safe
+    placements would surface as a diff here."""
+    from ray.data import DataContext
+
+    from lexmapr_ray.pipelines.webgraph import token_triangles
+    from lexmapr_ray.stages.dedup import dup_span_trim
+
+    sf = "/root/testdata/sf0.001"
+    base_trim = dup_span_trim(sf).to_pandas().reset_index(drop=True)
+    base_tri = token_triangles(sf).to_pandas().reset_index(drop=True)
+
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    ctx.target_max_block_size = 16 * 1024
+    try:
+        tiny_trim = dup_span_trim(sf).to_pandas().reset_index(drop=True)
+        tiny_tri = token_triangles(sf).to_pandas().reset_index(drop=True)
+    finally:
+        ctx.target_max_block_size = old
+
+    pd.testing.assert_frame_equal(base_trim, tiny_trim)
+    pd.testing.assert_frame_equal(base_tri, tiny_tri)
