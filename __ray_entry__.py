@@ -198,6 +198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_sample_exact": textstats.corpus_sample_exact,
         "collocations": textstats.collocations,
         "vocab_coverage": textstats.vocab_coverage,
+        "source_vocab_overlap": textstats.source_vocab_overlap,
         "repetition_stats": textstats.repetition_stats,
         "gopher_quality_filter": textstats.gopher_quality_filter,
         "source_stats": textstats.source_stats,
@@ -794,6 +795,26 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT))::BIGINT AS sum_tokens,
                    SUM(CAST(LENGTH(text) AS BIGINT))::BIGINT AS sum_chars
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "source_vocab_overlap": f"""
+            WITH t AS (
+                SELECT source, string_split_regex({_trim('text')}, '\\s+') AS tk
+                FROM documents WHERE {_trim('text')} <> ''),
+            v AS (SELECT DISTINCT source, w
+                  FROM (SELECT source, unnest(tk) AS w FROM t)),
+            p AS (SELECT v1.source AS source_a, v2.source AS source_b,
+                         COUNT(*)::BIGINT AS n_common
+                  FROM v v1 JOIN v v2
+                    ON v1.w = v2.w AND v1.source < v2.source
+                  GROUP BY 1, 2),
+            sz AS (SELECT source, COUNT(*)::BIGINT AS n FROM v GROUP BY source)
+            SELECT p.source_a, p.source_b, p.n_common,
+                   (za.n + zb.n - p.n_common)::BIGINT AS n_union,
+                   ((1000 * p.n_common) // (za.n + zb.n - p.n_common))
+                       ::BIGINT AS jaccard_permille
+            FROM p JOIN sz za ON za.source = p.source_a
+                   JOIN sz zb ON zb.source = p.source_b
+            ORDER BY p.source_a, p.source_b
         """,
         "vocab_coverage": f"""
             WITH t AS (

@@ -1600,3 +1600,76 @@ def vocab_coverage(sf_dir: str, permilles: tuple = (500, 900, 950, 990)):
     import ray.data as rd
 
     return rd.from_pandas(out)
+
+
+def source_vocab_overlap(sf_dir: str):
+    """Pairwise vocabulary Jaccard between sources — the set-similarity
+    join a corpus-mixing step runs to find redundant or complementary
+    sources before weighting them.  Output per source pair with >= 1
+    shared type: (source_a, source_b, n_common, n_union,
+    jaccard_permille = floor(1000 * |A∩B| / |A∪B|)), pair-sorted.
+
+    Scale shape: per-batch distinct (source, token) drop + one grouped
+    dedupe (shuffle = the per-source vocabulary, never token
+    occurrences); per-source sizes are an |sources|-row reduce; common
+    counts come from ONE token-sorted co-location with a per-block pair
+    explode (Σ sources-per-token² per token — bounded by the source
+    cardinality, not the corpus); the final fold touches C(|sources|, 2)
+    driver rows.
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from lexmapr_ray.functions.groupagg import grouped_sum_count
+
+    docs = _read_documents(sf_dir, ["source", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        trimmed, splits = _token_lists(t["text"])
+        keep = pc.invert(pc.equal(trimmed, ""))
+        splits = splits.filter(keep) if isinstance(splits, pa.ChunkedArray) \
+            else pc.filter(splits, keep)
+        src = pc.filter(t["source"], keep)
+        flat = pc.list_flatten(splits)
+        parent = pc.list_parent_indices(splits)
+        df = pa.table({"source": pc.take(src, parent),
+                       "w": flat}).to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    vocab = grouped_sum_count(
+        docs.map_batches(explode, batch_format="pyarrow"),
+        ["source", "w"],
+    ).materialize()   # distinct (source, token); sizes + pair pass both read it
+
+    sizes = {r["source"]: int(r["n"]) for r in grouped_sum_count(
+        vocab.map_batches(lambda t: t.select(["source"]),
+                          batch_format="pyarrow"),
+        "source", count_alias="n").take_all()}
+
+    def pair_block(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"source_a": pd.Series([], dtype="object"),
+                                 "source_b": pd.Series([], dtype="object")})
+        m = df.merge(df, on="w")
+        m = m[m["source_x"] < m["source_y"]]
+        return pd.DataFrame({"source_a": m["source_x"],
+                             "source_b": m["source_y"]})
+
+    common = grouped_sum_count(
+        vocab.sort("w").map_batches(pair_block, batch_format="pandas",
+                                    batch_size=None),
+        ["source_a", "source_b"], count_alias="n_common").take_all()
+
+    rows = []
+    for r in common:
+        a, b, nc = r["source_a"], r["source_b"], int(r["n_common"])
+        nu = sizes[a] + sizes[b] - nc
+        rows.append({"source_a": a, "source_b": b, "n_common": nc,
+                     "n_union": nu, "jaccard_permille": (1000 * nc) // nu})
+    out = pd.DataFrame(rows,
+                       columns=["source_a", "source_b", "n_common",
+                                "n_union", "jaccard_permille"]) \
+        .sort_values(["source_a", "source_b"]).reset_index(drop=True)
+    for c in ("n_common", "n_union", "jaccard_permille"):
+        out[c] = out[c].astype("int64")
+    return rd.from_pandas(out)

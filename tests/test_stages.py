@@ -2343,3 +2343,43 @@ def test_new_ops_survive_tiny_block_target(ray_session):
 
     pd.testing.assert_frame_equal(base_trim, tiny_trim)
     pd.testing.assert_frame_equal(base_tri, tiny_tri)
+
+
+def test_source_vocab_overlap_adversarial_oracle(ray_session, tmp_path):
+    """source_vocab_overlap on sources built to discriminate: identical
+    vocabularies (jaccard 1000), half overlap (cross-doc union within a
+    source must count types once), and fully disjoint (pair absent)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+    from lexmapr_ray.stages.textstats import source_vocab_overlap
+
+    rows = [("s1", "a b c d"), ("s1", "a b"),        # s1 vocab {a,b,c,d}
+            ("s2", "a b"), ("s2", "c d"),            # s2 vocab {a,b,c,d}
+            ("s3", "c d e f"),                       # s3: half of s1
+            ("s4", "x y z")]                         # s4: disjoint
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(rows)), pa.int64()),
+        "text": pa.array([t for _, t in rows], pa.string()),
+        "lang": pa.array(["en"] * len(rows)),
+        "source": pa.array([s for s, _ in rows], pa.string()),
+        "n_chars": pa.array([len(t) for _, t in rows], pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+
+    got = source_vocab_overlap(str(tmp_path)).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    exp = con.execute(entrymod.oracle_sql()["source_vocab_overlap"]).fetchdf() \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], exp[sorted(exp.columns)], check_dtype=False)
+
+    g = got.set_index(["source_a", "source_b"])
+    assert g.loc[("s1", "s2"), "jaccard_permille"] == 1000
+    assert g.loc[("s1", "s3"), "n_common"] == 2          # {c, d}
+    assert g.loc[("s1", "s3"), "n_union"] == 6
+    assert g.loc[("s1", "s3"), "jaccard_permille"] == 333
+    assert ("s1", "s4") not in g.index                   # disjoint pair absent
