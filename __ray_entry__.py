@@ -262,6 +262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_covariance": similarity.embedding_covariance,
         "embedding_kmeans": similarity.embedding_kmeans,
         "cluster_top_terms": similarity.cluster_top_terms,
+        "cluster_representatives": similarity.cluster_representatives,
         "semantic_dedup": similarity.semantic_dedup,
         "embedding_quantize": similarity.embedding_quantize,
         # text heuristics / fingerprints (non-SQL)
@@ -1403,6 +1404,31 @@ def oracle_sql() -> dict[str, str]:
             WHERE emb_checksum = (SELECT SUM(CAST(FLOOR(CAST(embedding[1] AS DOUBLE)
                                   * 1000000) AS BIGINT)) FROM embeddings)
             ORDER BY vec_id
+        """,
+        "cluster_representatives": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       unnest(string_split_regex({_trim('text')}, '\\s+')) AS tok
+                FROM documents WHERE {_trim('text')} <> ''),
+            w AS (
+                SELECT doc_id,
+                       ((CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)
+                         % 262144) * 2654435761 % 2001) - 1000 AS wt
+                FROM t),
+            s AS (SELECT doc_id, SUM(wt)::BIGINT AS logit_milli
+                  FROM w GROUP BY doc_id),
+            cl AS (
+                SELECT vec_id, cluster
+                FROM read_parquet('/root/repo/expected/op_embedding_kmeans.parquet')
+                WHERE emb_checksum = (SELECT SUM(CAST(FLOOR(
+                      CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT))
+                      FROM embeddings)),
+            j AS (SELECT cl.cluster, s.doc_id, s.logit_milli
+                  FROM s JOIN cl ON s.doc_id = cl.vec_id),
+            r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster
+                      ORDER BY logit_milli DESC, doc_id) AS rk FROM j)
+            SELECT cluster, doc_id, logit_milli
+            FROM r WHERE rk = 1 ORDER BY cluster
         """,
         "cluster_top_terms": f"""
             WITH cl AS (

@@ -1108,3 +1108,45 @@ def cluster_top_terms(sf_dir: str, top: int = 5, num_buckets: int = 32):
     return sorted_group_reduce(
         counts.map_batches(prune, batch_format="pandas", batch_size=65536),
         "cluster", prune, finish)
+
+
+def cluster_representatives(sf_dir: str, num_buckets: int = 32):
+    """One representative document per k-means cluster: the member with
+    the highest hashed-classifier logit (ties to the smaller doc_id) —
+    how a clustered corpus surfaces exemplar docs for inspection or
+    few-shot prompting.  Output: (cluster, doc_id, logit_milli),
+    cluster-sorted; empty-text docs carry no score and cannot represent.
+
+    Shape: the k-means assignment bucket-joins the classifier scores on
+    the id, then the grouped ARGMAX runs as an exact-safe per-batch
+    best-per-cluster prune (one row per cluster per batch) before the one
+    cluster sort — the ``minhash_index_dedup`` verdict pattern.
+    """
+    import pandas as pd
+
+    from lexmapr_ray.functions.joins import bucketed_hash_join
+    from lexmapr_ray.stages.textstats import _classifier_scores
+
+    scores = _classifier_scores(sf_dir).map_batches(
+        lambda t: t.select(["doc_id", "logit_milli"]), batch_format="pyarrow")
+    joined = bucketed_hash_join(
+        scores, embedding_kmeans(sf_dir), on="doc_id", right_on="vec_id",
+        num_buckets=num_buckets,
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("logit_milli", pa.int64())]),
+        right_schema=pa.schema([("vec_id", pa.int64()),
+                                ("cluster", pa.int64())]))
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"cluster": pd.Series([], dtype="int64"),
+                                 "doc_id": pd.Series([], dtype="int64"),
+                                 "logit_milli": pd.Series([], dtype="int64")})
+        out = df.sort_values(["cluster", "logit_milli", "doc_id"],
+                             ascending=[True, False, True]) \
+            .drop_duplicates("cluster")
+        return out[["cluster", "doc_id", "logit_milli"]].astype("int64")
+
+    return joined.map_batches(best, batch_format="pandas", batch_size=65536) \
+        .sort("cluster").map_batches(best, batch_format="pandas",
+                                     batch_size=None)

@@ -2383,3 +2383,48 @@ def test_source_vocab_overlap_adversarial_oracle(ray_session, tmp_path):
     assert g.loc[("s1", "s3"), "n_union"] == 6
     assert g.loc[("s1", "s3"), "jaccard_permille"] == 333
     assert ("s1", "s4") not in g.index                   # disjoint pair absent
+
+
+def test_cluster_representatives_argmax_contract(ray_session, tmp_path):
+    """cluster_representatives on two separated clusters where the argmax
+    and its doc_id tie-break are hand-computable, with an empty-text doc
+    that must be ineligible."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lexmapr_ray.stages.similarity import (cluster_representatives,
+                                               embedding_kmeans)
+    from lexmapr_ray.stages.textstats import hashed_classifier_score
+
+    rng = np.random.RandomState(3)
+    n_half, dim = 10, 8
+    vecs = np.vstack([rng.normal(5, 0.1, (n_half, dim)),
+                      rng.normal(-5, 0.1, (n_half, dim))]).astype(np.float32)
+    texts = [f"tok{i} tok{i} filler common words here" for i in range(19)]
+    texts.append("")                                  # ineligible empty doc
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(20), pa.int64()),
+        "embedding": pa.array([list(v) for v in vecs], pa.list_(pa.float32())),
+        "label": pa.array([0] * 20, pa.int32()),
+    }), str(tmp_path / "embeddings.parquet"))
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(20), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 20),
+        "source": pa.array(["s"] * 20),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+
+    got = cluster_representatives(str(tmp_path)).to_pandas()
+    assign = embedding_kmeans(str(tmp_path)).to_pandas() \
+        .set_index("vec_id")["cluster"]
+    scores = hashed_classifier_score(str(tmp_path)).to_pandas() \
+        .set_index("doc_id")["logit_milli"]
+
+    assert 19 not in set(got["doc_id"])               # empty doc excluded
+    for row in got.itertuples():
+        members = [d for d in scores.index if assign.loc[d] == row.cluster]
+        best = sorted(members, key=lambda d: (-scores.loc[d], d))[0]
+        assert row.doc_id == best
+        assert row.logit_milli == scores.loc[best]
