@@ -199,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collocations": textstats.collocations,
         "vocab_coverage": textstats.vocab_coverage,
         "source_vocab_overlap": textstats.source_vocab_overlap,
+        "split_drift": textstats.split_drift,
         "repetition_stats": textstats.repetition_stats,
         "gopher_quality_filter": textstats.gopher_quality_filter,
         "source_stats": textstats.source_stats,
@@ -796,6 +797,31 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT))::BIGINT AS sum_tokens,
                    SUM(CAST(LENGTH(text) AS BIGINT))::BIGINT AS sum_chars
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "split_drift": f"""
+            WITH h AS (
+                SELECT doc_id, text,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                            AS BIGINT) % 1000 AS hh
+                FROM documents),
+            t AS (
+                SELECT hh < 50 AS is_test,
+                       unnest(string_split_regex({_trim('text')}, '\\s+')) AS w
+                FROM h WHERE {_trim('text')} <> ''),
+            c AS (
+                SELECT w,
+                       SUM(CASE WHEN is_test THEN 0 ELSE 1 END)::HUGEINT AS c_tr,
+                       SUM(CASE WHEN is_test THEN 1 ELSE 0 END)::HUGEINT AS c_te
+                FROM t GROUP BY w),
+            tot AS (SELECT SUM(c_tr) AS n_tr, SUM(c_te) AS n_te FROM c)
+            SELECT (SELECT n_tr FROM tot)::BIGINT AS n_train_tokens,
+                   (SELECT n_te FROM tot)::BIGINT AS n_test_tokens,
+                   ((1000 * (SELECT SUM(ABS(c_te * (SELECT n_tr FROM tot)
+                                            - c_tr * (SELECT n_te FROM tot)))
+                             FROM c))
+                    // GREATEST(2 * (SELECT n_tr FROM tot)
+                               * (SELECT n_te FROM tot), 1))::BIGINT
+                       AS drift_permille
         """,
         "source_vocab_overlap": f"""
             WITH t AS (

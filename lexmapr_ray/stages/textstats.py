@@ -1673,3 +1673,75 @@ def source_vocab_overlap(sf_dir: str):
     for c in ("n_common", "n_union", "jaccard_permille"):
         out[c] = out[c].astype("int64")
     return rd.from_pandas(out)
+
+
+def split_drift(sf_dir: str, test_permille: int = 50):
+    """Distribution shift between the train and test splits: the total
+    variation distance between their unigram distributions, in integer
+    permille — the drift check a curation pipeline runs before trusting
+    held-out metrics (a skewed split silently biases eval).  Splits are
+    the engine-wide md5(doc_id) permille gate, so the op composes with
+    ``corpus_split`` / ``ngram_decontaminate`` with no split table.
+
+    Exactness: TV = (1/2) * Σ_w |c_te(w)/N_te − c_tr(w)/N_tr| is cleared
+    of division — drift_permille = floor(1000 * Σ_w |c_te(w)*N_tr −
+    c_tr(w)*N_te| / (2*N_tr*N_te)), every term integer; the engine sums
+    in int64 (safe while vocab_terms * N_tr * N_te < 9.2e18 per term —
+    beyond the test corpora by orders of magnitude; the HUGEINT oracle
+    catches any overflow divergence loudly) and the final division runs
+    in Python bignums.
+
+    Shape: ONE vocabulary reduce carrying both splits' counts as
+    conditional sums (the ``target_affinity`` pattern), two scalar
+    totals, a vectorized per-term cross-product map, one global sum.
+    Output: one row (n_train_tokens, n_test_tokens, drift_permille).
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from lexmapr_ray.functions.groupagg import grouped_sum_count
+
+    docs = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        trimmed, splits = _token_lists(t["text"])
+        keep = pc.invert(pc.equal(trimmed, "")).to_numpy(zero_copy_only=False)
+        is_test = (md5_permille(t["doc_id"]) < test_permille) & keep
+        parts = []
+        for col, mask in (("c_tr", keep & ~is_test), ("c_te", is_test)):
+            flat = pc.list_flatten(splits.filter(pa.array(mask)))
+            if isinstance(flat, pa.ChunkedArray):
+                flat = flat.combine_chunks()
+            if len(flat) == 0:
+                continue
+            vc = pc.value_counts(flat)
+            n = pc.cast(vc.field("counts"), pa.int64())
+            zero = pa.array(np.zeros(len(n), dtype=np.int64))
+            parts.append(pa.table({
+                "w": vc.field("values"),
+                "c_tr": n if col == "c_tr" else zero,
+                "c_te": n if col == "c_te" else zero,
+            }))
+        if not parts:
+            return pa.table({"w": pa.array([], pa.string()),
+                             "c_tr": pa.array([], pa.int64()),
+                             "c_te": pa.array([], pa.int64())})
+        return pa.concat_tables(parts)
+
+    counts = grouped_sum_count(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        "w", {"c_tr": "c_tr", "c_te": "c_te"}).materialize()
+    n_tr = int(counts.sum("c_tr"))
+    n_te = int(counts.sum("c_te"))
+
+    def cross(t: pa.Table) -> pa.Table:
+        tr = t["c_tr"].to_numpy(zero_copy_only=False).astype(np.int64)
+        te = t["c_te"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"d": pa.array(np.abs(te * n_tr - tr * n_te))})
+
+    num = int(counts.map_batches(cross, batch_format="pyarrow").sum("d"))
+    den = max(2 * n_tr * n_te, 1)
+    out = pd.DataFrame([{"n_train_tokens": n_tr, "n_test_tokens": n_te,
+                         "drift_permille": (1000 * num) // den}]) \
+        .astype("int64")
+    return rd.from_pandas(out)

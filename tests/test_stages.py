@@ -2428,3 +2428,50 @@ def test_cluster_representatives_argmax_contract(ray_session, tmp_path):
         best = sorted(members, key=lambda d: (-scores.loc[d], d))[0]
         assert row.doc_id == best
         assert row.logit_milli == scores.loc[best]
+
+
+def test_split_drift_adversarial_oracle(ray_session, tmp_path):
+    """split_drift vs its HUGEINT oracle on doc ids CHOSEN by their md5
+    gate so the splits are controlled: identical distributions must read
+    0 permille; fully disjoint vocabularies must read 1000."""
+    import hashlib as _h
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+    from lexmapr_ray.stages.textstats import split_drift
+
+    def permille(d):
+        return int(_h.md5(str(d).encode()).hexdigest()[:8], 16) % 1000
+
+    test_ids = [d for d in range(4000) if permille(d) < 50][:4]
+    train_ids = [d for d in range(4000) if permille(d) >= 50][:4]
+
+    def write(docs, path):
+        ids = [d for d, _ in docs]
+        texts = [t for _, t in docs]
+        pq.write_table(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(ids)),
+            "source": pa.array(["s"] * len(ids)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }), str(path / "documents.parquet"))
+
+    for texts_fn, expected in (
+        (lambda d: "a b c", 0),                               # identical
+        (lambda d: "x y z" if permille(d) < 50 else "a b c", 1000),  # disjoint
+    ):
+        docs = [(d, texts_fn(d)) for d in test_ids + train_ids]
+        write(docs, tmp_path)
+        got = split_drift(str(tmp_path)).to_pandas()
+        con = duckdb.connect()
+        con.execute(f"CREATE OR REPLACE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/documents.parquet')")
+        exp = con.execute(entrymod.oracle_sql()["split_drift"]).fetchdf()
+        pd.testing.assert_frame_equal(
+            got[sorted(got.columns)], exp[sorted(exp.columns)],
+            check_dtype=False)
+        assert got["drift_permille"].iloc[0] == expected
