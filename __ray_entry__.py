@@ -200,6 +200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_coverage": textstats.vocab_coverage,
         "source_vocab_overlap": textstats.source_vocab_overlap,
         "split_drift": textstats.split_drift,
+        "top_phrases": textstats.top_phrases,
         "repetition_stats": textstats.repetition_stats,
         "gopher_quality_filter": textstats.gopher_quality_filter,
         "source_stats": textstats.source_stats,
@@ -797,6 +798,17 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT))::BIGINT AS sum_tokens,
                    SUM(CAST(LENGTH(text) AS BIGINT))::BIGINT AS sum_chars
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "top_phrases": f"""
+            WITH t AS (
+                SELECT string_split_regex({_trim('text')}, '\\s+') AS tk
+                FROM documents WHERE {_trim('text')} <> ''),
+            g AS (SELECT array_to_string(tk[i:i+2], ' ') AS phrase
+                  FROM (SELECT tk, unnest(range(1, len(tk) - 3 + 2)) AS i
+                        FROM t))
+            SELECT phrase, COUNT(*)::BIGINT AS n_occurrences
+            FROM g GROUP BY phrase
+            ORDER BY n_occurrences DESC, phrase LIMIT 20
         """,
         "split_drift": f"""
             WITH h AS (

@@ -1745,3 +1745,35 @@ def split_drift(sf_dir: str, test_permille: int = 50):
                          "drift_permille": (1000 * num) // den}]) \
         .astype("int64")
     return rd.from_pandas(out)
+
+
+def top_phrases(sf_dir: str, k: int = 20, n: int = 3):
+    """Most frequent word ``n``-grams — raw phrase mining (the frequency
+    complement of :func:`collocations`' PMI view; together they drive
+    phrase-vocabulary induction).  Output: (phrase, n_occurrences) top-k
+    by (count desc, phrase asc).
+
+    Shape: the shared zero-copy window-gram explode
+    (``stages/dedup._window_grams``) with a per-batch ``value_counts``
+    combiner, one grouped sum, exact-safe pruned top-k.
+    """
+    from lexmapr_ray.functions.groupagg import grouped_sum_count
+    from lexmapr_ray.functions.topk import global_topk
+    from lexmapr_ray.stages.dedup import _window_grams
+
+    docs = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        grams, _, _ = _window_grams(t["text"], n)
+        if len(grams) == 0:
+            return pa.table({"phrase": pa.array([], pa.string()),
+                             "n_occurrences": pa.array([], pa.int64())})
+        vc = pc.value_counts(grams)
+        return pa.table({"phrase": vc.field("values"),
+                         "n_occurrences": pc.cast(vc.field("counts"),
+                                                  pa.int64())})
+
+    counts = grouped_sum_count(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        "phrase", {"n_occurrences": "n_occurrences"})
+    return global_topk(counts, ["n_occurrences", "phrase"], [True, False], k)

@@ -2475,3 +2475,42 @@ def test_split_drift_adversarial_oracle(ray_session, tmp_path):
             got[sorted(got.columns)], exp[sorted(exp.columns)],
             check_dtype=False)
         assert got["drift_permille"].iloc[0] == expected
+
+
+def test_top_phrases_adversarial_oracle(ray_session, tmp_path):
+    """top_phrases vs its oracle: a within-doc repeated phrase counts with
+    multiplicity, cross-doc boundaries never join, ties break by phrase,
+    and <n-token docs contribute nothing."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+    from lexmapr_ray.stages.textstats import top_phrases
+
+    texts = ["red green blue red green blue",   # "red green blue" twice-ish
+             "alpha beta gamma",
+             "alpha beta gamma",
+             "tiny doc", ""]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array(["s"] * len(texts)),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+
+    got = top_phrases(str(tmp_path)).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    exp = con.execute(entrymod.oracle_sql()["top_phrases"]).fetchdf() \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], exp[sorted(exp.columns)], check_dtype=False)
+
+    g = got.set_index("phrase")["n_occurrences"]
+    assert g["red green blue"] == 2
+    assert g["alpha beta gamma"] == 2
+    assert got["phrase"].iloc[0] == "alpha beta gamma"   # tie-break
+    assert "tiny doc" not in g.index
