@@ -235,6 +235,9 @@ def run_queries(sf_dir: str) -> dict:
         ("dup_span_trim", dedup.dup_span_trim),
         ("token_triangles", webgraph.token_triangles),
         ("rrf_search", similarity.rrf_search),
+        ("collocations", textstats.collocations),
+        ("split_drift", textstats.split_drift),
+        ("host_near_dup", dedup.host_near_dup),
     ]:
         t0 = time.time()
         res = fn(sf_dir)
