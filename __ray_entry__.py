@@ -259,6 +259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q10_returned_revenue": rel.q10_returned_revenue,
         "events_daily_gapfill": rel.events_daily_gapfill,
         "referential_audit": rel.referential_audit,
+        "revenue_rollup": rel.revenue_rollup,
         # per-label exact integer centroids over the embedding column
         "embedding_centroids": similarity.embedding_centroids,
         "embedding_covariance": similarity.embedding_covariance,
@@ -1828,6 +1829,24 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(cents, 0.75)::BIGINT AS p75,
                    quantile_disc(cents, 0.95)::BIGINT AS p95
             FROM e GROUP BY event_type ORDER BY event_type
+        """,
+        "revenue_rollup": """
+            WITH j AS (
+                SELECT n.n_name, YEAR(o.o_orderdate)::BIGINT AS yr,
+                       CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+                FROM orders o
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN nation n ON c.c_nationkey = n.n_nationkey),
+            d AS (SELECT n_name, yr, SUM(cents)::BIGINT AS total_cents
+                  FROM j GROUP BY n_name, yr)
+            SELECT * FROM (
+                SELECT n_name, yr, total_cents FROM d
+                UNION ALL
+                SELECT n_name, 0::BIGINT, SUM(total_cents)::BIGINT
+                FROM d GROUP BY n_name
+                UNION ALL
+                SELECT 'ALL', 0::BIGINT, SUM(total_cents)::BIGINT FROM d)
+            ORDER BY n_name, yr
         """,
         "referential_audit": """
             SELECT * FROM (

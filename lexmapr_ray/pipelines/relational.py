@@ -1029,3 +1029,75 @@ def referential_audit(sf_dir: str):
     out = pd.DataFrame(rows).sort_values("check_name").reset_index(drop=True)
     out["n_orphans"] = out["n_orphans"].astype("int64")
     return rd.from_pandas(out)
+
+
+def revenue_rollup(sf_dir: str, num_buckets: int = 32):
+    """ROLLUP-style multi-level aggregate: order revenue by (nation,
+    year), with per-nation subtotals and a grand total in the same result
+    (the GROUPING SETS shape reporting layers expect).  Sentinels:
+    ``yr = 0`` marks a nation subtotal, ``n_name = 'ALL'`` the grand
+    total.  Output: (n_name, yr, total_cents), name-then-year sorted.
+
+    Shape: ONE corpus-scale pass — orders bucket-join customer,
+    vectorized nation/year attach (nation broadcast), one grouped sum to
+    the (nation, year) detail; the subtotal and total levels then fold
+    from the detail rows (|nations| x |years| — domain-bounded driver
+    state), never re-scanning the facts.  The SQL oracle derives its
+    upper levels from the same detail CTE, so the level semantics cannot
+    drift.
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    from lexmapr_ray.functions.broadcast import lookup, put_lookup
+    from lexmapr_ray.functions.joins import bucketed_hash_join
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nation_ref = put_lookup(nation["n_nationkey"].to_numpy(),
+                            nation["n_name"].to_numpy())
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate", "o_totalprice"]) \
+        .map_batches(
+            lambda t: pa.table({
+                "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                "yr": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+                "cents": _cents(t["o_totalprice"]),
+            }),
+            batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .map_batches(
+            lambda t: pa.table({
+                "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+                "c_nationkey": pc.cast(t["c_nationkey"], pa.int64()),
+            }),
+            batch_format="pyarrow")
+
+    joined = bucketed_hash_join(
+        orders, cust, on="o_custkey", right_on="c_custkey",
+        num_buckets=num_buckets,
+        left_schema=pa.schema([("o_custkey", pa.int64()), ("yr", pa.int64()),
+                               ("cents", pa.int64())]),
+        right_schema=pa.schema([("c_custkey", pa.int64()),
+                                ("c_nationkey", pa.int64())]))
+
+    def attach(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_name": lookup(t["c_nationkey"], nation_ref),
+            "yr": pc.cast(t["yr"], pa.int64()),
+            "cents": pc.cast(t["cents"], pa.int64()),
+        })
+
+    detail = grouped_sum_count(
+        joined.map_batches(attach, batch_format="pyarrow"),
+        ["n_name", "yr"], {"total_cents": "cents"}).to_pandas()
+
+    sub = detail.groupby("n_name", as_index=False)["total_cents"].sum()
+    sub["yr"] = 0
+    grand = pd.DataFrame([{"n_name": "ALL", "yr": 0,
+                           "total_cents": int(detail["total_cents"].sum())}])
+    out = pd.concat([detail, sub, grand], ignore_index=True) \
+        [["n_name", "yr", "total_cents"]] \
+        .astype({"yr": "int64", "total_cents": "int64"}) \
+        .sort_values(["n_name", "yr"]).reset_index(drop=True)
+    return rd.from_pandas(out)

@@ -2514,3 +2514,31 @@ def test_top_phrases_adversarial_oracle(ray_session, tmp_path):
     assert g["alpha beta gamma"] == 2
     assert got["phrase"].iloc[0] == "alpha beta gamma"   # tie-break
     assert "tiny doc" not in g.index
+
+
+def test_revenue_rollup_level_conservation(ray_session, sf_dir):
+    """revenue_rollup vs its oracle at sf0.001, plus the conservation
+    laws the levels must obey: each nation subtotal equals the sum of its
+    detail years, and the grand total equals the sum of subtotals."""
+    import duckdb
+
+    import __ray_entry__ as entrymod
+    from lexmapr_ray.pipelines.relational import revenue_rollup
+
+    got = revenue_rollup(sf_dir).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    for t in ("orders", "customer", "nation"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    exp = con.execute(entrymod.oracle_sql()["revenue_rollup"]).fetchdf() \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], exp[sorted(exp.columns)], check_dtype=False)
+
+    detail = got[(got["yr"] != 0)]
+    subs = got[(got["yr"] == 0) & (got["n_name"] != "ALL")]
+    grand = got[got["n_name"] == "ALL"]["total_cents"].iloc[0]
+    per_nation = detail.groupby("n_name")["total_cents"].sum()
+    for row in subs.itertuples():
+        assert row.total_cents == per_nation[row.n_name]
+    assert grand == subs["total_cents"].sum() == detail["total_cents"].sum()
