@@ -14,6 +14,7 @@ bit-exact.  The SQL oracles apply the identical integer transformation.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -960,10 +961,14 @@ def events_daily_gapfill(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
 
     def prep(t: pa.Table) -> pa.Table:
-        epoch_us = pc.cast(t["ts"], pa.int64())
+        # FLOOR division to match the oracle's FLOOR(epoch/86400): Arrow's
+        # integer divide truncates toward zero, which diverges on pre-1970
+        # (negative-epoch) timestamps — use numpy floor_divide instead.
+        epoch_us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        day = np.floor_divide(epoch_us, 86_400_000_000)
         return pa.table({
             "event_type": t["event_type"],
-            "day": pc.divide(epoch_us, pa.scalar(86_400_000_000, pa.int64())),
+            "day": pa.array(day, pa.int64()),
             "value_cents": _cents(t["value"]),
         })
 

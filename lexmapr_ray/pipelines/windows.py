@@ -515,9 +515,15 @@ def max_concurrent_sessions(sf_dir: str, gap_us: int = SESSION_GAP_US):
                              "lmax": [int(run.max())],
                              "lmax_ts": [int(df["ts"].iloc[i])]})
 
+    # to_pandas() preserves block order, and `bounds` is globally sorted by
+    # (ts, delta desc) — so the one-row-per-block stats arrive already in
+    # global order.  Do NOT re-sort on min_ts here: min_ts is not a unique
+    # block key (a block boundary can split rows tied on ts), and an
+    # unstable sort on a tied key could reorder blocks and corrupt the
+    # delta prefix-sum offsets below.
     stats = bounds.map_batches(block_stats, batch_format="pandas",
                                batch_size=None).to_pandas() \
-        .sort_values("min_ts").reset_index(drop=True)
+        .reset_index(drop=True)
     if len(stats) == 0:
         return rd.from_items([{"max_concurrent": 0, "at_ts_us": 0}])
     offsets = stats["dsum"].cumsum().shift(fill_value=0).to_numpy(np.int64)

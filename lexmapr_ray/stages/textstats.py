@@ -495,10 +495,18 @@ def score_percentile(sf_dir: str):
     def key(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         lg = t["logit_milli"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # Integer-exact bound (documented like the collocations /
+        # split_drift int64 notes): the lexicographic key biases by 10**15,
+        # so |logit_milli| must stay below 10**15 — i.e. ~1e12 tokens per
+        # doc at the +-1000-milli-per-token weight extremes — far beyond
+        # any real document. Assert rather than silently mis-sort.
+        if len(lg) and (int(lg.min()) <= -10**15 or int(lg.max()) >= 10**15):
+            raise ValueError("score_percentile: |logit_milli| >= 1e15 "
+                             "breaks the lexicographic rank key")
         return pa.table({
             "doc_id": pa.array(ids),
             "logit_milli": pa.array(lg),
-            "k": pa.array([f"{10**9 + v:012d}{d:020d}"
+            "k": pa.array([f"{10**15 + v:016d}{d:020d}"
                            for v, d in zip(lg, ids)], pa.string()),
         })
 
