@@ -1,11 +1,24 @@
-"""Multimodal (binary-column) stages: decode / feature-extract plumbing.
+"""Multimodal (binary-column) stages: decode / feature-extract pipelines.
 
-Images/audio/video are opaque ``binary`` columns with typed metadata.  The
-Ray-side plumbing — schema, actor-pool signatures, small batch sizes for
-large payloads, output layout — is real and tested; the codec itself is
-STUBBED (no image/audio libraries exist in this container): ``DecodeImage``
-raises ``NotImplementedError`` unless ``fake=True``, in which case a
-deterministic fake decoder (parse of our synthetic header) stands in.
+Images/audio/video ride a Dataset as opaque ``binary`` columns with typed
+metadata.  Payloads are REAL 8-bit grayscale PNGs produced and parsed by
+the pure-stdlib codec in :mod:`lexmapr_ray.stages.png` (zlib + struct; the
+container has no image library, so the codec is implemented from the public
+PNG spec rather than imported).  Video payloads are a Motion-PNG-style
+container: a small header plus length-prefixed per-frame PNGs, so frame
+sampling can SKIP non-sampled frames without decompressing them.
+
+The Ray-side shape is the scale-relevant part: decode/resize/frame-sample
+run as actor-pool ``map_batches`` stages with deliberately small batches
+(payload bytes dominate block memory), codec state initialised once per
+actor.  A ``codec="pil"`` seam on each stage is where a real deployment
+swaps in libjpeg-turbo-class decoders for formats beyond this profile; in
+THIS container PIL is absent, so that path raises ``NotImplementedError``
+with the dependency named.
+
+Reference parity: the reference engine (cidgoh/LexMapr) has no media path
+at all; these stages are the engine-only multimodal plumbing a 100-TB
+training-data pipeline needs.
 """
 
 from __future__ import annotations
@@ -13,21 +26,32 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from lexmapr_ray.stages.png import SIGNATURE as _PNG_SIG
+from lexmapr_ray.stages.png import decode_png_gray, encode_png_gray
+
 MEDIA_SCHEMA = pa.schema(
     [
         ("media_id", pa.int64()),
-        ("kind", pa.string()),       # "image" | "audio"
+        ("kind", pa.string()),       # "image" | "video"
         ("payload", pa.binary()),
         ("width", pa.int32()),
         ("height", pa.int32()),
     ]
 )
 
+# Legacy synthetic header (rounds 1-3); still decodable so old written
+# media parquet remains readable.
 _MAGIC = b"FAKEIMG1"
+# Motion-PNG video container: magic + n_frames(u16) + [len(u32) + PNG]*n
+_VMAGIC = b"MPNGVID1"
+
+
+def _tile_pixels(data: bytes, need: int) -> bytes:
+    return (data * (need // len(data) + 1))[:need]
 
 
 def synth_media_dataset(n_items: int, seed: int = 42):
-    """Deterministic fake media table: payload = magic + w,h + pixel bytes."""
+    """Deterministic media table: payload = real grayscale PNG bytes."""
     import ray.data as rd
 
     def make(batch) -> pa.Table:
@@ -35,10 +59,10 @@ def synth_media_dataset(n_items: int, seed: int = 42):
         for i in batch["id"]:
             rng = np.random.RandomState(seed * 7919 + int(i))
             w, h = int(rng.randint(8, 33)), int(rng.randint(8, 33))
-            pixels = rng.randint(0, 256, size=w * h, dtype=np.int64).astype(np.uint8)
-            payload = _MAGIC + w.to_bytes(2, "big") + h.to_bytes(2, "big") + pixels.tobytes()
+            img = rng.randint(0, 256, size=(h, w), dtype=np.int64).astype(np.uint8)
             rows.append({
-                "media_id": int(i), "kind": "image", "payload": payload,
+                "media_id": int(i), "kind": "image",
+                "payload": encode_png_gray(img),
                 "width": w, "height": h,
             })
         return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
@@ -49,36 +73,41 @@ def synth_media_dataset(n_items: int, seed: int = 42):
 class DecodeImage:
     """Actor-pool decode stage (small batches: payloads are large).
 
-    ``fake=True`` (default here) parses the deterministic synthetic
-    header.  ``fake=False`` is the real-codec seam: it import-tries PIL
-    at actor init (once per actor, the actor-pool rule) and decodes
-    grayscale via ``PIL.Image.open``; in THIS container no codec is
-    installed, so init raises NotImplementedError with the dependency
-    named — the stub is explicit, the plumbing (schema, batch sizing,
-    actor signature) identical either way.
+    Default codec is the pure-stdlib PNG reader (real format, real
+    inflate + unfilter work per payload).  ``codec="pil"`` is the
+    real-deployment seam: it import-tries PIL at actor init (once per
+    actor, the actor-pool rule); PIL is absent in this container, so that
+    path raises ``NotImplementedError`` naming the dependency — the
+    plumbing (schema, batch sizing, actor signature) is identical either
+    way.
     """
 
-    def __init__(self, fake: bool = True):
+    def __init__(self, codec: str = "stdlib"):
         self._pil = None
-        if not fake:
+        if codec == "pil":
             try:
                 from PIL import Image  # noqa: F401  (absent in this container)
 
                 self._pil = Image
             except ImportError:
                 raise NotImplementedError(
-                    "fake=False needs an image codec (pip install pillow); "
+                    "codec='pil' needs an image library (pip install pillow); "
                     "none is available in this environment"
                 ) from None
+        elif codec != "stdlib":
+            raise ValueError(f"unknown codec {codec!r}")
 
     @staticmethod
     def _decode(payload: bytes) -> np.ndarray:
-        """Synthetic-header codec (the deterministic fake)."""
-        if not payload.startswith(_MAGIC):
-            raise ValueError("bad magic")
-        w = int.from_bytes(payload[8:10], "big")
-        h = int.from_bytes(payload[10:12], "big")
-        return np.frombuffer(payload[12:12 + w * h], dtype=np.uint8).reshape(h, w)
+        """Stdlib decode: real PNG, with the legacy synthetic header kept
+        readable for media parquet written by earlier rounds."""
+        if payload.startswith(_PNG_SIG):
+            return decode_png_gray(payload)
+        if payload.startswith(_MAGIC):
+            w = int.from_bytes(payload[8:10], "big")
+            h = int.from_bytes(payload[10:12], "big")
+            return np.frombuffer(payload[12:12 + w * h], dtype=np.uint8).reshape(h, w)
+        raise ValueError("unknown payload format")
 
     def _decode_any(self, payload: bytes) -> np.ndarray:
         if self._pil is not None:
@@ -115,12 +144,10 @@ def media_features(n_items: int = 256, concurrency: int = 2):
 
 def media_from_documents(sf_dir: str, batch_size: int = 64):
     """Deterministic media table DERIVED FROM TESTDATA: each document's
-    text bytes are tiled into a fake image payload whose dimensions are a
-    pure function of (doc_id, text length).  The decode stage therefore
-    consumes real parquet-read bytes end-to-end (driver rows-check), while
-    the codec itself stays the documented stub."""
-    import ray.data as rd
-
+    text bytes are tiled into a pixel grid whose dimensions are a pure
+    function of (doc_id, text length), then encoded as a REAL grayscale
+    PNG.  The decode stage therefore inflates + unfilters genuine PNG
+    bytes end-to-end."""
     from lexmapr_ray.sources.tables import sized_read_parquet
 
     ds = sized_read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -131,11 +158,10 @@ def media_from_documents(sf_dir: str, batch_size: int = 64):
             data = text.encode() or b"\x00"
             w = 8 + (len(data) % 25)
             h = 8 + (int(doc_id) % 25)
-            need = w * h
-            pixels = (data * (need // len(data) + 1))[:need]
-            payload = _MAGIC + w.to_bytes(2, "big") + h.to_bytes(2, "big") + pixels
+            img = np.frombuffer(_tile_pixels(data, w * h), np.uint8).reshape(h, w)
             rows.append({
-                "media_id": int(doc_id), "kind": "image", "payload": payload,
+                "media_id": int(doc_id), "kind": "image",
+                "payload": encode_png_gray(img),
                 "width": w, "height": h,
             })
         return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
@@ -154,17 +180,20 @@ class ResizeImage:
 
     The downsample is exact integer math (np.add.reduceat over
     floor-divided grid boundaries, block mean floored to uint8) so results
-    are engine-independent; a real deployment swaps ``DecodeImage._decode``
-    + this kernel for PIL's ``Image.resize``.  Same small-batch actor-pool
+    are engine-independent; ``codec="pil"`` is the seam where a real
+    deployment swaps in ``PIL.Image.resize``.  Same small-batch actor-pool
     shape as decode: payload bytes dominate block memory, so batch_size
     stays small and the pool scales with ``concurrency``.
     """
 
-    def __init__(self, target: int = 8, fake: bool = True):
-        if not fake:
+    def __init__(self, target: int = 8, codec: str = "stdlib"):
+        if codec == "pil":
             raise NotImplementedError(
-                "no image codec available in this environment; use fake=True"
+                "codec='pil' needs an image library; none is available "
+                "in this environment"
             )
+        if codec != "stdlib":
+            raise ValueError(f"unknown codec {codec!r}")
         self.target = int(target)
 
     def _resize(self, img: np.ndarray) -> np.ndarray:
@@ -193,16 +222,24 @@ class ResizeImage:
         })
 
 
-_VMAGIC = b"FAKEVID1"
+def _encode_video(frames: np.ndarray) -> bytes:
+    """Motion-PNG container: each frame independently PNG-encoded and
+    length-prefixed, so a sampler can seek past unwanted frames without
+    inflating them."""
+    n = frames.shape[0]
+    parts = [_VMAGIC, n.to_bytes(2, "big")]
+    for i in range(n):
+        png = encode_png_gray(frames[i])
+        parts.append(len(png).to_bytes(4, "big"))
+        parts.append(png)
+    return b"".join(parts)
 
 
 def video_from_documents(sf_dir: str, batch_size: int = 32):
-    """Fake video table derived from testdata: each doc's text bytes are
-    tiled into ``n_frames`` (4-11, a function of doc_id) frames of w*h
-    pixels.  Payload = magic + n,w,h + frame bytes — an opaque binary
-    column with typed metadata, exactly how real video rides a Dataset."""
-    import ray.data as rd
-
+    """Video table derived from testdata: each doc's text bytes are tiled
+    into ``n_frames`` (4-11, a function of doc_id) frames of w*h pixels,
+    then packed as a Motion-PNG container — an opaque binary column with
+    typed metadata, exactly how real video rides a Dataset."""
     from lexmapr_ray.sources.tables import sized_read_parquet
 
     ds = sized_read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -214,10 +251,8 @@ def video_from_documents(sf_dir: str, batch_size: int = 32):
             n = 4 + (int(doc_id) % 8)
             w = 8 + (len(data) % 9)
             h = 8 + (int(doc_id) % 9)
-            need = n * w * h
-            pixels = (data * (need // len(data) + 1))[:need]
-            payload = (_VMAGIC + n.to_bytes(2, "big") + w.to_bytes(2, "big")
-                       + h.to_bytes(2, "big") + pixels)
+            pixels = np.frombuffer(_tile_pixels(data, n * w * h), np.uint8)
+            payload = _encode_video(pixels.reshape(n, h, w))
             rows.append({"media_id": int(doc_id), "kind": "video",
                          "payload": payload, "width": w, "height": h})
         return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
@@ -230,37 +265,48 @@ class SampleFrames:
     decodes to a per-frame feature row (media_id, frame_idx, mean_milli) —
     a flat-map, so one input row fans out to len/stride output rows.
 
-    This is the video-ingest shape for a training pipeline: sample frames
-    distributed, THEN treat each frame as an image (the ResizeImage /
-    DecodeImage stages compose downstream).  Small batches; payloads big.
+    The Motion-PNG container is length-prefixed, so non-sampled frames
+    are SKIPPED byte-wise without zlib inflate — the access pattern that
+    makes stride sampling cheap at video scale.  ``codec="pil"`` is the
+    real-video-codec seam (absent here).
     """
 
-    def __init__(self, stride: int = 2, fake: bool = True):
-        if not fake:
+    def __init__(self, stride: int = 2, codec: str = "stdlib"):
+        if codec == "pil":
             raise NotImplementedError(
-                "no video codec available in this environment; use fake=True"
+                "codec='pil' needs a video/image library; none is "
+                "available in this environment"
             )
+        if codec != "stdlib":
+            raise ValueError(f"unknown codec {codec!r}")
         self.stride = int(stride)
 
     @staticmethod
-    def _frames(payload: bytes):
+    def _iter_frames(payload: bytes, stride: int = 1):
+        """Yield (frame_idx, decoded frame), seeking past skipped frames."""
         if not payload.startswith(_VMAGIC):
             raise ValueError("bad magic")
         n = int.from_bytes(payload[8:10], "big")
-        w = int.from_bytes(payload[10:12], "big")
-        h = int.from_bytes(payload[12:14], "big")
-        body = np.frombuffer(payload[14:14 + n * w * h], dtype=np.uint8)
-        return body.reshape(n, h, w)
+        pos = 10
+        for i in range(n):
+            ln = int.from_bytes(payload[pos:pos + 4], "big")
+            if i % stride == 0:
+                yield i, decode_png_gray(payload[pos + 4:pos + 4 + ln])
+            pos += 4 + ln
+
+    @staticmethod
+    def _frames(payload: bytes) -> np.ndarray:
+        """Decode ALL frames (test/diagnostic helper)."""
+        return np.stack([f for _, f in SampleFrames._iter_frames(payload)])
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids, idxs, means = [], [], []
         for media_id, payload in zip(t["media_id"].to_pylist(),
                                      t["payload"].to_pylist()):
-            frames = self._frames(payload)
-            for i in range(0, frames.shape[0], self.stride):
+            for i, frame in self._iter_frames(payload, self.stride):
                 ids.append(media_id)
                 idxs.append(i)
-                means.append(int(frames[i].mean() * 1000))
+                means.append(int(frame.mean() * 1000))
         return pa.table({
             "media_id": pa.array(ids, pa.int64()),
             "frame_idx": pa.array(idxs, pa.int64()),

@@ -200,7 +200,69 @@ def test_decode_without_codec_is_explicit(ray_session):
     from lexmapr_ray.stages.multimodal import DecodeImage
 
     with pytest.raises(NotImplementedError):
-        DecodeImage(fake=False)
+        DecodeImage(codec="pil")
+
+
+def test_png_codec_roundtrip_and_all_filters():
+    """Pure-stdlib PNG codec: encode->decode is the identity, and the
+    decoder unfilters all five standard filter types (hand-filtered
+    scanlines, independently constructed here)."""
+    import struct
+    import zlib
+
+    from lexmapr_ray.stages.png import (
+        SIGNATURE, _chunk, decode_png_gray, encode_png_gray,
+    )
+
+    rng = np.random.RandomState(0)
+    for (h, w) in [(1, 1), (8, 8), (33, 17), (100, 1), (1, 100)]:
+        img = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        assert np.array_equal(decode_png_gray(encode_png_gray(img)), img)
+
+    def build(filters, img):
+        h, w = img.shape
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        lines, prev = [], np.zeros(w, np.int64)
+        for y in range(h):
+            row = img[y].astype(np.int64)
+            f = filters[y % len(filters)]
+            if f == 0:
+                filt = row.copy()
+            elif f == 1:
+                filt = row.copy()
+                filt[1:] = (row[1:] - row[:-1]) & 255
+            elif f == 2:
+                filt = (row - prev) & 255
+            elif f == 3:
+                filt = np.empty(w, np.int64)
+                for x in range(w):
+                    a = row[x - 1] if x else 0
+                    filt[x] = (row[x] - ((a + prev[x]) >> 1)) & 255
+            else:
+                filt = np.empty(w, np.int64)
+                for x in range(w):
+                    a = row[x - 1] if x else 0
+                    b, c = prev[x], (prev[x - 1] if x else 0)
+                    p = a + b - c
+                    pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (a if (pa_ <= pb_ and pa_ <= pc_)
+                            else (b if pb_ <= pc_ else c))
+                    filt[x] = (row[x] - pred) & 255
+            lines.append(bytes([f]) + bytes(filt.astype(np.uint8)))
+            prev = row
+        idat = zlib.compress(b"".join(lines))
+        return (SIGNATURE + _chunk(b"IHDR", ihdr)
+                + _chunk(b"IDAT", idat) + _chunk(b"IEND", b""))
+
+    img = rng.randint(0, 256, (16, 16)).astype(np.uint8)
+    for f in (0, 1, 2, 3, 4):
+        assert np.array_equal(decode_png_gray(build([f], img)), img)
+    assert np.array_equal(decode_png_gray(build([0, 1, 2, 3, 4], img)), img)
+
+    corrupt = bytearray(encode_png_gray(img))
+    corrupt[20] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_png_gray(bytes(corrupt))
 
 
 def test_lsh_plane_count_bounds_bucket_size_at_10x():
@@ -665,9 +727,9 @@ def test_media_resize_and_frame_sample_match_serial(ray_session, sf_dir):
             assert mean == int(frames[idx].mean() * 1000)
 
     with pytest.raises(NotImplementedError):
-        ResizeImage(fake=False)
+        ResizeImage(codec="pil")
     with pytest.raises(NotImplementedError):
-        SampleFrames(fake=False)
+        SampleFrames(codec="pil")
 
 
 def test_cosine_topk_multi_matches_numpy(ray_session, sf_dir, embs):
