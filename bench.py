@@ -168,9 +168,41 @@ def run_headline(num_cpus: int, repeats: int | None = None) -> dict:
     j1 = _cpu_jiffies()
     jt = max(1, j1["total"] - j0["total"])
     dt = statistics.median(runs)
+
+    # with-write leg: same pipeline consumed via write_parquet (sorted
+    # graph shards to local disk) — the 100-TB sink cost the count-only
+    # headline doesn't exercise.  One timed run; reported next to the
+    # no-write median so the sink overhead is a visible ratio.
+    # BENCH_WRITE=0 skips it (the --scaling legs time the count-only
+    # pipeline; doubling each leg would double the protocol's wall time).
+    if os.environ.get("BENCH_WRITE", "1") == "0":
+        return {
+            "sec": dt,
+            "runs": [round(r, 2) for r in runs],
+            "pages": BENCH_PAGES,
+            "n_triples": n_triples,
+            "pages_per_sec": BENCH_PAGES / dt,
+            "triples_per_sec": n_triples / dt,
+            "steal_frac": round((j1["steal"] - j0["steal"]) / jt, 4),
+            "busy_frac": round((j1["busy"] - j0["busy"]) / jt, 4),
+        }
+    import shutil
+
+    out_dir = f"/tmp/graft_bench_graph_{os.getpid()}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    run_kg_pipeline(
+        rd.read_parquet(corpus), lexicon_ref=lexicon_ref, batch_size=512,
+        concurrency=_pool_size(num_cpus), out_dir=out_dir,
+    )
+    sec_with_write = time.time() - t0
+    shutil.rmtree(out_dir, ignore_errors=True)
+
     return {
         "sec": dt,
         "runs": [round(r, 2) for r in runs],
+        "sec_with_write": round(sec_with_write, 2),
+        "write_overhead_ratio": round(sec_with_write / dt, 3),
         "pages": BENCH_PAGES,
         "n_triples": n_triples,
         "pages_per_sec": BENCH_PAGES / dt,
@@ -394,7 +426,7 @@ def main():
 
         def leg(ncpu):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_REPEATS="1",
-                       BENCH_PAGES=scaling_pages)
+                       BENCH_PAGES=scaling_pages, BENCH_WRITE="0")
             env.setdefault("BENCH_POOL_FRAC", "3,4")
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--headline-only"],
@@ -521,6 +553,8 @@ def main():
         "n_triples": headline["n_triples"],
         "pages_per_sec": round(headline["pages_per_sec"], 1),
         "triples_per_sec": round(headline["triples_per_sec"], 1),
+        "sec_with_write": headline.get("sec_with_write"),
+        "write_overhead_ratio": headline.get("write_overhead_ratio"),
     }))
     ray.shutdown()
 

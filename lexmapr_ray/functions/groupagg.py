@@ -65,39 +65,40 @@ def grouped_sum_count(
     Output columns: keys + sum aliases (+ count alias), globally sorted by
     *keys* (range-partitioned blocks, sorted within).
     """
+    import pyarrow as pa
+
     keys = [keys] if isinstance(keys, str) else list(keys)
     sum_cols = sum_cols or {}
     count_col = count_alias or "__n"
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return _empty(df)
-        g = df.groupby(keys, sort=False)
-        agg = {alias: (col, "sum") for alias, col in sum_cols.items()}
-        agg[count_col] = (keys[0], "size")
-        return g.agg(**agg).reset_index()
+    # Arrow-native hash aggregation on both sides (C++ kernels, zero pandas
+    # boxing — the combiner sits right behind hot per-batch stages).
+    # use_threads=False: each task owns one CPU token.  Integer sums widen
+    # to int64 (matching the engine's integer-exact convention); the final
+    # re-sorts its block so the output keeps the global key order the sort
+    # established (Arrow group_by emits hash order).
+    src_cols = list(dict.fromkeys(sum_cols.values()))
 
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return _empty_final(df)
-        out = (
-            df.groupby(keys, sort=True)[list(sum_cols) + [count_col]]
-            .sum()
-            .reset_index()
-        )
-        if count_alias is None:
-            out = out.drop(columns=[count_col])
-        return out
-
-    def _empty(df):
-        cols = {k: df[k] for k in keys}
+    def partial(t: pa.Table) -> pa.Table:
+        out = t.group_by(keys, use_threads=False).aggregate(
+            [(c, "sum") for c in src_cols] + [([], "count_all")])
+        cols = {k: out[k] for k in keys}
         for alias, col in sum_cols.items():
-            cols[alias] = df[col]
-        cols[count_col] = pd.Series([], dtype="int64")
-        return pd.DataFrame(cols)
+            cols[alias] = out[f"{col}_sum"]
+        cols[count_col] = out["count_all"]
+        return pa.table(cols)
 
-    def _empty_final(df):
-        drop = [] if count_alias is not None else [count_col]
-        return df.drop(columns=drop)
+    def final(t: pa.Table) -> pa.Table:
+        out = t.group_by(keys, use_threads=False).aggregate(
+            [(alias, "sum") for alias in sum_cols] + [(count_col, "sum")])
+        cols = {k: out[k] for k in keys}
+        for alias in sum_cols:
+            cols[alias] = out[f"{alias}_sum"]
+        if count_alias is not None:
+            cols[count_col] = out[f"{count_col}_sum"]
+        return pa.table(cols).sort_by([(k, "ascending") for k in keys])
 
-    return sorted_group_reduce(ds, keys, partial, final, bundle=bundle)
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=bundle)
+    return partials.sort(keys).map_batches(
+        final, batch_format="pyarrow", batch_size=None
+    )

@@ -185,7 +185,17 @@ def resolve_ontology_source(source: str, cache_dir: str | None = None) -> str:
     a deployment with egress, this function is the single place to add the
     download-into-cache step; everything downstream consumes local files.
     Raises ``FileNotFoundError`` with the exact expected cache path so the
-    omission is explicit rather than a silent term loss."""
+    omission is explicit rather than a silent term loss.
+
+    ``file://`` URIs resolve directly to their path — the documented
+    offline stand-in for an HTTP IRI (a config can list
+    ``file:///data/ontologies/foodon.owl`` wherever the reference would
+    list the purl.obolibrary.org URL)."""
+    if source.startswith("file://"):
+        local = source[len("file://"):]
+        if os.path.exists(local):
+            return local
+        raise FileNotFoundError(f"ontology file URI {source!r}: no such file")
     if not source.startswith(("http://", "https://")):
         return source
     name = source.rstrip("/").rsplit("/", 1)[-1]

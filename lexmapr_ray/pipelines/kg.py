@@ -98,18 +98,17 @@ def decode_triples(triples_ds):
 
 
 def _partial_mention_counts(batch: pa.Table) -> pa.Table:
-    """Per-batch combiner: collapse triples to (mention, obj, obj_label, n)."""
+    """Per-batch combiner: collapse triples to (mention, obj, obj_label, n).
+
+    Arrow-native ``Table.group_by`` (C++ hash aggregation, zero pandas
+    boxing; dictionary keys decode to plain strings in the output).
+    ``use_threads=False``: the task owns one CPU token — Arrow's internal
+    thread pool would oversubscribe it."""
     sel = batch.select(["mention", "obj", "obj_label"])
-    # decode dictionary columns: pandas groupby over Categoricals emits the
-    # full category product (observed=False) and sorts by code order
     sel = pa.table({c: pc.cast(sel[c], pa.string()) for c in sel.column_names})
-    df = sel.to_pandas()
-    out = (
-        df.groupby(["mention", "obj", "obj_label"], sort=False)
-        .size()
-        .reset_index(name="n")
-    )
-    return pa.Table.from_pandas(out, preserve_index=False)
+    out = sel.group_by(["mention", "obj", "obj_label"],
+                       use_threads=False).aggregate([([], "count_all")])
+    return out.rename_columns(["mention", "obj", "obj_label", "n"])
 
 
 def _reduce_canonical_block(df):
@@ -152,19 +151,16 @@ def _reduce_canonical_block(df):
     return out
 
 
-def _sum_partial_counts(df):
+def _sum_partial_counts(t: pa.Table) -> pa.Table:
     """Re-combine bundled partial (mention, obj, obj_label, n) rows —
-    associative, so any number of applications before the shuffle is exact."""
-    if len(df) == 0:
-        return df
-    return (
-        df.groupby(["mention", "obj", "obj_label"], sort=False)["n"]
-        .sum()
-        .reset_index()
-    )
+    associative, so any number of applications before the shuffle is exact.
+    Arrow-native hash aggregation (no pandas boxing)."""
+    out = t.group_by(["mention", "obj", "obj_label"],
+                     use_threads=False).aggregate([("n", "sum")])
+    return out.rename_columns(["mention", "obj", "obj_label", "n"])
 
 
-def canonicalize_mentions(triples_ds, *, extra_combine: bool = False):
+def canonicalize_mentions(triples_ds, *, extra_combine: bool | None = None):
     """Entity canonicalization: normalized surface form -> canonical term
     (most frequent ontology id for that surface form; ties -> lexicographic
     smallest id).
@@ -181,13 +177,16 @@ def canonicalize_mentions(triples_ds, *, extra_combine: bool = False):
         ``groupby().map_groups`` (one Python call per group) or
         ``groupby().aggregate`` (AggregateFn overhead per block dominates);
       * at 10^12 documents the per-key partial count (= n_batches) itself
-        grows unbounded; ``extra_combine=True`` inserts a further
-        barrier-free combine round — bundles of 262144 partial rows are
-        re-summed (``_sum_partial_counts``, associative), shrinking any
-        key's partial population by the bundling factor.  One round per ~3
-        orders of magnitude of batch count keeps every key's partials
-        block-sized; the default False matches the bench corpus, where the
-        partial table is already tiny.
+        grows unbounded; ``extra_combine`` inserts a further barrier-free
+        combine round — bundles of 262144 partial rows are re-summed
+        (``_sum_partial_counts``, associative), shrinking any key's partial
+        population by the bundling factor.  One round per ~3 orders of
+        magnitude of batch count keeps every key's partials block-sized.
+        The guard is ON by default (``None`` -> True): it is streaming
+        (no barrier), exact at any application count, and measured
+        cost-free at bench scale (sf0.1 warm: 4.45 s off vs 4.49 s on —
+        inside run-to-run noise), so there is nothing to size-switch;
+        pass False only to benchmark the raw two-stage shape.
     ``map_batches(batch_size=None)`` is required: a numeric batch_size would
     re-split sorted blocks mid-key and break key locality.
     """
@@ -199,9 +198,9 @@ def canonicalize_mentions(triples_ds, *, extra_combine: bool = False):
     partials = triples_ds.map_batches(
         _partial_mention_counts, batch_format="pyarrow", batch_size=65536
     )
-    if extra_combine:
+    if extra_combine is None or extra_combine:
         partials = partials.map_batches(
-            _sum_partial_counts, batch_format="pandas", batch_size=262144
+            _sum_partial_counts, batch_format="pyarrow", batch_size=262144
         )
     return partials.sort("mention").map_batches(
         _reduce_canonical_block, batch_format="pandas", batch_size=None

@@ -283,6 +283,30 @@ def test_cache_roundtrip(tmp_path):
     assert t1 == t3
 
 
+def test_config_fetches_through_file_uri_seam(tmp_path):
+    """A config listing a ``file://`` IRI builds its lookup table through
+    the resolver seam with NO custom resolve hook — the documented offline
+    stand-in for the reference's HTTP ontology fetch (ontofetch.py:158-213):
+    swap the purl URL for a file:// URI and everything downstream is
+    identical."""
+    import json as _json
+
+    from lexmapr_ray.lexkit.ontology import resolve_ontology_source
+
+    cfg = tmp_path / "bfo_file_uri.json"
+    owl = os.path.join(ONT_DIR, "bfo.owl")
+    cfg.write_text(_json.dumps([{f"file://{owl}": ""}]))
+    table = get_config_resources(str(cfg))
+    assert table["standard_resource_labels"]
+
+    # the seam itself: file:// passes through, missing file fails loudly
+    assert resolve_ontology_source(f"file://{owl}") == owl
+    import pytest
+
+    with pytest.raises(FileNotFoundError, match="no such file"):
+        resolve_ontology_source("file:///nonexistent/x.owl")
+
+
 def test_merged_into_lexicon_matches_ontology_terms():
     """End-to-end: a lexicon extended with an ontology config matches the
     ontology's terms through the standard matcher (pipeline.py:45-54)."""
