@@ -87,23 +87,27 @@ def _pool_size(num_cpus: int) -> int:
     return max(2, (num_cpus * num) // den)
 
 
-def _corpus_dir(n_pages: int) -> str:
+def _corpus_dir(n_pages: int, hot_prob: float = 0.25) -> str:
     """Materialize the deterministic pages corpus to Parquet ONCE (untimed).
 
     The engine's contract input is a Parquet pages table (BASELINE.json
     input_hint) — benching the synth generator charged ~0.4 ms/page of
     numpy RandomState churn to the pipeline and dominated the 32-CPU
     profile with allocator contention that a real read-from-storage run
-    does not have."""
+    does not have.  ``hot_prob`` > 0.25 selects the skew-stress variant
+    (separate directory; the default keeps every prior corpus path and
+    its bytes unchanged)."""
     import ray.data as rd
 
     from lexmapr_ray.sources.pages import synth_pages_dataset
 
-    path = f"/tmp/graft_bench_pages_{n_pages}"
+    suffix = "" if hot_prob == 0.25 else f"_hot{int(hot_prob * 100)}"
+    path = f"/tmp/graft_bench_pages_{n_pages}{suffix}"
     done = os.path.join(path, "_DONE")
     if not os.path.exists(done):
         synth_pages_dataset(
-            n_pages, override_num_blocks=256, batch_size=4096
+            n_pages, override_num_blocks=256, batch_size=4096,
+            hot_prob=hot_prob,
         ).write_parquet(path)
         open(done, "w").close()
     return path
@@ -367,6 +371,80 @@ def main():
             "runs_hi": [round(x, 2) for x in his],
             "pages": pages,
         }))
+        return
+
+    if "--skew" in sys.argv:
+        # Skew stress at bench scale (VERDICT r3 #4): the hot-key guards
+        # exercised, not just coded.  Two adversarial shapes, each timed
+        # next to its uniform twin:
+        #   * kg_entities (extract -> canonicalize) over a corpus whose hot
+        #     surface form appears in ~85% of pages (hot_prob=0.5/sentence)
+        #     vs the standard 0.25 corpus.  Exactness cross-check: the
+        #     auto-combine and raw two-stage shapes must hash identically
+        #     on the hot corpus (serial-oracle exactness at small scale is
+        #     tests/test_skew_stress.py's job).
+        #   * host_near_dup over sf0.1 documents with ONE host owning 50%
+        #     of all docs (docs_per_host = n/2) vs the default 16-doc
+        #     hosts.
+        import pandas as pd
+
+        _init_ray(NUM_CPUS)
+        import ray
+        import ray.data as rd
+
+        from lexmapr_ray.pipelines.kg import (broadcast_lexicon,
+                                              canonicalize_mentions,
+                                              extract_triples)
+        from lexmapr_ray.stages.dedup import host_near_dup
+
+        skew_pages = int(os.environ.get("SKEW_PAGES", str(BENCH_PAGES)))
+        ref = broadcast_lexicon()
+        pool = _pool_size(NUM_CPUS)
+        out = {"metric": "skew_stress", "unit": "sec",
+               "num_cpus": NUM_CPUS, "pages": skew_pages}
+
+        def entities(corpus, **kw):
+            return canonicalize_mentions(
+                extract_triples(rd.read_parquet(corpus), ref,
+                                concurrency=pool, batch_size=512), **kw)
+
+        hashes = {}
+        for tag, hot in (("uniform", 0.25), ("hot50", 0.5)):
+            corpus = _corpus_dir(skew_pages, hot_prob=hot)
+            # warm pilot (actor cold start, parquet footers) — untimed
+            canonicalize_mentions(extract_triples(
+                rd.read_parquet(corpus).limit(2000), ref,
+                concurrency=pool, batch_size=512)).count()
+            t0 = time.time()
+            df = entities(corpus).to_pandas()
+            out[f"kg_entities_{tag}_sec"] = round(time.time() - t0, 2)
+            out[f"kg_entities_{tag}_rows"] = len(df)
+            hashes[tag] = int(pd.util.hash_pandas_object(
+                df.sort_values("mention").reset_index(drop=True)).sum())
+            if tag == "hot50":
+                # the hot phrase matches via its component surface
+                # ("breast"); report the top key's corpus share
+                out["hot_share_pct"] = int(
+                    100 * df["n_mentions"].max() / df["n_mentions"].sum())
+        # exactness cross-check under a different reduction shape: the raw
+        # two-stage pipeline (no extra combine round) must agree on the
+        # hot corpus bit-for-bit
+        raw = entities(_corpus_dir(skew_pages, hot_prob=0.5),
+                       extra_combine=False).to_pandas()
+        raw_hash = int(pd.util.hash_pandas_object(
+            raw.sort_values("mention").reset_index(drop=True)).sum())
+        out["hot50_combine_shapes_agree"] = bool(raw_hash == hashes["hot50"])
+
+        docs = f"{SF_DIR}/documents.parquet"
+        n_docs = rd.read_parquet(docs).count()
+        for tag, dph in (("uniform", 16), ("hot50", max(n_docs // 2, 1))):
+            t0 = time.time()
+            n = host_near_dup(SF_DIR, docs_per_host=dph).count()
+            out[f"host_near_dup_{tag}_sec"] = round(time.time() - t0, 2)
+            out[f"host_near_dup_{tag}_pairs"] = n
+        out["value"] = out["kg_entities_hot50_sec"]
+        print(json.dumps(out))
+        ray.shutdown()
         return
 
     if "--pool-scaling" in sys.argv:

@@ -255,6 +255,107 @@ def fetch_ontology(path: str, root_uri: str = OWL_THING,
     return {"specifications": specifications}
 
 
+# ontofetch.py:76 FIELDS + ontohelper.py:50 SYNONYM_FIELDS — the reference's
+# TSV column order, reproduced verbatim.
+ONTOFETCH_FIELDS = [
+    "id", "parent_id", "language", "ontology", "other_parents", "label",
+    "definition", "ul_label", "ui_definition", "ui_help", "deprecated",
+    "replaced_by",
+]
+ONTOFETCH_SYNONYM_FIELDS = [
+    "oboInOwl_hasSynonym", "oboInOwl_hasBroadSynonym",
+    "oboInOwl_hasExactSynonym", "oboInOwl_hasNarrowSynonym", "IAO_0000118",
+]
+# ontohelper.py:67-78 hardcoded JSON-LD @context seed.
+ONTOFETCH_CONTEXT = {
+    "owl": "http://www.w3.org/2002/07/owl#",
+    "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+    "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "oboInOwl": "http://www.geneontology.org/formats/oboInOwl#",
+    "xmls": "http://www.w3.org/2001/XMLSchema#",
+    "vcard": "http://www.w3.org/2006/vcard/ns#",
+    "vcf": "http://ncicb.nci.nih.gov/xml/owl/EVS/Thesaurus.owl#",
+    "dc": "http://purl.org/dc/elements/1.1/",
+    "terms": "http://purl.org/dc/terms/",
+    "NDF-RT": "http://evs.nci.nih.gov/ftp1/NDF-RT/NDF-RT.owl#",
+}
+
+_DC_TITLE = "{http://purl.org/dc/elements/1.1/}title"
+_TERMS_TITLE = "{http://purl.org/dc/terms/}title"
+_TERMS_LICENSE = "{http://purl.org/dc/terms/}license"
+_OWL_VERSION_IRI = _OWL + "versionIRI"
+
+
+def parse_ontology_metadata(path: str) -> dict:
+    """The subset of ontohelper's ``ontology_metadata`` query
+    (ontohelper.py:118-130: dc/terms title, license, versionIRI, resource
+    URI) that an offline RDF/XML header carries."""
+    meta: dict = {}
+    root = ET.parse(path).getroot()
+    for onto in root.iter(_OWL + "Ontology"):
+        uri = onto.get(_RDF + "about")
+        if uri:
+            meta["resource"] = uri
+            meta["prefix"] = get_entity_id(uri).split(":", 1)[0]
+        for tag, key in ((_DC_TITLE, "title"), (_TERMS_TITLE, "title"),
+                         (_TERMS_LICENSE, "license")):
+            el = onto.find(tag)
+            if el is not None and el.text and key not in meta:
+                meta[key] = el.text
+        ver = onto.find(_OWL_VERSION_IRI)
+        if ver is not None and ver.get(_RDF + "resource"):
+            meta["versionIRI"] = ver.get(_RDF + "resource")
+        break
+    return meta
+
+
+def write_ontology_artifacts(source: str, out_dir: str,
+                             root_uri: str = OWL_THING,
+                             cache_dir: str | None = None) -> tuple[str, str]:
+    """Emit the reference's fetched-ontology interchange artifacts:
+    ``<name>.json`` (the ``{"@context", "metadata", "specifications"}``
+    struct, ontohelper.py:520-525 ``do_output_json`` — ``sort_keys=False``,
+    ``indent=4``, ``separators=(',', ': ')``) and ``<name>.tsv``
+    (ontohelper.py:527-555 ``do_output_tsv`` — FIELDS + SYNONYM_FIELDS
+    header, lists |-joined, tabs/newlines scrubbed to spaces).
+
+    Faithfully mirrored quirk: the reference's TSV looks specifications up
+    by the UNDERSCORE field names (``oboInOwl_hasSynonym``) while the
+    fetch stores them under colon keys (``oboInOwl:hasSynonym``,
+    ontofetch.py:363-367), so the synonym columns are always empty in the
+    reference's TSV output — and therefore in ours.
+
+    Returns ``(json_path, tsv_path)``."""
+    path = resolve_ontology_source(source, cache_dir)
+    name = os.path.basename(path).rsplit(".", 1)[0]
+    fetched = fetch_ontology(path, root_uri)
+    struct = {
+        "@context": dict(ONTOFETCH_CONTEXT),
+        "metadata": parse_ontology_metadata(path),
+        "specifications": fetched["specifications"],
+    }
+    os.makedirs(out_dir, exist_ok=True)
+    json_path = os.path.join(out_dir, name + ".json")
+    with open(json_path, "w") as f:
+        f.write(json.dumps(struct, sort_keys=False, indent=4,
+                           separators=(",", ": ")))
+
+    fields = ONTOFETCH_FIELDS + ONTOFETCH_SYNONYM_FIELDS
+    lines = ["\t".join(fields)]
+    for entity in struct["specifications"].values():
+        row = []
+        for field in fields:
+            value = entity.get(field, "")
+            if isinstance(value, list):
+                value = "|".join(value)
+            row.append(str(value).replace("\t", " ").replace("\n", " "))
+        lines.append("\t".join(row))
+    tsv_path = os.path.join(out_dir, name + ".tsv")
+    with open(tsv_path, "w") as f:
+        f.write("\n".join(lines))
+    return json_path, tsv_path
+
+
 def add_fetched_ontology_to_lookup_table(lookup_table: dict, fetched_ontology: dict) -> dict:
     """Port of pipeline_resources.py:310-408 (same key-by-key behavior)."""
     for resource in fetched_ontology["specifications"].values():

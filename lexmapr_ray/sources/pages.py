@@ -79,15 +79,22 @@ def extract_text(html: bytes) -> str:
     return unescape_html(html[start:end])
 
 
-def synth_page(index: int, seed: int = 42) -> dict:
-    """Deterministic page #*index* — pure function of (seed, index)."""
+def synth_page(index: int, seed: int = 42, hot_prob: float = 0.25) -> dict:
+    """Deterministic page #*index* — pure function of (seed, index).
+
+    ``hot_prob`` is the per-sentence probability of the hot surface form
+    ("chicken breast"); the default 0.25 keeps the corpus byte-identical
+    to every prior round's bench corpus.  ``hot_prob=0.5`` is the skew
+    stress corpus (one surface form in ~1-(1-p)^sentences ≈ 85% of
+    pages) — same rand() call sequence, so only the hot-token decision
+    changes."""
     rng = np.random.RandomState((seed * 1_000_003 + index) % (2**31 - 1))
     n_sentences = rng.randint(2, 7)
     sentences = []
     for _ in range(n_sentences):
         toks: list[str] = []
-        if rng.rand() < 0.25:
-            toks.append(_HOT_PHRASE)  # skew: hot entity in ~25% of pages
+        if rng.rand() < hot_prob:
+            toks.append(_HOT_PHRASE)  # skew: hot entity
         n_phrases = rng.randint(0, 3)
         for _ in range(n_phrases):
             toks.append(_MATCHABLE_PHRASES[rng.randint(len(_MATCHABLE_PHRASES))])
@@ -109,9 +116,9 @@ def synth_page(index: int, seed: int = 42) -> dict:
     }
 
 
-def synth_pages_table(indices) -> pa.Table:
+def synth_pages_table(indices, hot_prob: float = 0.25) -> pa.Table:
     """Arrow pages table for a batch of indices (vector synth helper)."""
-    rows = [synth_page(int(i)) for i in indices]
+    rows = [synth_page(int(i), hot_prob=hot_prob) for i in indices]
     return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
 
 
@@ -119,6 +126,7 @@ def synth_pages_dataset(
     n_pages: int,
     override_num_blocks: int | None = None,
     batch_size: int = 512,
+    hot_prob: float = 0.25,
 ):
     """Distributed deterministic synthesis: ``range(n) -> map_batches``.
 
@@ -131,7 +139,7 @@ def synth_pages_dataset(
 
     ds = rd.range(n_pages, override_num_blocks=override_num_blocks)
     return ds.map_batches(
-        lambda b: synth_pages_table(b["id"]),
+        lambda b: synth_pages_table(b["id"], hot_prob=hot_prob),
         batch_format="numpy",
         batch_size=batch_size,
     )

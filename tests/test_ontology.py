@@ -448,3 +448,46 @@ def test_resolve_ontology_source_cache_seam(tmp_path):
     with pytest.raises(FileNotFoundError, match="no network egress"):
         resolve_ontology_source("https://example.org/missing.owl",
                                 cache_dir=str(tmp_path))
+
+
+def test_write_ontology_artifacts(tmp_path):
+    """Artifact parity with ontofetch's JSON/TSV interchange emission
+    (ontohelper.py:520-555): the .json carries the full
+    {"@context", "metadata", "specifications"} struct, the .tsv the
+    FIELDS+SYNONYM_FIELDS header with |-joined lists — including the
+    reference's own quirk that TSV synonym columns come out empty (it
+    looks up underscore field names while the fetch stores colon keys)."""
+    import json as _json
+
+    from lexmapr_ray.lexkit.ontology import (ONTOFETCH_FIELDS,
+                                             ONTOFETCH_SYNONYM_FIELDS,
+                                             write_ontology_artifacts)
+
+    jp, tp = write_ontology_artifacts(
+        os.path.join(ONT_DIR, "bfo.owl"), str(tmp_path))
+    assert os.path.basename(jp) == "bfo.json"
+    assert os.path.basename(tp) == "bfo.tsv"
+
+    struct = _json.loads(open(jp).read())
+    assert list(struct) == ["@context", "metadata", "specifications"]
+    assert struct["@context"]["owl"] == "http://www.w3.org/2002/07/owl#"
+    assert struct["metadata"]["resource"] == \
+        "http://purl.obolibrary.org/obo/bfo.owl"
+    assert "versionIRI" in struct["metadata"]
+    # same specifications the lookup-table builder consumes
+    assert struct["specifications"] == fetch_ontology(
+        os.path.join(ONT_DIR, "bfo.owl"), OWL_THING)["specifications"]
+    # reference emission format: 4-space indent, no sorted keys
+    raw = open(jp).read()
+    assert raw.startswith('{\n    "@context"')
+
+    lines = open(tp).read().split("\n")
+    header = lines[0].split("\t")
+    assert header == ONTOFETCH_FIELDS + ONTOFETCH_SYNONYM_FIELDS
+    assert len(lines) == 1 + len(struct["specifications"])
+    rows = [dict(zip(header, l.split("\t"))) for l in lines[1:]]
+    by_id = {r["id"]: r for r in rows}
+    assert by_id["BFO:0000002"]["parent_id"] == "BFO:0000001"
+    assert by_id["BFO:0000002"]["label"] == "continuant"
+    # the mirrored reference quirk: synonym TSV columns are empty
+    assert all(r[f] == "" for r in rows for f in ONTOFETCH_SYNONYM_FIELDS)
