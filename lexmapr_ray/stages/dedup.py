@@ -32,20 +32,33 @@ _HASH_B = _RNG.randint(0, _MERSENNE, size=NUM_HASHES, dtype=np.int64).astype(np.
 
 
 
-def _auto_concurrency(requested=None) -> int:
-    """Actor-pool size that cannot starve the rest of the pipeline: a pool
-    of (CPUs - 2) leaves only two slots for read/join/sort tasks and the
-    whole DAG dribbles (measured: minhash at sf0.1 went from minutes to
-    seconds); 7/8 of CPUs is the r3 optimum — with push-based shuffle the
+def _auto_concurrency(requested=None):
+    """Actor-pool sizing that cannot starve the rest of the pipeline: a
+    pool of (CPUs - 2) leaves only two slots for read/join/sort tasks and
+    the whole DAG dribbles (measured: minhash at sf0.1 went from minutes
+    to seconds); 7/8 of CPUs is the r3 cap — with push-based shuffle the
     sort work overlaps the pool, so compute-heavy actors deserve nearly
-    the whole node (minhash at sf0.1: pool 28 -> 10.1-10.6 s vs pool 20
-    -> 13.0 s, interleaved; the old 5/8 dated from the simple-shuffle
-    sort)."""
+    the whole node.
+
+    The default is the AUTOSCALING pool ``(2, cap)``, not a fixed pool of
+    ``cap`` (r4): a fixed pool spawns ``cap`` actor processes even when
+    the input has far fewer blocks, and that burst of unneeded spawns
+    intermittently straggled 6-20 s on this host (minhash_index_dedup at
+    sf0.1: fixed-28 walls [2.0, 18.3, 1.8, 7.5, 1.9, 8.3] vs
+    autoscaling-(2,28) [3.1, 2.2, 1.4, 1.6, 1.3, 2.3, 1.5, 1.7] —
+    BENCH_r03's 3.4 s vs the r4 full-suite 19.4 s outlier was exactly
+    this).  With corpus-scale inputs the autoscaler ramps to ``cap``
+    within the first seconds, so steady-state throughput is unchanged;
+    only the flagship matcher pool (pipelines/kg.py) keeps a fixed size,
+    where thousands of input blocks make every actor useful immediately.
+    An explicit ``requested`` int is honored as a fixed pool (capped)."""
     import ray
 
+    if isinstance(requested, tuple):  # idempotent under re-application
+        return requested
     cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
     cap = max(1, (cpus * 7) // 8)
-    return min(requested, cap) if requested else cap
+    return min(requested, cap) if requested else (min(2, cap), cap)
 
 
 def _read_documents(sf_dir: str, columns=None):

@@ -45,20 +45,20 @@ def _token_counts(texts) -> np.ndarray:
 
 
 
-def _auto_concurrency(requested=None) -> int:
-    """Actor-pool size that cannot starve the rest of the pipeline: a pool
-    of (CPUs - 2) leaves only two slots for read/join/sort tasks and the
-    whole DAG dribbles (measured: minhash at sf0.1 went from minutes to
-    seconds); 7/8 of CPUs is the r3 optimum — with push-based shuffle the
-    sort work overlaps the pool, so compute-heavy actors deserve nearly
-    the whole node (minhash at sf0.1: pool 28 -> 10.1-10.6 s vs pool 20
-    -> 13.0 s, interleaved; the old 5/8 dated from the simple-shuffle
-    sort)."""
+def _auto_concurrency(requested=None):
+    """Actor-pool sizing that cannot starve the rest of the pipeline
+    (same policy + measurements as ``stages/dedup.py::_auto_concurrency``):
+    default = AUTOSCALING ``(2, 7/8-of-CPUs)`` — a fixed full-size pool
+    spawns actors the input's block count can't use and that spawn burst
+    intermittently straggled 6-20 s on this host; an explicit
+    ``requested`` int is honored as a fixed pool (capped)."""
     import ray
 
+    if isinstance(requested, tuple):  # idempotent under re-application
+        return requested
     cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
     cap = max(1, (cpus * 7) // 8)
-    return min(requested, cap) if requested else cap
+    return min(requested, cap) if requested else (min(2, cap), cap)
 
 
 def _read_documents(sf_dir: str, columns=None):
