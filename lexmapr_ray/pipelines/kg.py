@@ -69,8 +69,15 @@ def extract_triples(
         # push-based shuffle overlaps the sort in the spare 1/8.  r3
         # sweeps: pool 28 > 20 at 32 CPUs, pool 7 > 5 at 8 CPUs; the r2
         # "5/8" optimum was an artifact of the since-replaced
-        # simple-shuffle sort's fat combiner tasks
-        concurrency = max(2, (int(ray.cluster_resources().get("CPU", 4)) * 7) // 8)
+        # simple-shuffle sort's fat combiner tasks.  The DEFAULT is the
+        # autoscaling pool (2, cap): launching a full fixed pool against a
+        # small input (a 5k-doc gate query = ~10 blocks) intermittently
+        # straggles 6-20 s on unneeded actor spawns (see
+        # stages/dedup.py::_auto_concurrency); production-scale callers
+        # (bench.py, run shards) pass an explicit int for the fixed-size
+        # pool whose one-time spin-up amortizes over thousands of blocks.
+        cap = max(2, (int(ray.cluster_resources().get("CPU", 4)) * 7) // 8)
+        concurrency = (2, cap)
     ds = pages_ds.map_batches(extract_text_stage, batch_format="pyarrow")
     return ds.map_batches(
         MentionMatcher,
