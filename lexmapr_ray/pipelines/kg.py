@@ -261,6 +261,8 @@ def _block_dedup_sorted(t: pa.Table) -> pa.Table:
     return t.filter(pa.array(keep))
 
 
+
+
 def dedup_triples(triples_ds):
     """Exact (subj, pred, obj) dedup, one shuffle, fully vectorized:
     per-batch local dedup (combiner) -> global sort on the triple key
@@ -280,6 +282,15 @@ def dedup_triples(triples_ds):
     # (262k's fat final-reduce blocks serialize after the pool drains).
     # The r3-interim 32k choice was tuned for the simple-shuffle sort that
     # push-based shuffle replaced.
+    #
+    # Measured negative result (r4): re-dictionary-encoding the payload
+    # columns (obj_label, mention, status — ~half the row bytes) between
+    # the combiner and the sort is consistently 1-2 s SLOWER at 1M
+    # pages/32 CPUs (interleaved pairs 26.7/28.5, 26.3/26.7, 24.0/25.6):
+    # on one node the object store is shared memory, so the byte savings
+    # buy nothing while the encode + per-chunk dictionary handling in the
+    # sort costs real CPU.  On a multi-node cluster where the sort crosses
+    # NICs the trade flips — revisit there; plain strings here.
     ds = triples_ds.map_batches(
         _block_dedup_sorted, batch_format="pyarrow", batch_size=131072
     )
