@@ -2604,3 +2604,21 @@ def test_revenue_rollup_level_conservation(ray_session, sf_dir):
     for row in subs.itertuples():
         assert row.total_cents == per_nation[row.n_name]
     assert grand == subs["total_cents"].sum() == detail["total_cents"].sum()
+
+
+def test_auto_concurrency_pool_sizing(ray_session):
+    """Pool-sizing contract (r4): default = autoscaling (2, 7/8·cpus)
+    tuple — a fixed full-size pool intermittently straggles 6-20 s
+    spawning actors a small input can't use; explicit ints are honored
+    (capped); tuples pass through unchanged (the helper is applied twice
+    on the _verified_pairs path)."""
+    from lexmapr_ray.stages import dedup, textstats
+
+    for mod in (dedup, textstats):
+        auto = mod._auto_concurrency
+        lo, cap = auto()
+        assert lo == 2 and cap >= 2          # autoscaling default
+        assert auto(cap + 100) == cap        # explicit int capped
+        assert auto(2) == 2                  # explicit int honored
+        assert auto((3, 9)) == (3, 9)        # idempotent re-application
+        assert auto(auto()) == auto()
