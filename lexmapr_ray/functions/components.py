@@ -34,11 +34,38 @@ from lexmapr_ray.functions.groupagg import sorted_group_reduce
 from lexmapr_ray.functions.joins import bucketed_hash_join
 
 
+DRIVER_SWITCH_LIMIT = 2_000_000
+
+
+def _serial_union_find(edges_df: pd.DataFrame, nodes) -> pd.DataFrame:
+    """Driver-side union-find with union-by-min + path compression: the
+    representative IS the component's minimum id, definitionally identical
+    to the distributed fixpoint."""
+    parent: dict = {n: n for n in nodes}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(edges_df["ea"], edges_df["eb"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return pd.DataFrame({"node": list(nodes),
+                         "label": [find(n) for n in nodes]})
+
+
 def min_label_components(edges, nodes, *, a_col: str = "a", b_col: str = "b",
                          node_col: str = "node",
                          key_type: pa.DataType | None = None,
                          num_buckets: int = 32,
-                         max_iters: int | None = None):
+                         max_iters: int | None = None,
+                         switch_limit: int = DRIVER_SWITCH_LIMIT):
     """Connected components over an undirected edge Dataset.
 
     ``edges``: Dataset with columns ``a_col``/``b_col`` (each row one
@@ -50,7 +77,19 @@ def min_label_components(edges, nodes, *, a_col: str = "a", b_col: str = "b",
 
     Both inputs are materialized once up front: the edge list is re-scanned
     every round, and labels drive the per-round convergence count.  These
-    are OBJECT-STORE materializations; nothing lands on the driver.
+    are OBJECT-STORE materializations; nothing lands on the driver in the
+    distributed path.
+
+    SIZE-SWITCHED like BPE's merge rounds (stages/bpe.py): below
+    ``switch_limit`` total (nodes + edges) rows the iterative loop's
+    per-round fixed cost (2 bucketed joins + a sort + 2 materializes,
+    x O(log diameter) rounds) dwarfs the actual work, so a driver-side
+    union-find with union-by-min produces the definitionally identical
+    labelling in one pass over a small table (kg_components at the
+    sf0.01 gate: ~6 s -> the cooccurrence build alone).  Above the limit
+    — web-scale near-dup graphs — the distributed min-label +
+    pointer-jump loop runs unchanged.  Set ``switch_limit=0`` to force
+    the distributed path (tests pin both paths equal).
     """
     if key_type is None:
         key_type = nodes.schema().field(node_col).type
@@ -67,8 +106,18 @@ def min_label_components(edges, nodes, *, a_col: str = "a", b_col: str = "b",
                             "label": _key(t[node_col])}),
         batch_format="pyarrow",
     ).materialize()
+    n_nodes = labels.count()
+    if n_nodes + edges.count() <= switch_limit:
+        import ray.data as rd
+
+        out = _serial_union_find(
+            edges.to_pandas(),
+            labels.to_pandas()["node"].tolist())
+        return rd.from_arrow(pa.table({
+            "node": pa.array(out["node"], key_type),
+            "label": pa.array(out["label"], key_type),
+        })).materialize()
     if max_iters is None:
-        n_nodes = labels.count()
         max_iters = 2 * math.ceil(math.log2(max(2, n_nodes))) + 8
 
     label_schema = pa.schema([("node", key_type), ("label", key_type)])

@@ -5,6 +5,7 @@ reference, and the host-curation invariants the oracle gate can't see
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -98,10 +99,18 @@ def test_min_label_components_string_keys(ray_session):
         "b": pa.array([b for _, b in edge_list], pa.string()),
     }))
     nodes = rd.from_arrow(pa.table({"node": pa.array(node_ids, pa.string())}))
-    got = min_label_components(edges, nodes, key_type=pa.string(),
-                               num_buckets=4).to_pandas()
-    labels = dict(zip(got["node"], got["label"]))
-    assert {labels[f"n{i:02d}"] for i in range(9)} == {"n00"}
-    assert labels["za"] == labels["zb"] == labels["zc"] == "za"
-    assert labels["iso1"] == "iso1" and labels["iso2"] == "iso2"
-    assert len(got) == len(node_ids)
+    # BOTH paths of the size switch: switch_limit=0 forces the distributed
+    # min-label + pointer-jump loop; the default takes driver union-find.
+    # They must agree row-for-row (the switch is a pure execution choice).
+    results = {}
+    for tag, limit in (("serial", 2_000_000), ("distributed", 0)):
+        got = min_label_components(edges, nodes, key_type=pa.string(),
+                                   num_buckets=4, switch_limit=limit) \
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        results[tag] = got
+        labels = dict(zip(got["node"], got["label"]))
+        assert {labels[f"n{i:02d}"] for i in range(9)} == {"n00"}
+        assert labels["za"] == labels["zb"] == labels["zc"] == "za"
+        assert labels["iso1"] == "iso1" and labels["iso2"] == "iso2"
+        assert len(got) == len(node_ids)
+    pd.testing.assert_frame_equal(results["serial"], results["distributed"])
