@@ -182,6 +182,7 @@ _DRIVER_PRIORITY = [
     "host_near_dup",
     "bloom_decontaminate",
     "minhash_index_dedup",
+    "minhash_index_dedup_persisted",
     "cosine_topk_multi",
     "knn_graph",
     "hybrid_search",
@@ -308,6 +309,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_decontaminate": dedup.bloom_decontaminate,
         "minhash_dedup_pairs": dedup.minhash_dedup_pairs,
         "minhash_index_dedup": dedup.minhash_index_dedup,
+        # same verdicts, existing side served from the persisted parquet
+        # LSH index (write-once at curation, read-back at ingest)
+        "minhash_index_dedup_persisted": dedup.minhash_index_dedup_persisted,
         "near_dup_clusters": dedup.near_dup_clusters,
         "corpus_clean": dedup.corpus_clean,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -1367,6 +1371,14 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_a, doc_b
         """,
         "minhash_index_dedup": """
+            SELECT doc_id, dup_of, jaccard_pct
+            FROM read_parquet('/root/repo/expected/op_minhash_index_dedup.parquet')
+            WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)
+            ORDER BY doc_id
+        """,
+        # the persisted-index topology must produce row-identical verdicts
+        # to the recompute path, so it shares its serial oracle
+        "minhash_index_dedup_persisted": """
             SELECT doc_id, dup_of, jaccard_pct
             FROM read_parquet('/root/repo/expected/op_minhash_index_dedup.parquet')
             WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)

@@ -15,6 +15,7 @@ Scale design:
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pandas as pd
@@ -1044,17 +1045,98 @@ def minhash_index_dedup(sf_dir: str, threshold: float = 0.8,
 
     Output: (doc_id, dup_of, jaccard_pct) for flagged new docs only.
     """
-    import pandas as pd
-
-    from lexmapr_ray.functions.joins import bucketed_hash_join
-    from lexmapr_ray.stages.textstats import md5_permille
-
     docs = _read_documents(sf_dir, ["doc_id", "text"])
     banded = docs.map_batches(
         MinHasher, batch_format="pyarrow",
         fn_constructor_kwargs={"shingle_kind": "word"},
         concurrency=_auto_concurrency(concurrency),
     )
+    return _index_dedup_verdicts(banded, docs, threshold, existing_permille)
+
+
+def build_minhash_bucket_index(sf_dir: str, index_dir: str,
+                               existing_permille: int = 700,
+                               concurrency: int | None = None) -> str:
+    """Persist the curated corpus's banded-LSH rows as a Parquet index —
+    the write-once artifact :func:`minhash_index_dedup`'s step 1 promises:
+    at 100 TB the existing side is banded ONCE at curation time and every
+    subsequent ingest batch reads the (doc_id, bucket) index back instead
+    of re-banding petabytes of text.  Rows are stored UNPRUNED — the
+    singleton-bucket prefilter is a property of (index ∪ new-batch) rows,
+    so it must run at ingest time, not here.  An ``_INDEXED`` marker makes
+    the build idempotent/resumable-safe."""
+    from lexmapr_ray.stages.textstats import md5_permille
+
+    docs = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def keep_existing(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(
+            md5_permille(t["doc_id"]) < existing_permille))
+
+    docs.map_batches(keep_existing, batch_format="pyarrow").map_batches(
+        MinHasher, batch_format="pyarrow",
+        fn_constructor_kwargs={"shingle_kind": "word"},
+        concurrency=_auto_concurrency(concurrency),
+    ).write_parquet(index_dir)
+    open(os.path.join(index_dir, "_INDEXED"), "w").close()
+    return index_dir
+
+
+def minhash_index_dedup_persisted(sf_dir: str, index_dir: str | None = None,
+                                  threshold: float = 0.8,
+                                  existing_permille: int = 700,
+                                  concurrency: int | None = None):
+    """:func:`minhash_index_dedup` with the existing side served from the
+    PERSISTED parquet index (:func:`build_minhash_bucket_index`) instead of
+    recomputed — the actual ingest-time topology.  Only the NEW side's text
+    is banded; the union of new rows + index rows feeds the identical
+    prefilter/candidate/verify/argmax tail, so the verdicts are
+    row-identical to the recompute path (pinned by test and by sharing the
+    recompute path's SQL oracle).  Builds the index on first use
+    (idempotent ``_INDEXED`` marker), default location keyed by corpus path
+    + split gate under /tmp."""
+    import ray.data as rd
+
+    from lexmapr_ray.stages.textstats import md5_permille
+
+    if index_dir is None:
+        tag = hashlib.md5(f"{os.path.abspath(sf_dir)}:{existing_permille}"
+                          .encode()).hexdigest()[:12]
+        index_dir = f"/tmp/lexmapr_minhash_index_{tag}"
+    if not os.path.exists(os.path.join(index_dir, "_INDEXED")):
+        build_minhash_bucket_index(sf_dir, index_dir,
+                                   existing_permille=existing_permille,
+                                   concurrency=concurrency)
+
+    docs = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def keep_new(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(
+            md5_permille(t["doc_id"]) >= existing_permille))
+
+    new_banded = docs.map_batches(keep_new, batch_format="pyarrow") \
+        .map_batches(
+            MinHasher, batch_format="pyarrow",
+            fn_constructor_kwargs={"shingle_kind": "word"},
+            concurrency=_auto_concurrency(concurrency),
+        )
+    banded = new_banded.union(
+        rd.read_parquet(index_dir, columns=["doc_id", "bucket"]))
+    return _index_dedup_verdicts(banded, docs, threshold, existing_permille)
+
+
+def _index_dedup_verdicts(banded, docs, threshold: float,
+                          existing_permille: int):
+    """Shared tail of the incremental-dedup topology: singleton prefilter,
+    bucket-sorted cross-side candidates, distributed exact-Jaccard verify,
+    per-new-doc argmax verdict.  ``banded`` rows may come from a live
+    MinHasher pass, a persisted index, or their union — identical rows
+    give identical verdicts."""
+    import pandas as pd
+
+    from lexmapr_ray.functions.joins import bucketed_hash_join
+    from lexmapr_ray.stages.textstats import md5_permille
+
     banded = _prune_singleton_buckets(banded)
 
     def tag(t: pa.Table) -> pa.Table:

@@ -2622,3 +2622,33 @@ def test_auto_concurrency_pool_sizing(ray_session):
         assert auto(2) == 2                  # explicit int honored
         assert auto((3, 9)) == (3, 9)        # idempotent re-application
         assert auto(auto()) == auto()
+
+
+def test_minhash_index_dedup_persisted_equals_recompute(ray_session, sf_dir,
+                                                        tmp_path):
+    """The persisted-LSH-index ingest topology (band the new side only,
+    union with the write-once (doc_id, bucket) parquet index) must yield
+    verdicts row-identical to the recompute path — and the second call
+    must reuse the index (idempotent _INDEXED marker), not rebuild it."""
+    import os
+
+    import pandas as pd
+
+    from lexmapr_ray.stages.dedup import (build_minhash_bucket_index,
+                                          minhash_index_dedup,
+                                          minhash_index_dedup_persisted)
+
+    idx = str(tmp_path / "mh_index")
+    base = minhash_index_dedup(sf_dir).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    got = minhash_index_dedup_persisted(sf_dir, index_dir=idx).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, got)
+
+    marker = os.path.join(idx, "_INDEXED")
+    assert os.path.exists(marker)
+    stamp = os.path.getmtime(marker)
+    again = minhash_index_dedup_persisted(sf_dir, index_dir=idx).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, again)
+    assert os.path.getmtime(marker) == stamp  # index not rebuilt
