@@ -183,6 +183,7 @@ _DRIVER_PRIORITY = [
     "bloom_decontaminate",
     "minhash_index_dedup",
     "minhash_index_dedup_persisted",
+    "ann_ivf_topk_persisted",
     "cosine_topk_multi",
     "knn_graph",
     "hybrid_search",
@@ -321,6 +322,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_topk_multi": similarity.cosine_topk_multi,
         "ann_lsh_topk": similarity.ann_lsh_topk,
         "ann_ivf_topk": similarity.ann_ivf_topk,
+        # same answer probing the PERSISTED partitioned IVF index (only
+        # the nprobe partitions are read from storage)
+        "ann_ivf_topk_persisted": similarity.ann_ivf_topk_persisted,
         "embedding_near_dup": similarity.embedding_near_dup_pairs,
         "knn_graph": similarity.knn_graph,
         "hybrid_search": similarity.hybrid_search,
@@ -1464,6 +1468,15 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY sim_bp DESC, vec_id
         """,
         "ann_ivf_topk": """
+            SELECT vec_id, sim_bp
+            FROM read_parquet('/root/repo/expected/op_ann_ivf_topk.parquet')
+            WHERE emb_checksum = (SELECT SUM(CAST(FLOOR(CAST(embedding[1] AS DOUBLE)
+                                  * 1000000) AS BIGINT)) FROM embeddings)
+            ORDER BY sim_bp DESC, vec_id
+        """,
+        # persisted-index probe: row-identical to the recompute path by
+        # construction, so it shares the serial oracle
+        "ann_ivf_topk_persisted": """
             SELECT vec_id, sim_bp
             FROM read_parquet('/root/repo/expected/op_ann_ivf_topk.parquet')
             WHERE emb_checksum = (SELECT SUM(CAST(FLOOR(CAST(embedding[1] AS DOUBLE)

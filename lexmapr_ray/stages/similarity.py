@@ -8,26 +8,28 @@ plus embedding-cosine near-duplicate detection.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 
 
-def _auto_concurrency(requested=None) -> int:
-    """Actor-pool size that cannot starve the rest of the pipeline: a pool
-    of (CPUs - 2) leaves only two slots for read/join/sort tasks and the
-    whole DAG dribbles (measured: minhash at sf0.1 went from minutes to
-    seconds); 7/8 of CPUs is the r3 optimum — with push-based shuffle the
-    sort work overlaps the pool, so compute-heavy actors deserve nearly
-    the whole node (minhash at sf0.1: pool 28 -> 10.1-10.6 s vs pool 20
-    -> 13.0 s, interleaved; the old 5/8 dated from the simple-shuffle
-    sort)."""
+def _auto_concurrency(requested=None):
+    """Actor-pool sizing that cannot starve the rest of the pipeline
+    (same policy + measurements as ``stages/dedup.py::_auto_concurrency``):
+    default = AUTOSCALING ``(2, 7/8-of-CPUs)`` — a fixed full-size pool
+    spawns actors the input's block count can't use and that spawn burst
+    intermittently straggled 6-20 s on this host; an explicit
+    ``requested`` int is honored as a fixed pool (capped)."""
     import ray
 
+    if isinstance(requested, tuple):  # idempotent under re-application
+        return requested
     cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
     cap = max(1, (cpus * 7) // 8)
-    return min(requested, cap) if requested else cap
+    return min(requested, cap) if requested else (min(2, cap), cap)
 
 
 def _read_embeddings(sf_dir: str, columns=None):
@@ -477,6 +479,102 @@ def ann_ivf_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10,
 
     ds = _read_embeddings(sf_dir, ["vec_id", "embedding"])
     scored = ds.map_batches(score, batch_format="pyarrow")
+    return global_topk(scored, ["sim_bp", "vec_id"], [True, False], k)
+
+
+def build_ivf_index(sf_dir: str, index_dir: str, n_centroids: int = 16) -> str:
+    """Persist the IVF index: centroids (tiny driver parquet) + the corpus
+    re-partitioned by assigned centroid (``partition_cols=["centroid"]``).
+    This is the write-once artifact real similarity search probes: at
+    100 TB a query touching ``nprobe`` of ``n_centroids`` partitions reads
+    only that fraction of the corpus FROM STORAGE — the prune happens at
+    the parquet read, not after it.  Assignment is the same argmax over
+    the same deterministic centroids as :func:`ann_ivf_topk`, so the two
+    paths keep identical row sets.  Idempotent via ``_INDEXED`` marker."""
+    import pyarrow.parquet as pq
+    import ray
+
+    cents = _train_centroids(sf_dir, n_centroids)
+    os.makedirs(index_dir, exist_ok=True)
+    pq.write_table(pa.table({
+        "centroid": pa.array(range(len(cents)), pa.int64()),
+        "values": pa.array([c.tolist() for c in cents],
+                           pa.list_(pa.float64())),
+    }), os.path.join(index_dir, "centroids.parquet"))
+
+    cents_ref = ray.put(cents)
+
+    def assign(t: pa.Table) -> pa.Table:
+        cents_ = ray.get(cents_ref)
+        m = _batch_matrix(t)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        mn = m / norms[:, None]
+        return t.append_column(
+            "centroid", pa.array((mn @ cents_.T).argmax(axis=1), pa.int64()))
+
+    _read_embeddings(sf_dir, ["vec_id", "embedding"]) \
+        .map_batches(assign, batch_format="pyarrow") \
+        .write_parquet(os.path.join(index_dir, "data"),
+                       partition_cols=["centroid"])
+    open(os.path.join(index_dir, "_INDEXED"), "w").close()
+    return index_dir
+
+
+def ann_ivf_topk_persisted(sf_dir: str, index_dir: str | None = None,
+                           query_vec_id: int = 0, k: int = 10,
+                           n_centroids: int = 16, nprobe: int = 8):
+    """:func:`ann_ivf_topk` probing the PERSISTED index
+    (:func:`build_ivf_index`): load the stored centroids, pick the query's
+    ``nprobe`` nearest, and ``read_parquet`` ONLY those partition
+    directories — the non-probed corpus fraction never leaves storage.
+    Exact-scores the probed rows against the query; row-identical to the
+    recompute path (same centroids, same argmax assignment — pinned by
+    test and by sharing its serial oracle).  Builds the index on first
+    use; default location keyed by corpus path + n_centroids."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from lexmapr_ray.functions.topk import global_topk
+
+    if index_dir is None:
+        tag = hashlib.md5(f"{os.path.abspath(sf_dir)}:{n_centroids}"
+                          .encode()).hexdigest()[:12]
+        index_dir = f"/tmp/lexmapr_ivf_index_{tag}"
+    if not os.path.exists(os.path.join(index_dir, "_INDEXED")):
+        build_ivf_index(sf_dir, index_dir, n_centroids=n_centroids)
+
+    ct = pq.read_table(os.path.join(index_dir, "centroids.parquet"))
+    order = np.argsort(ct["centroid"].to_numpy(zero_copy_only=False))
+    cents = np.stack([np.asarray(v) for v in
+                      np.asarray(ct["values"].to_pylist(), dtype=object)[order]])
+    q = _get_query_vector(sf_dir, query_vec_id)
+    qn = q / np.linalg.norm(q)
+    probe = np.argsort(-(cents @ qn))[:nprobe].tolist()
+
+    import glob as _glob
+
+    paths = []
+    for c in probe:
+        part = os.path.join(index_dir, "data", f"centroid={c}")
+        paths.extend(sorted(_glob.glob(os.path.join(part, "*.parquet"))))
+    if not paths:
+        return rd.from_arrow(pa.table({"vec_id": pa.array([], pa.int64()),
+                                       "sim_bp": pa.array([], pa.int64())}))
+
+    def score(t: pa.Table) -> pa.Table:
+        m = _batch_matrix(t)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        sims = np.round((m / norms[:, None]) @ qn * 10_000).astype(np.int64)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "sim_bp": pa.array(sims, pa.int64())})
+
+    scored = rd.read_parquet(paths, columns=["vec_id", "embedding"]) \
+        .map_batches(score, batch_format="pyarrow")
     return global_topk(scored, ["sim_bp", "vec_id"], [True, False], k)
 
 

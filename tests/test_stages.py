@@ -2652,3 +2652,33 @@ def test_minhash_index_dedup_persisted_equals_recompute(ray_session, sf_dir,
         .sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(base, again)
     assert os.path.getmtime(marker) == stamp  # index not rebuilt
+
+
+def test_ann_ivf_persisted_index_equals_recompute(ray_session, sf_dir,
+                                                  tmp_path):
+    """The persisted partitioned-IVF probe (read only the nprobe
+    centroid=... partition dirs) must equal the recompute path exactly,
+    and the second call must reuse the index."""
+    import os
+
+    import pandas as pd
+
+    from lexmapr_ray.stages.similarity import (ann_ivf_topk,
+                                               ann_ivf_topk_persisted)
+
+    idx = str(tmp_path / "ivf_index")
+    base = ann_ivf_topk(sf_dir).to_pandas().reset_index(drop=True)
+    got = ann_ivf_topk_persisted(sf_dir, index_dir=idx).to_pandas() \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, got)
+
+    marker = os.path.join(idx, "_INDEXED")
+    stamp = os.path.getmtime(marker)
+    again = ann_ivf_topk_persisted(sf_dir, index_dir=idx).to_pandas() \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, again)
+    assert os.path.getmtime(marker) == stamp
+    # the index is genuinely partitioned: >1 centroid directory on disk
+    parts = [d for d in os.listdir(os.path.join(idx, "data"))
+             if d.startswith("centroid=")]
+    assert len(parts) > 1
