@@ -1100,8 +1100,13 @@ def minhash_index_dedup_persisted(sf_dir: str, index_dir: str | None = None,
     from lexmapr_ray.stages.textstats import md5_permille
 
     if index_dir is None:
-        tag = hashlib.md5(f"{os.path.abspath(sf_dir)}:{existing_permille}"
-                          .encode()).hexdigest()[:12]
+        # tag carries a corpus fingerprint (size + mtime of the documents
+        # parquet): a regenerated corpus at the same path must NOT silently
+        # reuse a stale index
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        tag = hashlib.md5(
+            f"{os.path.abspath(sf_dir)}:{existing_permille}:"
+            f"{st.st_size}:{st.st_mtime_ns}".encode()).hexdigest()[:12]
         index_dir = f"/tmp/lexmapr_minhash_index_{tag}"
     if not os.path.exists(os.path.join(index_dir, "_INDEXED")):
         build_minhash_bucket_index(sf_dir, index_dir,

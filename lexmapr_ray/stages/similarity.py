@@ -540,8 +540,13 @@ def ann_ivf_topk_persisted(sf_dir: str, index_dir: str | None = None,
     from lexmapr_ray.functions.topk import global_topk
 
     if index_dir is None:
-        tag = hashlib.md5(f"{os.path.abspath(sf_dir)}:{n_centroids}"
-                          .encode()).hexdigest()[:12]
+        # tag carries a corpus fingerprint (size + mtime of the embeddings
+        # parquet): a regenerated corpus at the same path must NOT silently
+        # reuse a stale index
+        st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+        tag = hashlib.md5(
+            f"{os.path.abspath(sf_dir)}:{n_centroids}:"
+            f"{st.st_size}:{st.st_mtime_ns}".encode()).hexdigest()[:12]
         index_dir = f"/tmp/lexmapr_ivf_index_{tag}"
     if not os.path.exists(os.path.join(index_dir, "_INDEXED")):
         build_ivf_index(sf_dir, index_dir, n_centroids=n_centroids)
