@@ -40,7 +40,10 @@ DRIVER_SWITCH_LIMIT = 2_000_000
 def _serial_union_find(edges_df: pd.DataFrame, nodes) -> pd.DataFrame:
     """Driver-side union-find with union-by-min + path compression: the
     representative IS the component's minimum id, definitionally identical
-    to the distributed fixpoint."""
+    to the distributed fixpoint.  Edge endpoints missing from *nodes*
+    still conduct connectivity (setdefault) but emit no output row — the
+    documented contract is nodes ⊇ endpoints; this keeps a
+    contract-violating input from crashing one path and not the other."""
     parent: dict = {n: n for n in nodes}
 
     def find(x):
@@ -52,6 +55,8 @@ def _serial_union_find(edges_df: pd.DataFrame, nodes) -> pd.DataFrame:
         return root
 
     for a, b in zip(edges_df["ea"], edges_df["eb"]):
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
         ra, rb = find(a), find(b)
         if ra != rb:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
