@@ -162,6 +162,10 @@ _DRIVER_PRIORITY = [
     "kg_cooccurrence",
     "kg_components",
     "kg_incremental_merge",
+    "hits_docs",
+    "bm25_search",
+    "crawl_diff",
+    "weighted_sample",
     "sequence_pack",
     "chunk_documents",
     "curate_pack_shuffle",
@@ -364,6 +368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_latest_capture": _url_latest_capture,
         # web-graph analytics: link authority + host-level curation
         "pagerank_docs": webgraph.pagerank_docs,
+        "hits_docs": webgraph.hits_docs,
         "host_stats": webgraph.host_stats,
         "host_filtered_corpus": webgraph.host_filtered_corpus,
         "token_triangles": webgraph.token_triangles,
@@ -1787,6 +1792,47 @@ def oracle_sql() -> dict[str, str]:
                               AS pr
                    FROM r2 n LEFT JOIN s3 s USING (node))
             SELECT node, pr FROM r3 ORDER BY node
+        """,
+        "hits_docs": """
+            WITH edges AS (
+                SELECT d.doc_id AS src,
+                       (d.doc_id * 31 + 7 + 13 * u.j)
+                           % (SELECT COUNT(*) FROM documents) AS dst
+                FROM documents d,
+                     UNNEST(range(0, 1 + d.doc_id % 3)) AS u(j)),
+            n AS (SELECT doc_id AS node FROM documents),
+            h0 AS (SELECT node, 1000000::BIGINT AS v FROM n),
+            a1r AS (SELECT e.dst AS node, SUM(h.v)::BIGINT AS s
+                    FROM edges e JOIN h0 h ON h.node = e.src GROUP BY e.dst),
+            a1 AS (SELECT n.node,
+                          ((1000000 * COALESCE(s.s, 0))
+                           // GREATEST((SELECT MAX(s) FROM a1r), 1))::BIGINT
+                              AS v
+                   FROM n LEFT JOIN a1r s USING (node)),
+            h1r AS (SELECT e.src AS node, SUM(a.v)::BIGINT AS s
+                    FROM edges e JOIN a1 a ON a.node = e.dst GROUP BY e.src),
+            h1 AS (SELECT n.node,
+                          ((1000000 * COALESCE(s.s, 0))
+                           // GREATEST((SELECT MAX(s) FROM h1r), 1))::BIGINT
+                              AS v
+                   FROM n LEFT JOIN h1r s USING (node)),
+            a2r AS (SELECT e.dst AS node, SUM(h.v)::BIGINT AS s
+                    FROM edges e JOIN h1 h ON h.node = e.src GROUP BY e.dst),
+            a2 AS (SELECT n.node,
+                          ((1000000 * COALESCE(s.s, 0))
+                           // GREATEST((SELECT MAX(s) FROM a2r), 1))::BIGINT
+                              AS v
+                   FROM n LEFT JOIN a2r s USING (node)),
+            h2r AS (SELECT e.src AS node, SUM(a.v)::BIGINT AS s
+                    FROM edges e JOIN a2 a ON a.node = e.dst GROUP BY e.src),
+            h2 AS (SELECT n.node,
+                          ((1000000 * COALESCE(s.s, 0))
+                           // GREATEST((SELECT MAX(s) FROM h2r), 1))::BIGINT
+                              AS v
+                   FROM n LEFT JOIN h2r s USING (node))
+            SELECT n.node, h2.v AS hub, a2.v AS auth
+            FROM n JOIN h2 USING (node) JOIN a2 USING (node)
+            ORDER BY n.node
         """,
         "host_stats": r"""
             WITH d AS (

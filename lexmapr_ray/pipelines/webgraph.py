@@ -154,6 +154,112 @@ def pagerank_docs(sf_dir: str, iters: int = 3, num_buckets: int = 32):
                     iters=iters, num_buckets=num_buckets)
 
 
+_SCORE_SCHEMA = pa.schema([("node", pa.int64()), ("v", pa.int64())])
+
+
+def hits(edges, nodes, *, iters: int = 2, num_buckets: int = 32):
+    """Distributed integer HITS (Kleinberg 1999): mutually-reinforcing hub
+    and authority scores over an arbitrary (src, dst) edge Dataset — the
+    second classic link-analysis prior a crawl-prioritization pass runs
+    next to PageRank (directories/portals rank as hubs, canonical content
+    as authorities; PageRank conflates the two roles).
+
+    Exactness convention: like :func:`pagerank`, all arithmetic is int64
+    fixed-point so the Ray result and the unrolled-SQL oracle are
+    bit-equal.  The textbook L2 normalization needs sqrt (float); HITS'
+    ranking is invariant to the normalization choice, so each half-round
+    rescales by the MAX raw score instead: ``v' = (1e6 * v) // max(v)``
+    — a pure integer contraction that keeps every score in [0, 1e6] and
+    int64 sums overflow-free for corpora under ~9e12 in-edges per node.
+
+    Shape per round (two transposed PageRank-style exchanges):
+      1. auth_raw(n) = sum of hub over in-edges   (join on src, sum on dst)
+      2. rescale by the global max — a 1-SCALAR reduce (``Dataset.max``),
+         the only driver-visible value; broadcast back inside the closure
+      3. hub_raw(n)  = sum of auth over out-edges (join on dst, sum on src)
+      4. rescale; materialize (every round re-scans edges and last scores)
+    Nodes without in-(out-)edges keep score 0 via the same zero-union
+    :func:`pagerank` uses.  Output: (node, hub, auth), node-sorted.
+    """
+    edges = edges.map_batches(
+        lambda t: pa.table({"src": pc.cast(t["src"], pa.int64()),
+                            "dst": pc.cast(t["dst"], pa.int64())}),
+        batch_format="pyarrow",
+    ).materialize()  # all iters re-scan the edge list (cached adjacency)
+    edge_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+
+    def const_scores(value: int):
+        return nodes.map_batches(
+            lambda t: pa.table({
+                "node": pc.cast(t["node"], pa.int64()),
+                "v": pa.array(np.full(len(t), value, dtype=np.int64)),
+            }),
+            batch_format="pyarrow",
+        ).materialize()
+
+    def half_round(scores, join_on: str, sum_on: str):
+        """One HITS half-step: propagate ``scores`` across edges from
+        ``join_on`` endpoints onto ``sum_on`` endpoints, then max-rescale."""
+        contrib = bucketed_hash_join(
+            edges, scores, on=join_on, right_on="node",
+            num_buckets=num_buckets,
+            left_schema=edge_schema, right_schema=_SCORE_SCHEMA,
+        ).map_batches(
+            lambda t: pa.table({"node": pc.cast(t[sum_on], pa.int64()),
+                                "c": pc.cast(t["v"], pa.int64())}),
+            batch_format="pyarrow",
+        )
+        zeros = scores.map_batches(
+            lambda t: pa.table({
+                "node": t["node"],
+                "c": pa.array(np.zeros(len(t), dtype=np.int64)),
+            }),
+            batch_format="pyarrow",
+        )
+        raw = grouped_sum_count(contrib.union(zeros), "node",
+                                {"s": "c"}).materialize()
+        mx = max(int(raw.max("s") or 0), 1)
+        return raw.map_batches(
+            lambda t: pa.table({
+                "node": pc.cast(t["node"], pa.int64()),
+                "v": pc.divide(
+                    pc.multiply(pc.cast(t["s"], pa.int64()),
+                                pa.scalar(R0, pa.int64())),
+                    pa.scalar(mx, pa.int64())),
+            }),
+            batch_format="pyarrow",
+        ).materialize()
+
+    hub = const_scores(R0)
+    auth = const_scores(0)
+    for _ in range(iters):
+        auth = half_round(hub, "src", "dst")    # in-link mass -> authority
+        hub = half_round(auth, "dst", "src")    # out-link mass -> hubness
+
+    both = bucketed_hash_join(
+        hub.map_batches(lambda t: pa.table({"node": t["node"],
+                                            "hub": t["v"]}),
+                        batch_format="pyarrow"),
+        auth.map_batches(lambda t: pa.table({"node": t["node"],
+                                             "auth": t["v"]}),
+                         batch_format="pyarrow"),
+        on="node", num_buckets=num_buckets,
+        left_schema=pa.schema([("node", pa.int64()), ("hub", pa.int64())]),
+        right_schema=pa.schema([("node", pa.int64()), ("auth", pa.int64())]),
+    )
+    return both.sort("node")
+
+
+def hits_docs(sf_dir: str, iters: int = 2, num_buckets: int = 32):
+    """HITS over the synthetic doc link graph (queries() entry)."""
+    nodes = _read_docs(sf_dir, ["doc_id"]).map_batches(
+        lambda t: pa.table({"node": pc.cast(t["doc_id"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    return hits(doc_links(sf_dir), nodes,
+                iters=iters, num_buckets=num_buckets)
+
+
 # ---------------------------------------------------------------------------
 # Host-level corpus curation
 # ---------------------------------------------------------------------------

@@ -114,3 +114,55 @@ def test_min_label_components_string_keys(ray_session):
         assert labels["iso1"] == "iso1" and labels["iso2"] == "iso2"
         assert len(got) == len(node_ids)
     pd.testing.assert_frame_equal(results["serial"], results["distributed"])
+
+
+def _serial_hits(edges: list[tuple[int, int]], nodes: list[int],
+                 iters: int) -> dict[int, tuple[int, int]]:
+    from lexmapr_ray.pipelines.webgraph import R0
+
+    hub = {n: R0 for n in nodes}
+    auth = {n: 0 for n in nodes}
+
+    def half(scores, transpose):
+        raw = {n: 0 for n in nodes}
+        for a, b in edges:
+            src, dst = (b, a) if transpose else (a, b)
+            raw[dst] += scores[src]
+        mx = max(max(raw.values()), 1)
+        return {n: (R0 * v) // mx for n, v in raw.items()}
+
+    for _ in range(iters):
+        auth = half(hub, transpose=False)   # in-link mass -> authority
+        hub = half(auth, transpose=True)    # out-link mass -> hubness
+    return {n: (hub[n], auth[n]) for n in nodes}
+
+
+@pytest.mark.parametrize("iters", [1, 2])
+def test_hits_matches_serial_reference(ray_session, iters):
+    """Hub/authority separation: node 3 links to everything (pure hub),
+    node 0 is linked from everywhere (pure authority), node 9 isolated,
+    node 4 self-loops — each exercises a zero-union or max-rescale edge."""
+    import ray.data as rd
+
+    from lexmapr_ray.pipelines.webgraph import hits
+
+    edge_list = [(0, 1), (1, 2), (2, 0), (3, 0), (3, 1), (3, 5),
+                 (4, 4), (4, 5), (6, 0), (7, 0), (8, 0)]
+    nodes = list(range(10))
+
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([a for a, _ in edge_list], pa.int64()),
+        "dst": pa.array([b for _, b in edge_list], pa.int64()),
+    }))
+    node_ds = rd.from_arrow(pa.table({"node": pa.array(nodes, pa.int64())}))
+
+    got = hits(edges, node_ds, iters=iters, num_buckets=4).to_pandas()
+    want = _serial_hits(edge_list, nodes, iters)
+    assert {int(r.node): (int(r.hub), int(r.auth))
+            for r in got.itertuples()} == want
+    by_node = {int(r.node): r for r in got.itertuples()}
+    # node 0 is the strongest authority; node 3 the strongest hub
+    assert by_node[0].auth == 1_000_000
+    assert by_node[3].hub == 1_000_000
+    # isolated node keeps exactly zero on both scores
+    assert by_node[9].hub == 0 and by_node[9].auth == 0
