@@ -72,6 +72,15 @@ def _url_latest_capture(sf_dir: str):
     return url_latest_capture(sf_dir)
 
 
+def _crawl_diff(sf_dir: str):
+    """Two-crawl snapshot diff (sources/pages.py::crawl_diff); both
+    snapshots are pure functions of documents, so the SQL oracle
+    regenerates them and FULL OUTER JOINs."""
+    from lexmapr_ray.sources.pages import crawl_diff
+
+    return crawl_diff(sf_dir)
+
+
 def _kg_components(sf_dir: str):
     """Connected components of the term co-mention graph
     (pipelines/kg.py::term_components — the generic distributed min-label
@@ -277,6 +286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "score_percentile": textstats.score_percentile,
         "corpus_sample": textstats.corpus_sample,
         "corpus_sample_exact": textstats.corpus_sample_exact,
+        "weighted_sample": textstats.weighted_sample,
         "collocations": textstats.collocations,
         "vocab_coverage": textstats.vocab_coverage,
         "source_vocab_overlap": textstats.source_vocab_overlap,
@@ -333,6 +343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph": similarity.knn_graph,
         "hybrid_search": similarity.hybrid_search,
         "rrf_search": similarity.rrf_search,
+        "bm25_search": similarity.bm25_search,
         # exact grouped quantiles (histogram-first; functions/quantiles.py)
         "doc_length_quantiles": textstats.doc_length_quantiles,
         "event_value_quantiles": rel.event_value_quantiles,
@@ -366,6 +377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frame_features": mm.video_frame_features,
         # url-recency dedup over the multi-capture pages table
         "url_latest_capture": _url_latest_capture,
+        "crawl_diff": _crawl_diff,
         # web-graph analytics: link authority + host-level curation
         "pagerank_docs": webgraph.pagerank_docs,
         "hits_docs": webgraph.hits_docs,
@@ -997,6 +1009,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS sample_key
             FROM documents ORDER BY sample_key, doc_id LIMIT 100
         """,
+        # systematic PPS sampling — sample-point formula mirrors
+        # stages/textstats.py::weighted_sample (n=100, weight=n_chars,
+        # doc_id order); the interval join replays the cumsum resolve
+        "weighted_sample": """
+            WITH c AS (SELECT doc_id, n_chars::BIGINT AS wt,
+                              SUM(n_chars::BIGINT)
+                                  OVER (ORDER BY doc_id) AS cum
+                       FROM documents),
+            tot AS (SELECT SUM(n_chars::BIGINT) AS tw FROM documents),
+            pts AS (SELECT r.j, ((2 * r.j + 1) * tot.tw) // 200 AS s
+                    FROM range(0, 100) r(j) CROSS JOIN tot)
+            SELECT CAST(p.j AS BIGINT) AS sample_idx,
+                   CAST(c.doc_id AS BIGINT) AS doc_id
+            FROM pts p JOIN c ON p.s >= c.cum - c.wt AND p.s < c.cum
+            ORDER BY sample_idx
+        """,
         "corpus_sample": """
             SELECT doc_id, text FROM documents
             WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
@@ -1508,6 +1536,42 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY sim_bp DESC, doc_id
             LIMIT 10
         """,
+        # log-free integer BM25 (Robertson odds IDF, k1=6/5 b=3/4 cleared
+        # to integers) — constants and quotient mirror
+        # stages/similarity.py::bm25_search; HUGEINT holds the ~1e20
+        # intermediates the engine computes in Python bignums
+        "bm25_search": f"""
+            WITH tok AS (
+                SELECT doc_id,
+                       CASE WHEN {_trim('text')} = '' THEN 0
+                            ELSE len(string_split_regex({_trim('text')},
+                                                        '\\s+')) END
+                           ::BIGINT AS dl,
+                       string_split_regex({_trim('text')}, '\\s+') AS toks
+                FROM documents),
+            s AS (SELECT COUNT(*)::HUGEINT AS n, SUM(dl)::HUGEINT AS l
+                  FROM tok),
+            q(term) AS (VALUES ('spark'), ('merge'), ('window')),
+            tf AS (SELECT k.doc_id, k.dl, q.term,
+                          len(list_filter(k.toks, x -> x = q.term))::BIGINT
+                              AS tf
+                   FROM tok k CROSS JOIN q),
+            dfq AS (SELECT term,
+                           COUNT(*) FILTER (WHERE tf > 0)::HUGEINT AS df
+                    FROM tf GROUP BY term),
+            sc AS (SELECT t.doc_id,
+                          SUM((1000000::HUGEINT * (2 * (s.n - d.df) + 1)
+                               * 22 * t.tf * s.l)
+                              // ((2 * d.df + 1)
+                                  * (10 * t.tf * s.l + 3 * s.l
+                                     + 9 * t.dl * s.n))) AS bm25_e6
+                   FROM tf t JOIN dfq d USING (term) CROSS JOIN s
+                   WHERE t.tf > 0
+                   GROUP BY t.doc_id)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(bm25_e6 AS BIGINT) AS bm25_e6
+            FROM sc ORDER BY bm25_e6 DESC, doc_id LIMIT 10
+        """,
         "rrf_search": f"""
             WITH tok AS (
                 SELECT doc_id, unnest(string_split_regex({_trim('text')},
@@ -1673,6 +1737,28 @@ def oracle_sql() -> dict[str, str]:
                 FROM caps)
             SELECT url, warc_ts_us, n_chars, n_captures::BIGINT AS n_captures
             FROM ranked WHERE rn = 1 ORDER BY url
+        """,
+        # two-crawl snapshot diff — snapshot definitions mirror
+        # sources/pages.py::crawl_diff (old = capture 0 of doc_id%5!=0,
+        # new = latest capture of doc_id%7!=0; md5 content identity)
+        "crawl_diff": """
+            WITH olds AS (
+                SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+                       md5(text || ' v0') AS dg
+                FROM documents WHERE doc_id % 5 <> 0),
+            news AS (
+                SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+                       md5(text || ' v' || CAST(doc_id % 3 AS VARCHAR)) AS dg
+                FROM documents WHERE doc_id % 7 <> 0),
+            j AS (SELECT COALESCE(o.url, n.url) AS url,
+                         o.dg AS od, n.dg AS nd
+                  FROM olds o FULL OUTER JOIN news n ON o.url = n.url)
+            SELECT url,
+                   CASE WHEN od IS NULL THEN 'added'
+                        WHEN nd IS NULL THEN 'removed'
+                        WHEN od <> nd THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM j ORDER BY url
         """,
         # Integer fixed-point PageRank, 3 iterations unrolled — the link
         # model, constants and int division mirror pipelines/webgraph.py

@@ -232,3 +232,71 @@ def url_latest_capture(sf_dir: str):
         return last.reset_index()[["url", "warc_ts_us", "n_chars", "n_captures"]]
 
     return sorted_group_reduce(caps, "url", keep_latest, keep_latest)
+
+
+def crawl_diff(sf_dir: str, num_buckets: int = 32):
+    """Snapshot diff between two crawls of the same url space: classify
+    every url as ``added`` / ``removed`` / ``changed`` / ``unchanged`` —
+    the incremental-ingest pass a Common-Crawl pipeline runs to process
+    only what moved between monthly crawls.
+
+    The two snapshots are deterministic functions of the documents table
+    (the multi-capture convention of :func:`multi_capture_pages`): the OLD
+    crawl holds capture 0 of docs with ``doc_id % 5 != 0``, the NEW crawl
+    the latest capture (index ``doc_id % 3``) of docs with
+    ``doc_id % 7 != 0`` — so all four statuses occur.  Content identity is
+    md5 of the capture text (``text + ' v{i}'``), matching DuckDB's
+    ``md5()`` byte-for-byte.
+
+    Scale shape: each snapshot is one pruned read pass emitting only
+    (url, digest) — page text never reaches the join; the diff is ONE
+    bucketed outer hash join on url with the classification folded into
+    ``block_fn`` (the only block-split-safe placement for per-key logic).
+    Output: (url, status), url-sorted.
+    """
+    import hashlib
+
+    import pandas as pd
+    import ray.data as rd
+
+    from lexmapr_ray.functions.joins import bucketed_hash_join
+
+    def snapshot(mod: int, col: str, version):
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+
+        def snap(batch: pa.Table) -> pa.Table:
+            urls, digests = [], []
+            for d, t in zip(batch["doc_id"].to_pylist(),
+                            batch["text"].to_pylist()):
+                if int(d) % mod == 0:
+                    continue
+                urls.append(f"doc://{d}")
+                digests.append(hashlib.md5(
+                    f"{t} v{version(int(d))}".encode()).hexdigest())
+            return pa.table({"url": pa.array(urls, pa.string()),
+                             col: pa.array(digests, pa.string())})
+
+        return ds.map_batches(snap, batch_format="pyarrow")
+
+    old = snapshot(5, "dg_old", lambda d: 0)
+    new = snapshot(7, "dg_new", lambda d: d % 3)
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"url": pd.Series([], dtype="object"),
+                                 "status": pd.Series([], dtype="object")})
+        o, n = df["dg_old"], df["dg_new"]
+        status = np.where(o.isna(), "added",
+                          np.where(n.isna(), "removed",
+                                   np.where(o != n, "changed", "unchanged")))
+        return pd.DataFrame({"url": df["url"], "status": status})
+
+    snap_schema = lambda c: pa.schema([("url", pa.string()),
+                                       (c, pa.string())])
+    return bucketed_hash_join(
+        old, new, on="url", how="outer", num_buckets=num_buckets,
+        block_fn=classify,
+        left_schema=snap_schema("dg_old"),
+        right_schema=snap_schema("dg_new"),
+    ).sort("url")

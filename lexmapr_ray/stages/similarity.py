@@ -1253,3 +1253,103 @@ def cluster_representatives(sf_dir: str, num_buckets: int = 32):
     return joined.map_batches(best, batch_format="pandas", batch_size=65536) \
         .sort("cluster").map_batches(best, batch_format="pandas",
                                      batch_size=None)
+
+
+def bm25_search(sf_dir: str, query: str = "spark merge window", k: int = 10):
+    """BM25 lexical ranking (Robertson et al., Okapi at TREC-3; k1=1.2,
+    b=0.75) of the documents table against a multi-term query — the sparse
+    half of every retrieval stack, here as a standalone ranked search.
+
+    Exactness convention: all arithmetic is EXACT integer rationals so the
+    engine and the DuckDB oracle agree bit-for-bit (no float ``ln``
+    survives the hash gate — same policy as tfidf/pagerank/hits).  Two
+    spelled-out substitutions vs the textbook formula:
+
+    * IDF is Robertson's odds ratio ``(N - df + 0.5) / (df + 0.5)``
+      WITHOUT the log wrapper, kept exact as ``(2(N-df)+1) / (2df+1)``.
+      Per term this is a monotone transform of log-IDF (identical
+      ranking); across a multi-term SUM rare terms weigh relatively more
+      than under log damping — a documented divergence, not an accident.
+    * TF saturation clears k1=6/5, b=3/4 and the exact rational
+      avgdl=L/N by multiplying through: ``tf_norm = 22·tf·L /
+      (10·tf·L + 3·L + 9·dl·N)`` with L = total corpus tokens.
+
+    score(d) = Σ_t floor(1e6 · (2(N-df)+1) · 22·tf·L
+                         / ((2df+1) · (10·tf·L + 3·L + 9·dl·N)))
+
+    Intermediates exceed int64 (~1e20 at sf0.1), so the scoring sliver
+    uses Python bignums; the oracle computes the identical quotient in
+    HUGEINT (exact to ~1.7e38 — beyond any gate scale; the engine side is
+    unbounded).
+
+    Scale shape: ONE corpus pass emits a narrow per-doc row (doc_id, dl,
+    per-query-term tf + hit flag) — text never leaves the read stage and
+    the term domain is |query|, not the vocabulary; N, L and every df fold
+    in a single Dataset aggregate (the driver receives |query|+2 scalars,
+    broadcast back in the closure); scoring is a pure filter map over the
+    matching sliver; the final top-k is the exact-safe per-block prune
+    (:func:`~lexmapr_ray.functions.topk.global_topk`).  Output:
+    (doc_id, bm25_e6), score-desc / doc_id-asc, k rows.
+    """
+    import pyarrow.compute as pc
+
+    from lexmapr_ray.functions.topk import global_topk
+    from lexmapr_ray.stages.textstats import _read_documents, _token_lists
+
+    terms = list(dict.fromkeys(query.split()))
+    m = len(terms)
+    docs = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def narrow(t: pa.Table) -> pa.Table:
+        trimmed, splits = _token_lists(t["text"])
+        flat = pc.list_flatten(splits)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        parent = pc.list_parent_indices(splits).to_numpy(zero_copy_only=False)
+        n_tok = pc.list_value_length(splits).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        empty = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
+        cols = {
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "dl": pa.array(np.where(empty, 0, n_tok)),
+        }
+        for j, term in enumerate(terms):
+            hit = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+            tf = np.zeros(len(t), dtype=np.int64)
+            np.add.at(tf, parent[hit], 1)
+            cols[f"tf{j}"] = pa.array(tf)
+            cols[f"h{j}"] = pa.array((tf > 0).astype(np.int64))
+        return pa.table(cols)
+
+    narrow_ds = docs.map_batches(narrow, batch_format="pyarrow").materialize()
+    n_docs = int(narrow_ds.count())
+    sums = narrow_ds.sum(["dl"] + [f"h{j}" for j in range(m)])
+    big_l = int(sums["sum(dl)"] or 0)
+    df = [int(sums[f"sum(h{j})"] or 0) for j in range(m)]
+
+    def score(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dl = t["dl"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tfs = [t[f"tf{j}"].to_numpy(zero_copy_only=False).astype(np.int64)
+               for j in range(m)]
+        any_hit = np.zeros(len(t), dtype=bool)
+        for tf in tfs:
+            any_hit |= tf > 0
+        out_ids, out_scores = [], []
+        for i in np.flatnonzero(any_hit):
+            d_len, s = int(dl[i]), 0
+            for j in range(m):
+                tf = int(tfs[j][i])
+                if tf == 0:
+                    continue
+                num = 10**6 * (2 * (n_docs - df[j]) + 1) * 22 * tf * big_l
+                den = (2 * df[j] + 1) * (10 * tf * big_l + 3 * big_l
+                                         + 9 * d_len * n_docs)
+                s += num // den
+            out_ids.append(int(ids[i]))
+            out_scores.append(s)
+        return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                         "bm25_e6": pa.array(out_scores, pa.int64())})
+
+    scored = narrow_ds.map_batches(score, batch_format="pyarrow")
+    return global_topk(scored, ["bm25_e6", "doc_id"], [True, False], k)

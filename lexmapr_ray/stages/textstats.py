@@ -1785,3 +1785,83 @@ def top_phrases(sf_dir: str, k: int = 20, n: int = 3):
         docs.map_batches(partial, batch_format="pyarrow"),
         "phrase", {"n_occurrences": "n_occurrences"})
     return global_topk(counts, ["n_occurrences", "phrase"], [True, False], k)
+
+
+def weighted_sample(sf_dir: str, n: int = 100):
+    """Deterministic weight-proportional sample: systematic PPS sampling
+    (Madow 1949) of ``n`` documents with inclusion probability
+    proportional to ``n_chars`` — the mixture-weighting draw a training-
+    data pipeline runs to upsample long/high-quality sources without RNG
+    state.  With total weight W and docs in doc_id order, sample point
+    ``j`` is ``s_j = (2j+1)·W // (2n)`` (midpoints of n equal strides)
+    and selects the doc whose cumulative-weight interval
+    ``[cum - w, cum)`` contains ``s_j``.  Exactly n rows, integer-exact,
+    reproducible on any engine; a doc heavier than W/n can legitimately
+    win several adjacent points (PPS with-replacement semantics for
+    oversize units).  Zero-weight docs are never selected (empty
+    interval).
+
+    Scale shape: the block-offset prefix-sum pattern
+    (``functions/ranks.py`` module docstring): one doc_id sort of the
+    narrow (doc_id, weight) table, one stats row per block to the driver
+    (never per row), exclusive cumsum broadcast back, then each block
+    resolves the sample points landing in its own weight range with a
+    local cumsum + searchsorted — points are resolved fully in parallel
+    and no corpus-scale data moves after the sort.  Output:
+    (sample_idx, doc_id), sample_idx-sorted.
+    """
+    import pandas as pd
+    import ray
+
+    ds = _read_documents(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "w": pc.cast(t["n_chars"], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).sort("doc_id").materialize()
+
+    def block_stats(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"min_id": pd.Series([], dtype="int64"),
+                                 "wsum": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"min_id": [int(df["doc_id"].iloc[0])],
+                             "wsum": [int(df["w"].sum())]})
+
+    stats = ds.map_batches(block_stats, batch_format="pandas",
+                           batch_size=None).to_pandas()
+    stats = stats.sort_values("min_id").reset_index(drop=True)
+    total_w = int(stats["wsum"].sum())
+    offsets = stats["wsum"].cumsum().shift(fill_value=0).to_numpy(np.int64)
+    # the n sample points, ascending by construction; W and the per-block
+    # weight offsets are the only driver-visible state (one row per BLOCK)
+    points = np.array([((2 * j + 1) * total_w) // (2 * n) for j in range(n)],
+                      dtype=np.int64)
+    shared = ray.put((stats["min_id"].to_numpy(np.int64), offsets, points))
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"sample_idx": pd.Series([], dtype="int64"),
+                              "doc_id": pd.Series([], dtype="int64")})
+        if len(df) == 0:
+            return empty
+        min_ids, offs, pts = ray.get(shared)
+        df = df.sort_values("doc_id", kind="mergesort")
+        b = int(np.searchsorted(min_ids, int(df["doc_id"].iloc[0])))
+        cum = int(offs[b]) + df["w"].to_numpy(np.int64).cumsum()
+        lo, hi = int(offs[b]), int(cum[-1])
+        j_sel = np.flatnonzero((pts >= lo) & (pts < hi))
+        if len(j_sel) == 0:
+            return empty
+        # doc i wins point s iff cum[i-1] <= s < cum[i]; rows with w == 0
+        # have zero-length intervals and can never be returned by the
+        # right-bisect (cum[i-1] == cum[i] excludes them).  j_sel indexes
+        # pts directly so duplicate point VALUES (W < n corpora) still get
+        # distinct sample_idx rows.
+        idx = np.searchsorted(cum, pts[j_sel], side="right")
+        return pd.DataFrame({
+            "sample_idx": j_sel.astype(np.int64),
+            "doc_id": df["doc_id"].to_numpy(np.int64)[idx],
+        })
+
+    return ds.map_batches(resolve, batch_format="pandas",
+                          batch_size=None).sort("sample_idx")

@@ -2682,3 +2682,142 @@ def test_ann_ivf_persisted_index_equals_recompute(ray_session, sf_dir,
     parts = [d for d in os.listdir(os.path.join(idx, "data"))
              if d.startswith("centroid=")]
     assert len(parts) > 1
+
+
+def test_bm25_search_exact_vs_oracle_and_saturating(ray_session, tmp_path):
+    """Adversarial BM25 corpus: term spam (tf saturation), a short doc
+    with every query term once, a rare-term-only doc (IDF dominance), an
+    empty doc, and heavy filler (dl normalization). Engine must be
+    bit-equal to the SQL oracle AND show the two defining BM25 behaviors:
+    tf saturates (100x spam does not score 100x) and a short multi-term
+    doc beats a long single-term one."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+    from lexmapr_ray.stages.similarity import bm25_search
+
+    texts = [
+        "merge " * 100,                        # 0: term spam
+        "spark merge window",                  # 1: all terms, shortest
+        "window",                              # 2: rarest-ish single term
+        "",                                    # 3: empty (dl 0)
+        "spark " + "filler " * 200,            # 4: one term, long doc
+        "the quick brown fox",                 # 5: no query term
+        "merge spark",                         # 6: two terms
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array([t.strip() for t in texts], pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    got = bm25_search(str(tmp_path)).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    exp = con.execute(entrymod.oracle_sql()["bm25_search"]).fetchdf()
+    pd.testing.assert_frame_equal(got, exp.reset_index(drop=True),
+                                  check_dtype=False)
+
+    score = got.set_index("doc_id")["bm25_e6"]
+    assert 5 not in score.index and 3 not in score.index
+    # tf saturation: 100 copies of 'merge' score < 3x a single copy
+    one_merge = score[6]  # doc 6 has merge tf=1 (plus spark)
+    assert score[0] < 3 * one_merge
+    # the short all-terms doc outranks the long single-term doc
+    assert score[1] > score[4]
+
+
+def test_crawl_diff_statuses_exact(ray_session, tmp_path):
+    """Every status class planted by doc_id residues: absent (in neither
+    snapshot: 35), added (multiple of 5 only), removed (multiple of 7
+    only), changed (in both, doc_id%3 != 0), unchanged (in both,
+    doc_id%3 == 0). Engine must be bit-equal to the FULL OUTER JOIN
+    oracle and match the residue-derived expectation per url."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+    from lexmapr_ray.sources.pages import crawl_diff
+
+    ids = [0, 1, 2, 3, 5, 6, 7, 9, 10, 14, 15, 21, 35, 70]
+    tbl = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array([f"content {d}" for d in ids], pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    got = crawl_diff(str(tmp_path), num_buckets=4).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    exp = con.execute(entrymod.oracle_sql()["crawl_diff"]).fetchdf()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  exp.reset_index(drop=True),
+                                  check_dtype=False)
+
+    by_url = got.set_index("url")["status"]
+    for d in ids:
+        in_old, in_new = d % 5 != 0, d % 7 != 0
+        if not in_old and not in_new:
+            assert f"doc://{d}" not in by_url.index
+        elif not in_old:
+            assert by_url[f"doc://{d}"] == "added"
+        elif not in_new:
+            assert by_url[f"doc://{d}"] == "removed"
+        else:
+            assert by_url[f"doc://{d}"] == (
+                "unchanged" if d % 3 == 0 else "changed")
+    assert set(by_url.unique()) == {"added", "removed", "changed",
+                                    "unchanged"}
+
+
+def test_weighted_sample_systematic_pps(ray_session, tmp_path):
+    """Systematic PPS adversarial cases: zero-weight docs are never
+    selected, an oversize doc (> W/n) wins multiple adjacent points,
+    exactly n rows come back, and the distributed prefix-sum resolve is
+    bit-equal to a serial cumsum replay — also under a 16 KiB block
+    target that forces many blocks through the offset path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from ray.data import DataContext
+
+    from lexmapr_ray.stages.textstats import weighted_sample
+
+    rng = np.random.RandomState(7)
+    n_docs, n = 60, 9
+    weights = rng.randint(1, 50, n_docs).astype(np.int64)
+    weights[[3, 17, 41]] = 0            # never selectable
+    weights[25] = 2000                  # oversize: > W/n, multi-win
+    tbl = pa.table({
+        "doc_id": pa.array(range(n_docs), pa.int64()),
+        "text": pa.array(["x"] * n_docs, pa.string()),
+        "n_chars": pa.array(weights),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    def serial(n_pts):
+        cum = np.cumsum(weights)
+        w_tot = int(cum[-1])
+        rows = []
+        for j in range(n_pts):
+            s = ((2 * j + 1) * w_tot) // (2 * n_pts)
+            rows.append((j, int(np.searchsorted(cum, s, side="right"))))
+        return pd.DataFrame(rows, columns=["sample_idx", "doc_id"])
+
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    ctx.target_max_block_size = 16 * 1024
+    try:
+        got = weighted_sample(str(tmp_path), n=n).to_pandas()
+    finally:
+        ctx.target_max_block_size = old
+    want = serial(n)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want,
+                                  check_dtype=False)
+    assert len(got) == n
+    assert not set(got["doc_id"]) & {3, 17, 41}
+    assert (got["doc_id"] == 25).sum() >= 2  # oversize doc wins repeatedly
