@@ -175,6 +175,9 @@ _DRIVER_PRIORITY = [
     "bm25_search",
     "crawl_diff",
     "weighted_sample",
+    "label_propagation",
+    "neighbor_feature_agg",
+    "random_walks",
     "sequence_pack",
     "chunk_documents",
     "curate_pack_shuffle",
@@ -381,6 +384,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # web-graph analytics: link authority + host-level curation
         "pagerank_docs": webgraph.pagerank_docs,
         "hits_docs": webgraph.hits_docs,
+        "label_propagation": webgraph.label_propagation_docs,
+        "neighbor_feature_agg": webgraph.neighbor_feature_agg,
+        "random_walks": webgraph.random_walks,
         "host_stats": webgraph.host_stats,
         "host_filtered_corpus": webgraph.host_filtered_corpus,
         "token_triangles": webgraph.token_triangles,
@@ -429,6 +435,64 @@ def _bfs_sql(hops: int = 12, seed: int = 0) -> str:
             f" FROM e JOIN d{i-1} p ON e.src = p.node) GROUP BY node),")
     sql = "\n".join(parts).rstrip(",")
     return sql + f"\nSELECT node, dist FROM d{hops} ORDER BY node"
+
+
+_EDGES_CTE = ("SELECT d.doc_id AS src, (d.doc_id * 31 + 7 + 13 * u.j)"
+              " % (SELECT COUNT(*) FROM documents) AS dst"
+              " FROM documents d, UNNEST(range(0, 1 + d.doc_id % 3)) AS u(j)")
+
+
+def _lpa_sql(iters: int = 2) -> str:
+    """Mirror of pipelines/webgraph.py::label_propagation: symmetrized
+    synthetic edges, ``iters`` unrolled adopt-the-majority-label rounds
+    (zero-count self rows keep isolated nodes labeled; ROW_NUMBER
+    tie-break = count desc, label asc) — generated so engine rounds and
+    oracle rounds can never drift."""
+    parts = [
+        f"WITH e AS ({_EDGES_CTE}),",
+        "sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),",
+        "l0 AS (SELECT doc_id AS node, doc_id AS lbl FROM documents),",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"c{i} AS (SELECT node, lbl, SUM(c)::BIGINT AS c FROM ("
+            f"SELECT s.dst AS node, l.lbl, 1 AS c"
+            f" FROM sym s JOIN l{i-1} l ON l.node = s.src"
+            f" UNION ALL SELECT node, lbl, 0 FROM l{i-1})"
+            f" GROUP BY node, lbl),")
+        parts.append(
+            f"l{i} AS (SELECT node, lbl FROM ("
+            f"SELECT node, lbl, ROW_NUMBER() OVER (PARTITION BY node"
+            f" ORDER BY c DESC, lbl) AS rn FROM c{i}) WHERE rn = 1),")
+    sql = "\n".join(parts).rstrip(",")
+    return (sql + f"\nSELECT CAST(node AS BIGINT) AS node,"
+                  f" CAST(lbl AS BIGINT) AS lbl"
+                  f" FROM l{iters} ORDER BY node")
+
+
+def _walks_sql(steps: int = 4) -> str:
+    """Mirror of pipelines/webgraph.py::random_walks: indexed adjacency
+    (out-edges ranked by dst within src) + ``steps`` unrolled
+    hash-selected hops — generated so the step-selection formula can
+    never drift between engine and oracle."""
+    parts = [
+        f"WITH e AS ({_EDGES_CTE}),",
+        "ei AS (SELECT src, dst, COUNT(*) OVER (PARTITION BY src) AS deg,"
+        " ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx"
+        " FROM e),",
+        "w0 AS (SELECT doc_id AS walk_id, doc_id AS node FROM documents),",
+    ]
+    for t in range(1, steps + 1):
+        parts.append(
+            f"w{t} AS (SELECT w.walk_id, x.dst AS node"
+            f" FROM w{t-1} w JOIN ei x ON x.src = w.node"
+            f" AND x.idx = (w.walk_id * 1000003 + {t} * 10007) % x.deg),")
+    sql = "\n".join(parts).rstrip(",")
+    union = " UNION ALL ".join(
+        f"SELECT walk_id, {t} AS s, node FROM w{t}" for t in range(steps + 1))
+    return (sql + f"\nSELECT CAST(walk_id AS BIGINT) AS walk_id,"
+                  f" CAST(s AS BIGINT) AS step, CAST(node AS BIGINT) AS node"
+                  f" FROM ({union}) ORDER BY walk_id, s")
 
 
 def _pii_sql() -> str:
@@ -1764,6 +1828,25 @@ def oracle_sql() -> dict[str, str]:
         # model, constants and int division mirror pipelines/webgraph.py
         # literally, so the comparison is bit-exact (no float tolerance).
         "bfs_distances": _bfs_sql(),
+        "label_propagation": _lpa_sql(),
+        "random_walks": _walks_sql(),
+        # 1-hop neighbor feature aggregation — link model and integer
+        # mean mirror pipelines/webgraph.py::neighbor_feature_agg
+        "neighbor_feature_agg": f"""
+            WITH e AS ({_EDGES_CTE}),
+            agg AS (SELECT e.dst AS node, COUNT(*)::BIGINT AS n_in,
+                           SUM(d.n_chars)::BIGINT AS sum_chars
+                    FROM e JOIN documents d ON d.doc_id = e.src
+                    GROUP BY e.dst)
+            SELECT CAST(d.doc_id AS BIGINT) AS node,
+                   COALESCE(a.n_in, 0)::BIGINT AS n_in,
+                   COALESCE(a.sum_chars, 0)::BIGINT AS sum_chars,
+                   CASE WHEN a.n_in IS NULL THEN 0
+                        ELSE (1000 * a.sum_chars) // a.n_in END::BIGINT
+                       AS mean_milli
+            FROM documents d LEFT JOIN agg a ON a.node = d.doc_id
+            ORDER BY node
+        """,
         "degree_histogram": """
             WITH e AS (
                 SELECT d.doc_id AS src,

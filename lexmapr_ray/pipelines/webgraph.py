@@ -763,3 +763,235 @@ def degree_histogram(sf_dir: str):
         .reset_index(drop=True).astype({"degree": "int64",
                                         "n_nodes": "int64"})
     return rd.from_pandas(out)
+
+
+# ---------------------------------------------------------------------------
+# Community detection, feature propagation, and walk sampling
+# ---------------------------------------------------------------------------
+
+
+def label_propagation(edges, nodes, *, iters: int = 2, num_buckets: int = 32):
+    """Synchronous label propagation (Raghavan et al. 2007) over the
+    UNDIRECTED closure of a (src, dst) edge Dataset — the linear-time
+    community detector a web corpus runs to group mirror/topic clusters
+    before per-community curation.  Deterministic variant: every node
+    starts labeled with itself; each round it adopts the label with the
+    highest neighbor count, ties broken by SMALLEST label; an isolated
+    node keeps its own label.  Parallel (src,dst)/(dst,src) duplicates
+    count twice on both engine and oracle — multigraph semantics,
+    documented rather than deduplicated (a distinct-edge pass would add a
+    full shuffle for no ranking benefit on the synthetic graph).
+
+    Shape per round (all PageRank-machinery, nothing new moves):
+      1. labels JOIN symmetrized edges ON src (bucketed hash join)
+      2. one grouped (node, lbl) count — zero-count rows for every node's
+         CURRENT label are unioned in first, so isolated nodes self-elect
+         without a driver-side membership pass
+      3. per-node argmax = per-block best -> one node sort -> best (the
+         exact-safe grouped-argmax pattern of cluster_representatives)
+    Output: (node, lbl) after ``iters`` rounds, node-sorted.
+    """
+    import pandas as pd
+
+    rev = edges.map_batches(
+        lambda t: pa.table({"src": pc.cast(t["dst"], pa.int64()),
+                            "dst": pc.cast(t["src"], pa.int64())}),
+        batch_format="pyarrow")
+    fwd = edges.map_batches(
+        lambda t: pa.table({"src": pc.cast(t["src"], pa.int64()),
+                            "dst": pc.cast(t["dst"], pa.int64())}),
+        batch_format="pyarrow")
+    sym = fwd.union(rev).materialize()  # all rounds re-scan the adjacency
+    sym_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+    lbl_schema = pa.schema([("node", pa.int64()), ("lbl", pa.int64())])
+
+    labels = nodes.map_batches(
+        lambda t: pa.table({"node": pc.cast(t["node"], pa.int64()),
+                            "lbl": pc.cast(t["node"], pa.int64())}),
+        batch_format="pyarrow").materialize()
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                 "lbl": pd.Series([], dtype="int64"),
+                                 "c": pd.Series([], dtype="int64")})
+        out = df.sort_values(["node", "c", "lbl"],
+                             ascending=[True, False, True]) \
+            .drop_duplicates("node")
+        return out[["node", "lbl", "c"]].astype("int64")
+
+    for _ in range(iters):
+        contrib = bucketed_hash_join(
+            sym, labels, on="src", right_on="node",
+            num_buckets=num_buckets,
+            left_schema=sym_schema, right_schema=lbl_schema,
+        ).map_batches(
+            lambda t: pa.table({
+                "node": pc.cast(t["dst"], pa.int64()),
+                "lbl": pc.cast(t["lbl"], pa.int64()),
+                "c": pa.array(np.ones(len(t), dtype=np.int64)),
+            }),
+            batch_format="pyarrow")
+        zeros = labels.map_batches(
+            lambda t: pa.table({
+                "node": t["node"], "lbl": t["lbl"],
+                "c": pa.array(np.zeros(len(t), dtype=np.int64)),
+            }),
+            batch_format="pyarrow")
+        counts = grouped_sum_count(contrib.union(zeros), ["node", "lbl"],
+                                   {"c": "c"})
+        labels = counts.map_batches(best, batch_format="pandas",
+                                    batch_size=65536) \
+            .sort("node") \
+            .map_batches(best, batch_format="pandas", batch_size=None) \
+            .map_batches(
+                lambda t: pa.table({"node": pc.cast(t["node"], pa.int64()),
+                                    "lbl": pc.cast(t["lbl"], pa.int64())}),
+                batch_format="pyarrow").materialize()
+
+    return labels.sort("node")
+
+
+def label_propagation_docs(sf_dir: str, iters: int = 2,
+                           num_buckets: int = 32):
+    """Label propagation over the synthetic doc link graph."""
+    nodes = _read_docs(sf_dir, ["doc_id"]).map_batches(
+        lambda t: pa.table({"node": pc.cast(t["doc_id"], pa.int64())}),
+        batch_format="pyarrow")
+    return label_propagation(doc_links(sf_dir), nodes,
+                             iters=iters, num_buckets=num_buckets)
+
+
+def neighbor_feature_agg(sf_dir: str, num_buckets: int = 32):
+    """1-hop neighbor feature aggregation (the GraphSAGE/GCN 'aggregate'
+    primitive): for every document, the count and integer-milli MEAN of
+    its IN-neighbors' ``n_chars`` — the feature-propagation pass that
+    turns a link graph plus per-page features into training inputs for a
+    graph model, and the quality-smoothing prior ("pages linked by long
+    pages are long") a curation pipeline scores with.
+
+    Shape: ONE bucketed hash join (edges x features on src) and ONE
+    grouped sum — the irreducible message-passing exchange; zero-count
+    rows for every node are unioned in so sink-free coverage needs no
+    driver membership pass (the explicit ``one`` column keeps the
+    in-degree exact under the zero union).  mean_milli =
+    floor(1000 * sum / n) with mean 0 for in-degree-0 nodes, matching the
+    oracle's integer division.  Output: (node, n_in, sum_chars,
+    mean_milli), node-sorted.
+    """
+    feats = _read_docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        lambda t: pa.table({"node": pc.cast(t["doc_id"], pa.int64()),
+                            "f": pc.cast(t["n_chars"], pa.int64())}),
+        batch_format="pyarrow")
+
+    contrib = bucketed_hash_join(
+        doc_links(sf_dir), feats, on="src", right_on="node",
+        num_buckets=num_buckets,
+        left_schema=pa.schema([("src", pa.int64()), ("dst", pa.int64())]),
+        right_schema=pa.schema([("node", pa.int64()), ("f", pa.int64())]),
+    ).map_batches(
+        lambda t: pa.table({
+            "node": pc.cast(t["dst"], pa.int64()),
+            "f": pc.cast(t["f"], pa.int64()),
+            "one": pa.array(np.ones(len(t), dtype=np.int64)),
+        }),
+        batch_format="pyarrow")
+    zeros = feats.map_batches(
+        lambda t: pa.table({
+            "node": t["node"],
+            "f": pa.array(np.zeros(len(t), dtype=np.int64)),
+            "one": pa.array(np.zeros(len(t), dtype=np.int64)),
+        }),
+        batch_format="pyarrow")
+    summed = grouped_sum_count(contrib.union(zeros), "node",
+                               {"sum_chars": "f", "n_in": "one"})
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_in"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t["sum_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mean = np.where(n > 0, (1000 * s) // np.maximum(n, 1), 0)
+        return pa.table({"node": pc.cast(t["node"], pa.int64()),
+                         "n_in": pa.array(n),
+                         "sum_chars": pa.array(s),
+                         "mean_milli": pa.array(mean)})
+
+    return summed.map_batches(finish, batch_format="pyarrow")
+
+
+def random_walks(sf_dir: str, steps: int = 4, num_buckets: int = 32):
+    """Deterministic DeepWalk-style walk sampling (Perozzi et al. 2014):
+    one length-``steps`` walk per document over the link graph, the
+    positive-pair generator for graph-embedding training — RNG-free so
+    any engine resampling the corpus emits byte-identical pairs.  At step
+    ``t`` from node v, walk ``w`` follows out-edge index
+    ``(w * 1000003 + t * 10007) % out_degree(v)`` where a node's
+    out-edges are indexed 0..deg-1 in ascending ``dst`` order (the
+    synthetic graph is simple, so the order is total; int64-exact while
+    walk_id < 9.2e12).
+
+    Scale shape: the indexed adjacency (src, dst, deg, idx) is built with
+    per-src rank folded into the bucketed join's ``block_fn`` — the only
+    block-split-safe placement for per-key ranking — and materialized
+    once (the co-partitioned adjacency every Pregel engine caches); each
+    step is ONE frontier join + a vectorized modulo filter that keeps
+    exactly one edge per walk, so the frontier stays |walks| rows and
+    nothing reaches the driver.  Output: (walk_id, step, node) for steps
+    0..``steps``, (walk_id, step)-sorted.
+    """
+    import pandas as pd
+
+    edges = doc_links(sf_dir)
+    deg = grouped_sum_count(edges, "src", count_alias="deg")
+
+    def rank_in_src(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in ["src", "dst", "deg", "idx"]})
+        df = df.sort_values(["src", "dst"], kind="mergesort")
+        df["idx"] = df.groupby("src", sort=False).cumcount().astype("int64")
+        return df[["src", "dst", "deg", "idx"]].astype("int64")
+
+    edges_idx = bucketed_hash_join(
+        edges, deg, on="src", num_buckets=num_buckets,
+        block_fn=rank_in_src,
+        left_schema=pa.schema([("src", pa.int64()), ("dst", pa.int64())]),
+        right_schema=pa.schema([("src", pa.int64()), ("deg", pa.int64())]),
+    ).materialize()
+    ei_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64()),
+                           ("deg", pa.int64()), ("idx", pa.int64())])
+
+    frontier = _read_docs(sf_dir, ["doc_id"]).map_batches(
+        lambda t: pa.table({"walk_id": pc.cast(t["doc_id"], pa.int64()),
+                            "cur": pc.cast(t["doc_id"], pa.int64())}),
+        batch_format="pyarrow").materialize()
+    fr_schema = pa.schema([("walk_id", pa.int64()), ("cur", pa.int64())])
+
+    def emit(step: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "walk_id": pc.cast(t["walk_id"], pa.int64()),
+                "step": pa.array(np.full(len(t), step, dtype=np.int64)),
+                "node": pc.cast(t["cur"], pa.int64()),
+            })
+        return fn
+
+    out = frontier.map_batches(emit(0), batch_format="pyarrow")
+    for t_step in range(1, steps + 1):
+        def advance(t: pa.Table, _s=t_step) -> pa.Table:
+            wid = t["walk_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            idx = t["idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+            deg_ = t["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+            dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = (wid * 1000003 + _s * 10007) % deg_ == idx
+            return pa.table({"walk_id": pa.array(wid[keep]),
+                             "cur": pa.array(dst[keep])})
+
+        frontier = bucketed_hash_join(
+            frontier, edges_idx, on="cur", right_on="src",
+            num_buckets=num_buckets,
+            left_schema=fr_schema, right_schema=ei_schema,
+        ).map_batches(advance, batch_format="pyarrow").materialize()
+        out = out.union(frontier.map_batches(emit(t_step),
+                                             batch_format="pyarrow"))
+
+    return out.sort(["walk_id", "step"])

@@ -166,3 +166,121 @@ def test_hits_matches_serial_reference(ray_session, iters):
     assert by_node[3].hub == 1_000_000
     # isolated node keeps exactly zero on both scores
     assert by_node[9].hub == 0 and by_node[9].auth == 0
+
+
+def _serial_lpa(edge_list, nodes, iters):
+    """Textbook synchronous LPA with the engine's exact conventions:
+    symmetrized multigraph counts, zero-count self row, (count desc,
+    label asc) tie-break."""
+    lbl = {n: n for n in nodes}
+    sym = edge_list + [(b, a) for a, b in edge_list]
+    for _ in range(iters):
+        counts = {n: {lbl[n]: 0} for n in nodes}
+        for a, b in sym:
+            counts[b][lbl[a]] = counts[b].get(lbl[a], 0) + 1
+        lbl = {n: min(c, key=lambda l: (-c[l], l))
+               for n, c in counts.items()}
+    return lbl
+
+
+@pytest.mark.parametrize("iters", [1, 2])
+def test_label_propagation_matches_serial(ray_session, iters):
+    """Two planted communities bridged by one edge, an isolated node, a
+    parallel-edge pair (multigraph double-count), and a symmetric
+    tie broken by smallest label."""
+    import ray.data as rd
+
+    from lexmapr_ray.pipelines.webgraph import label_propagation
+
+    edge_list = [(0, 1), (1, 2), (2, 0),          # triangle community
+                 (5, 6), (6, 7), (7, 5),          # second community
+                 (2, 5),                          # bridge
+                 (8, 9), (8, 9),                  # parallel edges
+                 (3, 4)]                          # symmetric pair (tie)
+    nodes = list(range(11))                       # 10 isolated
+
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([a for a, _ in edge_list], pa.int64()),
+        "dst": pa.array([b for _, b in edge_list], pa.int64()),
+    }))
+    node_ds = rd.from_arrow(pa.table({"node": pa.array(nodes, pa.int64())}))
+
+    got = label_propagation(edges, node_ds, iters=iters,
+                            num_buckets=4).to_pandas()
+    want = _serial_lpa(edge_list, nodes, iters)
+    assert {int(r.node): int(r.lbl) for r in got.itertuples()} == want
+    by_node = {int(r.node): int(r.lbl) for r in got.itertuples()}
+    assert by_node[10] == 10                      # isolated keeps itself
+    if iters == 1:
+        # tie -> smallest label (at iters=2 the symmetric pair exhibits
+        # LPA's documented synchronous oscillation: 3<->4 swap labels)
+        assert by_node[4] == 3 and by_node[3] == 4
+
+
+def test_neighbor_feature_agg_matches_serial(ray_session, tmp_path):
+    """Serial replay of the synthetic link model over a corpus small
+    enough that in-degree-0 nodes exist; integer-milli mean must floor
+    exactly and zero out for uncovered nodes."""
+    import pyarrow.parquet as pq
+
+    from lexmapr_ray.pipelines.webgraph import neighbor_feature_agg
+
+    # n = 31 divides the 31*d term out of the link formula, so ALL edges
+    # land on the 3 nodes (7+13j) % 31 — extreme in-degree skew plus 28
+    # in-degree-0 nodes in one corpus
+    n = 31
+    chars = [(7 * d + 3) % 29 + 1 for d in range(n)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(["x"] * n, pa.string()),
+        "n_chars": pa.array(chars, pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+
+    n_in = {d: 0 for d in range(n)}
+    s = {d: 0 for d in range(n)}
+    for d in range(n):
+        for j in range(1 + d % 3):
+            dst = (d * 31 + 7 + 13 * j) % n
+            n_in[dst] += 1
+            s[dst] += chars[d]
+
+    got = neighbor_feature_agg(str(tmp_path), num_buckets=4).to_pandas()
+    assert len(got) == n
+    for r in got.itertuples():
+        d = int(r.node)
+        assert int(r.n_in) == n_in[d]
+        assert int(r.sum_chars) == s[d]
+        assert int(r.mean_milli) == ((1000 * s[d]) // n_in[d]
+                                     if n_in[d] else 0)
+    assert (got["n_in"] == 0).any()               # uncovered node exists
+
+
+def test_random_walks_matches_serial(ray_session, tmp_path):
+    """Serial replay of the hash-selected walk over a small corpus with
+    out-degrees 1/2/3; every walk must advance exactly one node per step
+    and follow the ascending-dst edge indexing."""
+    import pyarrow.parquet as pq
+
+    from lexmapr_ray.pipelines.webgraph import random_walks
+
+    n, steps = 13, 4
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(["x"] * n, pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+
+    adj = {d: sorted((d * 31 + 7 + 13 * j) % n for j in range(1 + d % 3))
+           for d in range(n)}
+    want = {}
+    for w in range(n):
+        cur = w
+        want[(w, 0)] = cur
+        for t in range(1, steps + 1):
+            nbrs = adj[cur]
+            cur = nbrs[(w * 1000003 + t * 10007) % len(nbrs)]
+            want[(w, t)] = cur
+
+    got = random_walks(str(tmp_path), steps=steps, num_buckets=4).to_pandas()
+    assert len(got) == n * (steps + 1)
+    assert {(int(r.walk_id), int(r.step)): int(r.node)
+            for r in got.itertuples()} == want
