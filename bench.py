@@ -274,6 +274,11 @@ def run_queries(sf_dir: str) -> dict:
         ("collocations", textstats.collocations),
         ("split_drift", textstats.split_drift),
         ("host_near_dup", dedup.host_near_dup),
+        ("hits_docs", webgraph.hits_docs),
+        ("bm25_search", similarity.bm25_search),
+        ("label_propagation", webgraph.label_propagation_docs),
+        ("random_walks", webgraph.random_walks),
+        ("weighted_sample", textstats.weighted_sample),
     ]:
         t0 = time.time()
         res = fn(sf_dir)
