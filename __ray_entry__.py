@@ -72,6 +72,21 @@ def _url_latest_capture(sf_dir: str):
     return url_latest_capture(sf_dir)
 
 
+def _kg_ancestor_rollup(sf_dir: str):
+    """Ontology-level triple rollup (pipelines/kg.py::ancestor_rollup)
+    under the deterministic namespace stand-in hierarchy (the default
+    resources ship no parent edges; the DAG path is pytest-covered with
+    a diamond fixture).  The engine recomputes the triples distributed
+    from scratch; the oracle rolls the committed serial triples up the
+    same string-rule closure in SQL."""
+    from lexmapr_ray.pipelines.kg import (ancestor_rollup, extract_triples,
+                                          namespace_parents)
+    from lexmapr_ray.sources.pages import pages_from_documents
+
+    triples = extract_triples(pages_from_documents(sf_dir), _lexicon_ref())
+    return ancestor_rollup(triples, namespace_parents)
+
+
 def _crawl_diff(sf_dir: str):
     """Two-crawl snapshot diff (sources/pages.py::crawl_diff); both
     snapshots are pure functions of documents, so the SQL oracle
@@ -171,6 +186,7 @@ _DRIVER_PRIORITY = [
     "kg_cooccurrence",
     "kg_components",
     "kg_incremental_merge",
+    "kg_ancestor_rollup",
     "hits_docs",
     "bm25_search",
     "crawl_diff",
@@ -399,6 +415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entities": _kg_entities,
         "kg_triples_bucket": _kg_triples_bucket,
         "kg_degree_stats": _kg_degree_stats,
+        "kg_ancestor_rollup": _kg_ancestor_rollup,
         "kg_cooccurrence": _kg_cooccurrence,
         "kg_components": _kg_components,
         "kg_incremental_merge": _kg_incremental_merge,
@@ -2072,6 +2089,27 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('/root/repo/expected/kg_triples.parquet')
             WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)
             GROUP BY obj ORDER BY obj
+        """,
+        # namespace-rule ancestor closure (term, ns_<prefix>, owl_thing)
+        # mirrors pipelines/kg.py::namespace_parents; the DISTINCT
+        # collapses the serial triples to the same deduped graph the
+        # engine rolls up
+        "kg_ancestor_rollup": """
+            WITH t AS (
+                SELECT DISTINCT subj, pred, obj
+                FROM read_parquet('/root/repo/expected/kg_triples.parquet')
+                WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)),
+            objs AS (SELECT DISTINCT obj FROM t),
+            a AS (SELECT obj AS term, obj AS anc FROM objs
+                  UNION ALL
+                  SELECT obj, 'ns_' || lower(split_part(obj, '_', 1))
+                  FROM objs
+                  UNION ALL
+                  SELECT obj, 'owl_thing' FROM objs)
+            SELECT a.anc, COUNT(*)::BIGINT AS n_triples,
+                   COUNT(DISTINCT t.obj)::BIGINT AS n_terms
+            FROM t JOIN a ON a.term = t.obj
+            GROUP BY a.anc ORDER BY a.anc
         """,
         "kg_entities": """
             SELECT mention, canonical_obj, canonical_label,

@@ -20,6 +20,7 @@ Scale notes (10^12-document design):
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -439,3 +440,99 @@ def run_kg_pipeline(
         pages_ds, lexicon_ref, bucket=bucket, concurrency=concurrency, batch_size=batch_size
     )
     return materialize_graph(triples, out_dir)
+
+
+def _ancestor_closure(term: str, parents) -> set[str]:
+    """Ancestor set of ``term`` (inclusive): BFS over ``parents`` — a
+    ``{child: [parent, ...]}`` dict or a ``term -> iterable`` callable —
+    with a visited set (diamonds visited once, cycles terminate) and no
+    expansion past ``bfo_0000001`` (BFO's root entity, the same
+    hierarchy-top convention as matcher.get_term_parent_hierarchies)."""
+    get = parents if callable(parents) else lambda n: parents.get(n, ())
+    seen = {term}
+    stack = [term]
+    while stack:
+        node = stack.pop()
+        if node == "bfo_0000001":
+            continue
+        for p in get(node):
+            if p not in seen:
+                seen.add(p)
+                stack.append(p)
+    return seen
+
+
+def namespace_parents(term: str):
+    """Deterministic stand-in hierarchy when no ontology is configured
+    (the reference's default resources ship an EMPTY parents table —
+    real parent edges arrive only with a fetched ontology): every term's
+    parent is its ontology namespace (``CHEBI_24433 -> ns_chebi``) and
+    every namespace's parent is ``owl_thing``.  A pure string rule, so
+    the SQL oracle regenerates the identical closure."""
+    if term == "owl_thing":
+        return ()
+    if term.startswith("ns_"):
+        return ("owl_thing",)
+    return ("ns_" + term.split("_")[0].lower(),)
+
+
+def ancestor_rollup(triples_ds, parents):
+    """Ontology-level KG rollup: triple and distinct-term counts
+    aggregated up the parent hierarchy's transitive closure — the
+    "how much evidence sits under FOODON vs CHEBI vs each mid-level
+    class" view that drives ontology-subtree curation and coverage
+    audits.  For every ancestor ``anc`` (terms count as their own
+    ancestor): ``n_triples`` = deduped triples whose obj lies under
+    ``anc``, ``n_terms`` = distinct such objs.
+
+    ``parents`` is a ``{child: [parents]}`` dict, a ``ray.ObjectRef`` to
+    one (broadcast once, read per task), or a pure ``term -> parents``
+    callable (:func:`namespace_parents` when no ontology is loaded).
+
+    Scale shape: the ``degree_stats`` shape lifted up the ontology DAG —
+    everything after the triple dedup is VOCABULARY-bounded: per-batch
+    (anc, obj) partial counts with the closure memoized per task over
+    the broadcast table, one anc sort, co-located exact distinct-term
+    finals; shuffle <= one row per (anc, obj) per batch, never
+    triple-scale.  Closure depth multiplies only the vocabulary-sized
+    partials, not the corpus."""
+    import pandas as pd
+    import ray
+
+    from lexmapr_ray.functions.groupagg import sorted_group_reduce
+
+    deduped = dedup_triples(triples_ds).map_batches(
+        lambda t: t.select(["obj"]), batch_format="pyarrow")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"anc": pd.Series([], dtype="object"),
+                              "obj": pd.Series([], dtype="object"),
+                              "cnt": pd.Series([], dtype="int64")})
+        if len(df) == 0:
+            return empty
+        table = ray.get(parents) if isinstance(parents, ray.ObjectRef) \
+            else parents
+        memo: dict[str, set] = {}
+        anc_col, obj_col, cnt_col = [], [], []
+        for obj, cnt in df.groupby("obj", sort=False).size().items():
+            if obj not in memo:
+                memo[obj] = _ancestor_closure(obj, table)
+            for anc in memo[obj]:
+                anc_col.append(anc)
+                obj_col.append(obj)
+                cnt_col.append(int(cnt))
+        return pd.DataFrame({"anc": anc_col, "obj": obj_col,
+                             "cnt": np.asarray(cnt_col, dtype=np.int64)})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"anc": pd.Series([], dtype="object"),
+                                 "n_triples": pd.Series([], dtype="int64"),
+                                 "n_terms": pd.Series([], dtype="int64")})
+        g = df.groupby("anc", sort=True).agg(
+            n_triples=("cnt", "sum"), n_terms=("obj", "nunique")).reset_index()
+        g["n_triples"] = g["n_triples"].astype("int64")
+        g["n_terms"] = g["n_terms"].astype("int64")
+        return g
+
+    return sorted_group_reduce(deduped, "anc", partial, final)

@@ -210,3 +210,61 @@ def test_incremental_merge_equals_full_graph(ray_session):
     cols = ["subj", "pred", "obj", "obj_label", "mention", "status"]
     pd.testing.assert_frame_equal(
         merged[cols].reset_index(drop=True), full[cols].reset_index(drop=True))
+
+
+def test_ancestor_rollup_diamond_dag(ray_session):
+    """Real-DAG semantics of pipelines/kg.py::ancestor_rollup: a diamond
+    (two parent paths meeting at a grandparent must count the rolled-up
+    term ONCE), a 3-deep chain, a cycle terminated by the visited set,
+    the bfo_0000001 root that must not expand, and a dict-vs-callable
+    parents seam — all hash-checked against a serial closure replay."""
+    import ray.data as rd
+
+    from lexmapr_ray.pipelines.kg import (_ancestor_closure, ancestor_rollup,
+                                          namespace_parents)
+
+    parents = {
+        "leaf_a": ["mid_1", "mid_2"],        # diamond bottom
+        "mid_1": ["top"],
+        "mid_2": ["top"],
+        "leaf_b": ["mid_1"],                 # shares one diamond arm
+        "deep_3": ["deep_2"],                # 3-deep chain
+        "deep_2": ["deep_1"],
+        "deep_1": ["bfo_0000001"],           # root: never expanded
+        "bfo_0000001": ["deep_3"],           # cycle via the root guard
+        "loop_x": ["loop_y"],                # plain 2-cycle
+        "loop_y": ["loop_x"],
+    }
+    triple_rows = [
+        ("p1", "m", "leaf_a"), ("p2", "m", "leaf_a"), ("p3", "m", "leaf_b"),
+        ("p1", "m", "deep_3"), ("p4", "m", "loop_x"), ("p4", "m", "orphan"),
+        ("p1", "m", "leaf_a"),                        # duplicate: deduped
+    ]
+    triples = rd.from_arrow(pa.table({
+        "subj": pa.array([r[0] for r in triple_rows], pa.string()),
+        "pred": pa.array([r[1] for r in triple_rows], pa.string()),
+        "obj": pa.array([r[2] for r in triple_rows], pa.string()),
+    }))
+
+    got = ancestor_rollup(triples, parents).to_pandas()
+
+    dedup = set(triple_rows)
+    from collections import Counter, defaultdict
+    n_triples, terms = Counter(), defaultdict(set)
+    for _, _, obj in dedup:
+        for anc in _ancestor_closure(obj, parents):
+            n_triples[anc] += 1
+            terms[anc].add(obj)
+    want = {a: (n_triples[a], len(terms[a])) for a in n_triples}
+    assert {r.anc: (int(r.n_triples), int(r.n_terms))
+            for r in got.itertuples()} == want
+    by = {r.anc: r for r in got.itertuples()}
+    assert by["top"].n_terms == 2          # diamond counts leaf_a ONCE
+    assert by["top"].n_triples == 3        # 2x leaf_a (deduped) + leaf_b
+    assert by["bfo_0000001"].n_triples == 1 and "deep_2" not in terms["deep_3"]
+    assert by["loop_y"].n_triples == 1     # cycle terminated
+    assert by["orphan"].n_triples == 1     # parentless term = own ancestor
+
+    # callable seam: the namespace rule yields the 3-level closure
+    assert _ancestor_closure("CHEBI_24433", namespace_parents) == {
+        "CHEBI_24433", "ns_chebi", "owl_thing"}
