@@ -279,6 +279,7 @@ def run_queries(sf_dir: str) -> dict:
         ("label_propagation", webgraph.label_propagation_docs),
         ("random_walks", webgraph.random_walks),
         ("weighted_sample", textstats.weighted_sample),
+        ("neighbor_feature_agg", webgraph.neighbor_feature_agg),
     ]:
         t0 = time.time()
         res = fn(sf_dir)
