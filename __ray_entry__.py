@@ -96,6 +96,16 @@ def _crawl_diff(sf_dir: str):
     return crawl_diff(sf_dir)
 
 
+def _url_canonicalize(sf_dir: str):
+    """Canonical-URL capture counts (sources/pages.py::url_canonicalize);
+    the raw captures are a pure function of documents, so the SQL oracle
+    regenerates them and re-derives the canonical form with its own
+    regexp/list kernels — an independent formulation of the same rules."""
+    from lexmapr_ray.sources.pages import url_canonicalize
+
+    return url_canonicalize(sf_dir)
+
+
 def _kg_components(sf_dir: str):
     """Connected components of the term co-mention graph
     (pipelines/kg.py::term_components — the generic distributed min-label
@@ -190,6 +200,9 @@ _DRIVER_PRIORITY = [
     "hits_docs",
     "bm25_search",
     "crawl_diff",
+    "paragraph_dedup",
+    "url_canonicalize",
+    "host_link_graph",
     "weighted_sample",
     "label_propagation",
     "neighbor_feature_agg",
@@ -335,6 +348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_heavy_hitters": sketches.cms_heavy_hitters,
         # deduplication
         "dedup_exact": dedup.dedup_exact,
+        "paragraph_dedup": dedup.paragraph_dedup,
         "span_dedup": dedup.span_dedup,
         "simhash_near_dup_pairs": dedup.simhash_near_dup_pairs,
         "ngram_decontaminate": dedup.ngram_decontaminate,
@@ -397,6 +411,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # url-recency dedup over the multi-capture pages table
         "url_latest_capture": _url_latest_capture,
         "crawl_diff": _crawl_diff,
+        "url_canonicalize": _url_canonicalize,
+        "host_link_graph": webgraph.host_link_graph,
         # web-graph analytics: link authority + host-level curation
         "pagerank_docs": webgraph.pagerank_docs,
         "hits_docs": webgraph.hits_docs,
@@ -1840,6 +1856,89 @@ def oracle_sql() -> dict[str, str]:
                         WHEN od <> nd THEN 'changed'
                         ELSE 'unchanged' END AS status
             FROM j ORDER BY url
+        """,
+        # canonical-URL capture counts — raw variants mirror
+        # sources/pages.py::raw_url_captures; the canonicalization rules
+        # (fragment, case, default port, trailing slash, tracking params,
+        # param sort) are re-derived with DuckDB regexp/list kernels as an
+        # independent formulation of canonicalize_url
+        "url_canonicalize": """
+            WITH raw AS (
+              SELECT CASE u.v
+                WHEN 0 THEN 'HTTPS://HOST' || CAST(d.doc_id % 37 AS VARCHAR)
+                         || '.EXAMPLE:443/p/' || CAST(d.doc_id AS VARCHAR)
+                         || '?utm_source=feed&q=' || CAST(d.doc_id % 7 AS VARCHAR)
+                         || '#frag'
+                WHEN 1 THEN 'https://host' || CAST(d.doc_id % 37 AS VARCHAR)
+                         || '.example/p/' || CAST(d.doc_id AS VARCHAR)
+                         || '/?q=' || CAST(d.doc_id % 7 AS VARCHAR)
+                         || '&fbclid=x' || CAST(d.doc_id AS VARCHAR)
+                ELSE 'https://host' || CAST(d.doc_id % 37 AS VARCHAR)
+                         || '.example:443/p/' || CAST(d.doc_id AS VARCHAR)
+                         || '?ref=home&q=' || CAST(d.doc_id % 7 AS VARCHAR)
+                END AS url
+              FROM documents d, UNNEST(range(0, 1 + d.doc_id % 3)) AS u(v)),
+            parts AS (
+              SELECT lower(regexp_extract(url, '^([^:]+)://', 1)) AS scheme,
+                     regexp_replace(lower(regexp_extract(
+                         url, '^[^:]+://([^/?#]*)', 1)), ':(80|443)$', '')
+                         AS host,
+                     regexp_replace(regexp_replace(
+                         url, '^[^:]+://[^/?#]*', ''), '#.*$', '') AS rest
+              FROM raw),
+            pq2 AS (
+              SELECT scheme, host,
+                     regexp_replace(CASE WHEN strpos(rest, '?') > 0
+                         THEN rest[1:strpos(rest, '?') - 1] ELSE rest END,
+                         '/+$', '') AS path0,
+                     CASE WHEN strpos(rest, '?') > 0
+                         THEN rest[strpos(rest, '?') + 1:] ELSE '' END AS query
+              FROM parts),
+            canon AS (
+              SELECT scheme || '://' || host ||
+                     (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
+                     (CASE WHEN qs = '' THEN '' ELSE '?' || qs END) AS url
+              FROM (SELECT scheme, host, path0,
+                           array_to_string(list_sort(list_filter(
+                               string_split(query, '&'),
+                               x -> x <> '' AND NOT regexp_matches(x,
+                                   '^(utm_[^=]*|fbclid|gclid|ref)='))),
+                               '&') AS qs
+                    FROM pq2))
+            SELECT url, COUNT(*) AS n_captures
+            FROM canon GROUP BY url ORDER BY url
+        """,
+        # paragraph-level corpus dedup — ". "-split paragraphs, md5
+        # identity, corpus-wide first occurrence wins (min doc_id, pos);
+        # mirrors stages/dedup.py::paragraph_dedup
+        "paragraph_dedup": """
+            WITH t AS (SELECT doc_id, string_split(text, '. ') AS ps
+                       FROM documents),
+            p AS (SELECT doc_id, i AS pos, ps[i] AS para, md5(ps[i]) AS digest
+                  FROM (SELECT doc_id, ps,
+                               unnest(range(1, len(ps) + 1)) AS i FROM t)),
+            w AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY digest
+                               ORDER BY doc_id, pos) AS rn FROM p)
+            SELECT doc_id,
+                   COUNT(*) AS n_paras,
+                   SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+                   SUM(CASE WHEN rn = 1 THEN 0 ELSE 1 END)::BIGINT
+                       AS n_removed,
+                   COALESCE(string_agg(para, '. ' ORDER BY pos)
+                            FILTER (WHERE rn = 1), '') AS kept_text
+            FROM w GROUP BY doc_id ORDER BY doc_id
+        """,
+        # host-level link graph — the engine PARSES the anchors out of the
+        # html bytes (pipelines/webgraph.py::host_link_graph); the oracle
+        # regenerates the deterministic edge set arithmetically
+        "host_link_graph": f"""
+            WITH e AS ({_EDGES_CTE})
+            SELECT 'host' || CAST(src % 37 AS VARCHAR) || '.example'
+                       AS src_host,
+                   'host' || CAST(dst % 37 AS VARCHAR) || '.example'
+                       AS dst_host,
+                   COUNT(*) AS n_links
+            FROM e GROUP BY src_host, dst_host ORDER BY src_host, dst_host
         """,
         # Integer fixed-point PageRank, 3 iterations unrolled — the link
         # model, constants and int division mirror pipelines/webgraph.py

@@ -229,6 +229,7 @@ def run_queries(sf_dir: str) -> dict:
     per session, not per query."""
     from lexmapr_ray.pipelines import relational as rel
     from lexmapr_ray.pipelines import webgraph
+    from lexmapr_ray.sources.pages import url_canonicalize as _url_canonicalize
     from lexmapr_ray.stages import (bpe, dedup, packing, similarity, sketches,
                                     textstats)
 
@@ -280,6 +281,9 @@ def run_queries(sf_dir: str) -> dict:
         ("random_walks", webgraph.random_walks),
         ("weighted_sample", textstats.weighted_sample),
         ("neighbor_feature_agg", webgraph.neighbor_feature_agg),
+        ("paragraph_dedup", dedup.paragraph_dedup),
+        ("url_canonicalize", _url_canonicalize),
+        ("host_link_graph", webgraph.host_link_graph),
     ]:
         t0 = time.time()
         res = fn(sf_dir)

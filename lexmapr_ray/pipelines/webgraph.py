@@ -995,3 +995,58 @@ def random_walks(sf_dir: str, steps: int = 4, num_buckets: int = 32):
                                              batch_format="pyarrow"))
 
     return out.sort(["walk_id", "step"])
+
+
+# ---------------------------------------------------------------------------
+# Host-level link graph extracted from raw html
+# ---------------------------------------------------------------------------
+
+_HREF_RE = None
+_HOST_RE = None
+
+
+def host_link_graph(sf_dir: str):
+    """Host-level link graph parsed out of raw page html: how many anchors
+    point from pages on ``src_host`` to urls on ``dst_host`` — the
+    domain-graph build a Common-Crawl pipeline runs for spam/authority
+    signals before any per-page scoring.
+
+    Unlike :func:`doc_links` (which generates edges arithmetically), the
+    edges here are RECOVERED FROM THE HTML BYTES — regex anchor extraction
+    over the pages of ``sources/pages.py::linked_pages_from_documents``;
+    the SQL oracle regenerates the same edge set arithmetically (the
+    synthesis is a pure function of the documents table), so the gate
+    verifies the parse, not just the aggregate.
+
+    Scale shape: stateless extract map (compiled regexes, one pass per
+    page; emits only (src_host, dst_host) — html never leaves the task)
+    -> ``grouped_sum_count`` on the host pair (per-batch Arrow combiner;
+    shuffle <= |host pairs| per batch, i.e. domain-bounded, never
+    page-scale).  Output: ``(src_host, dst_host, n_links)``, pair-sorted.
+    """
+    import re
+
+    global _HREF_RE, _HOST_RE
+    if _HREF_RE is None:
+        _HREF_RE = re.compile(rb'<a href="([^"]+)"')
+        _HOST_RE = re.compile(r"://([^/:?#]+)")
+
+    from lexmapr_ray.sources.pages import linked_pages_from_documents
+
+    pages = linked_pages_from_documents(sf_dir)
+
+    def extract(t: pa.Table) -> pa.Table:
+        href_re, host_re = _HREF_RE, _HOST_RE
+        srcs: list[str] = []
+        dsts: list[str] = []
+        for u, h in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+            sh = host_re.search(u).group(1)
+            for m in href_re.finditer(h):
+                srcs.append(sh)
+                dsts.append(host_re.search(m.group(1).decode("utf-8")).group(1))
+        return pa.table({"src_host": pa.array(srcs, pa.string()),
+                         "dst_host": pa.array(dsts, pa.string())})
+
+    edges = pages.map_batches(extract, batch_format="pyarrow")
+    return grouped_sum_count(edges, ["src_host", "dst_host"],
+                             count_alias="n_links")

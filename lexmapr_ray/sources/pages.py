@@ -300,3 +300,137 @@ def crawl_diff(sf_dir: str, num_buckets: int = 32):
         left_schema=snap_schema("dg_old"),
         right_schema=snap_schema("dg_new"),
     ).sort("url")
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (crawl-frontier normalization)
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_URL_HEAD_RE = _re.compile(r"^([^:]+)://([^/?#]*)")
+_DEF_PORT_RE = _re.compile(r":(80|443)$")
+_TRAIL_SLASH_RE = _re.compile(r"/+$")
+# one tracking-param definition, mirrored literally in the SQL oracle
+_TRACKING_PARAM_RE = _re.compile(r"^(utm_[^=]*|fbclid|gclid|ref)=")
+
+
+def canonicalize_url(u: str) -> str:
+    """Canonical form of one URL — the crawl-frontier normalization every
+    web pipeline runs before URL-level dedup (reference has no crawler;
+    this generalizes its lookup-table normalization stance to URLs):
+
+    1. drop the fragment (``#...``);
+    2. lowercase scheme and host, strip default ports ``:80``/``:443``;
+    3. strip trailing slashes from the path (empty path -> ``/``);
+    4. drop tracking query params (``utm_*``, ``fbclid``, ``gclid``,
+       ``ref``), sort the survivors, drop ``?`` when none survive.
+
+    Pure string function; the DuckDB oracle reproduces it with
+    regexp/list kernels as an independent formulation.
+    """
+    m = _URL_HEAD_RE.match(u)
+    scheme = m.group(1).lower()
+    host = _DEF_PORT_RE.sub("", m.group(2).lower())
+    rest = u[m.end():].split("#", 1)[0]
+    if "?" in rest:
+        path, query = rest.split("?", 1)
+    else:
+        path, query = rest, ""
+    path = _TRAIL_SLASH_RE.sub("", path)
+    if path == "":
+        path = "/"
+    params = sorted(p for p in query.split("&")
+                    if p and not _TRACKING_PARAM_RE.match(p))
+    q = "&".join(params)
+    return f"{scheme}://{host}{path}" + (f"?{q}" if q else "")
+
+
+def raw_url_captures(sf_dir: str, batch_size: int = 2048):
+    """Deterministic MESSY url captures: doc ``d`` yields ``1 + d % 3``
+    raw variants of one logical URL differing in case, default port,
+    tracking params, param order, fragment, and trailing slash — the
+    Common-Crawl situation :func:`url_canonicalize` exists for.  Pure
+    function of the documents table so the SQL oracle regenerates the
+    identical capture set (the crawl_diff convention)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        urls = []
+        for d in batch["doc_id"].to_pylist():
+            d = int(d)
+            h, q = d % 37, d % 7
+            variants = (
+                f"HTTPS://HOST{h}.EXAMPLE:443/p/{d}?utm_source=feed&q={q}#frag",
+                f"https://host{h}.example/p/{d}/?q={q}&fbclid=x{d}",
+                f"https://host{h}.example:443/p/{d}?ref=home&q={q}",
+            )
+            urls.extend(variants[:1 + d % 3])
+        return pa.table({"url": pa.array(urls, pa.string())})
+
+    return ds.map_batches(explode, batch_format="pyarrow",
+                          batch_size=batch_size)
+
+
+def url_canonicalize(sf_dir: str):
+    """Canonical-URL capture counts: canonicalize every raw capture and
+    count captures per canonical url — the frontier-dedup pass upstream
+    of :func:`url_latest_capture`.
+
+    Scale shape: stateless canonicalize map (tiny strings; the per-row
+    param sort is bounded by the query-string length) -> one
+    ``grouped_sum_count`` on the canonical url (per-batch Arrow combiner,
+    so the shuffle moves <= one row per (url, batch)).  Output:
+    ``(url, n_captures)``, url-sorted."""
+    from lexmapr_ray.functions.groupagg import grouped_sum_count
+
+    raw = raw_url_captures(sf_dir)
+
+    def canon(t: pa.Table) -> pa.Table:
+        return pa.table({"url": pa.array(
+            [canonicalize_url(u) for u in t["url"].to_pylist()], pa.string())})
+
+    return grouped_sum_count(raw.map_batches(canon, batch_format="pyarrow"),
+                             "url", count_alias="n_captures")
+
+
+# ---------------------------------------------------------------------------
+# Linked pages (anchors embedded in the html payload)
+# ---------------------------------------------------------------------------
+
+def linked_pages_from_documents(sf_dir: str, batch_size: int = 512):
+    """Pages whose html carries REAL ``<a href>`` anchors: doc ``d`` links
+    to docs ``(d*31 + 7 + 13*j) % N`` for ``j < 1 + d % 3`` — the same
+    deterministic edge set as ``pipelines/webgraph.py::doc_links``, so SQL
+    oracles regenerate it arithmetically while the ENGINE must recover it
+    by parsing the html bytes.  Page and anchor urls live on
+    ``host{id % 37}.example``.  The anchors sit between ``</p>`` and
+    ``</body>``, so :func:`extract_text`'s byte-identical invariant is
+    untouched."""
+    import ray.data as rd
+
+    n_docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"]).count()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        urls, htmls = [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            d = int(d)
+            anchors = b"".join(
+                b'<a href="https://host%d.example/p/%d">l%d</a>'
+                % ((d * 31 + 7 + 13 * j) % n_docs % 37,
+                   (d * 31 + 7 + 13 * j) % n_docs, j)
+                for j in range(1 + d % 3)
+            )
+            urls.append(f"https://host{d % 37}.example/p/{d}")
+            htmls.append(_HTML_PREFIX + escape_html(t) + b"</p>"
+                         + anchors + b"</body></html>")
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "html": pa.array(htmls, pa.binary())})
+
+    return ds.map_batches(to_pages, batch_format="pyarrow",
+                          batch_size=batch_size)

@@ -1533,3 +1533,146 @@ def host_near_dup(sf_dir: str, min_match_pct: int = 5,
     return out.map_batches(
         lambda t: t.rename_columns(["host_a", "host_b", "sig_match_pct"]),
         batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level corpus dedup (CCNet shape)
+# ---------------------------------------------------------------------------
+
+def paragraph_dedup(sf_dir: str):
+    """CCNet-style paragraph-level corpus dedup (Wenzek et al. 2020 shape,
+    generalizing the doc-level exact dedup the way the reference's per-term
+    caches generalize per-sample work — reference pipeline.py runs per
+    sample; here the unit is the paragraph across the whole corpus).
+
+    Semantics: split every document into paragraphs on the literal ``". "``
+    separator (mirrored by DuckDB ``string_split``), identify a paragraph
+    by its md5, keep ONLY the corpus-wide FIRST occurrence — min
+    ``(doc_id, pos)`` — of each distinct paragraph, and reassemble the
+    surviving paragraphs per document in original order.  Output one row
+    per document: ``(doc_id, n_paras, n_kept, n_removed, kept_text)``,
+    globally doc-sorted (docs whose every paragraph lost keep a row with
+    ``kept_text=''``).
+
+    Scale shape (two sorted reduces, no join, no driver state):
+
+    1. explode to ``(doc_id, pos, para, digest)`` rows — stateless map.
+    2. winner reduce keyed on ``digest``: the per-batch partial keeps only
+       each digest's local-min ``(doc_id, pos)`` row as a candidate and
+       collapses every other instance into a per-doc removed COUNTER row
+       (``pos=-1``) — a local non-min can never be the global first, so
+       this is exact.  The counter's sort key is ``"\\x00" + doc_id`` (no
+       md5 collision possible), so counters combine per doc and spread
+       over the range partitioner instead of piling on one key.  A
+       paragraph duplicated across half the corpus therefore ships at most
+       ONE text row per batch into the digest sort — the hot-digest block
+       holds O(batches) rows, never O(corpus).
+    3. assembly reduce keyed on ``doc_id``: partial re-combines counters;
+       the post-sort final orders each doc's survivors by ``pos`` and
+       joins them with ``". "`` (equal doc_ids are co-located whole by the
+       sort contract — see functions/groupagg docstring).
+    """
+    from lexmapr_ray.functions.groupagg import sorted_group_reduce
+
+    docs = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        doc_ids: list[int] = []
+        poss: list[int] = []
+        paras: list[str] = []
+        digests: list[str] = []
+        md5 = hashlib.md5
+        for d, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            for i, p in enumerate(s.split(". "), start=1):
+                doc_ids.append(d)
+                poss.append(i)
+                paras.append(p)
+                digests.append(md5(p.encode()).hexdigest())
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "pos": pa.array(poss, pa.int64()),
+            "para": pa.array(paras, pa.string()),
+            "digest": pa.array(digests, pa.string()),
+        })
+
+    paras = docs.map_batches(explode, batch_format="pyarrow")
+
+    _WIN_COLS = ["doc_id", "pos", "para", "digest", "removed"]
+
+    def win_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if "removed" not in df.columns:
+            df = df.assign(removed=np.zeros(len(df), dtype=np.int64))
+        if len(df) == 0:
+            return df[_WIN_COLS]
+        live = df[df["pos"] >= 0]
+        ctr = df[df["pos"] < 0]
+        live = live.sort_values(["digest", "doc_id", "pos"], kind="mergesort")
+        dup = live.duplicated("digest").to_numpy()
+        first = live[~dup]
+        losers = live[dup]
+        pieces = [first[_WIN_COLS]]
+        lost = pd.concat([ctr[["doc_id", "removed"]],
+                          pd.DataFrame({"doc_id": losers["doc_id"],
+                                        "removed": np.ones(len(losers),
+                                                           dtype=np.int64)})])
+        if len(lost):
+            c = lost.groupby("doc_id", sort=False)["removed"].sum().reset_index()
+            pieces.append(pd.DataFrame({
+                "doc_id": c["doc_id"].to_numpy(np.int64),
+                "pos": np.full(len(c), -1, dtype=np.int64),
+                "para": "",
+                "digest": "\x00" + c["doc_id"].astype(str),
+                "removed": c["removed"].to_numpy(np.int64),
+            }))
+        return pd.concat(pieces, ignore_index=True)[_WIN_COLS]
+
+    def win_final(df: pd.DataFrame) -> pd.DataFrame:
+        return win_partial(df)[["doc_id", "pos", "para", "removed"]]
+
+    flagged = sorted_group_reduce(paras, "digest", win_partial, win_final)
+
+    _ASM_COLS = ["doc_id", "pos", "para", "removed"]
+
+    def asm_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df[_ASM_COLS]
+        live = df[df["pos"] >= 0]
+        ctr = df[df["pos"] < 0]
+        pieces = [live[_ASM_COLS]]
+        if len(ctr):
+            c = ctr.groupby("doc_id", sort=False)["removed"].sum().reset_index()
+            pieces.append(pd.DataFrame({
+                "doc_id": c["doc_id"].to_numpy(np.int64),
+                "pos": np.full(len(c), -1, dtype=np.int64),
+                "para": "",
+                "removed": c["removed"].to_numpy(np.int64),
+            }))
+        return pd.concat(pieces, ignore_index=True)[_ASM_COLS]
+
+    def asm_final(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "doc_id": pd.Series([], dtype="int64"),
+            "n_paras": pd.Series([], dtype="int64"),
+            "n_kept": pd.Series([], dtype="int64"),
+            "n_removed": pd.Series([], dtype="int64"),
+            "kept_text": pd.Series([], dtype="object"),
+        })
+        if len(df) == 0:
+            return empty
+        df = df.sort_values(["doc_id", "pos"], kind="mergesort")
+        live = df[df["pos"] >= 0]
+        g = live.groupby("doc_id", sort=True)
+        out = pd.concat([
+            g.size().rename("n_kept"),
+            g["para"].agg(". ".join).rename("kept_text"),
+            df[df["pos"] < 0].groupby("doc_id", sort=True)["removed"]
+              .sum().rename("n_removed"),
+        ], axis=1).reset_index()
+        out["n_kept"] = out["n_kept"].fillna(0).astype(np.int64)
+        out["n_removed"] = out["n_removed"].fillna(0).astype(np.int64)
+        out["kept_text"] = out["kept_text"].fillna("")
+        out["n_paras"] = out["n_kept"] + out["n_removed"]
+        return out[["doc_id", "n_paras", "n_kept", "n_removed",
+                    "kept_text"]].sort_values("doc_id", kind="mergesort")
+
+    return sorted_group_reduce(flagged, "doc_id", asm_partial, asm_final)

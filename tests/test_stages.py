@@ -2821,3 +2821,93 @@ def test_weighted_sample_systematic_pps(ray_session, tmp_path):
     assert len(got) == n
     assert not set(got["doc_id"]) & {3, 17, 41}
     assert (got["doc_id"] == 25).sum() >= 2  # oversize doc wins repeatedly
+
+
+def test_paragraph_dedup_adversarial_exact(ray_session, tmp_path):
+    """Paragraph-dedup winner semantics on a corpus the testdata can't
+    produce (its docs are single-paragraph): within-doc duplicate
+    paragraphs, cross-doc duplicates where position decides the winner,
+    a doc whose EVERY paragraph loses (kept_text=''), and the trailing
+    '.' that makes the final split piece distinct. Engine bit-equal to
+    the ROW_NUMBER oracle."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+    from lexmapr_ray.stages.dedup import paragraph_dedup
+
+    texts = [
+        "x. y. x. z.",        # doc 0: within-doc dup ('x' pos 3 loses)
+        "y. w.",              # doc 1: 'y' loses to doc 0 pos 2
+        "y. w.",              # doc 2: full duplicate of doc 1 -> kept_text ''
+        "unique alpha. z.",   # doc 3: 'z.' (trailing dot) loses to doc 0
+        "x",                  # doc 4: single paragraph, loses to doc 0 pos 1
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    got = paragraph_dedup(str(tmp_path)).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    exp = con.execute(entrymod.oracle_sql()["paragraph_dedup"]).fetchdf()
+    pd.testing.assert_frame_equal(got, exp.reset_index(drop=True),
+                                  check_dtype=False)
+
+    by_doc = got.set_index("doc_id")
+    assert by_doc.loc[0, "kept_text"] == "x. y. z."   # pos-3 'x' removed
+    assert by_doc.loc[0, ["n_paras", "n_kept", "n_removed"]].tolist() == [4, 3, 1]
+    assert by_doc.loc[1, "kept_text"] == "w."         # 'y' lost cross-doc
+    assert by_doc.loc[2, "kept_text"] == ""           # full duplicate doc
+    assert by_doc.loc[2, "n_removed"] == 2
+    assert by_doc.loc[3, "kept_text"] == "unique alpha"  # 'z.' lost
+    assert by_doc.loc[4, "kept_text"] == ""           # single-para loser
+
+
+def test_url_canonicalize_rules_and_oracle(ray_session, tmp_path):
+    """canonicalize_url edge rules (fragment, case, both default ports,
+    trailing slashes, tracking-param prefixes vs lookalikes, param sort,
+    bare root path) + engine vs the independent DuckDB regexp/list
+    formulation over doc_ids covering every variant-count residue."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+    from lexmapr_ray.sources.pages import canonicalize_url, url_canonicalize
+
+    cases = {
+        "HTTP://WWW.Ex.COM:80/A/b//#x?y": "http://www.ex.com/A/b",
+        "https://ex.com:443/": "https://ex.com/",
+        "https://ex.com": "https://ex.com/",
+        "https://ex.com/p?b=2&a=1&utm_campaign=z&ref=hp":
+            "https://ex.com/p?a=1&b=2",
+        # 'utmx' / 'refx' / 'referrer' are NOT tracking params
+        "https://ex.com/p?utmx=1&refx=2&referrer=3":
+            "https://ex.com/p?referrer=3&refx=2&utmx=1",
+        "https://ex.com:8080/p?gclid=1&fbclid=2": "https://ex.com:8080/p",
+        "https://ex.com/p?": "https://ex.com/p",
+    }
+    for raw, want in cases.items():
+        assert canonicalize_url(raw) == want, raw
+
+    ids = list(range(23))  # covers d%3 in {0,1,2}, d%7 and %37 variety
+    tbl = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(["t"] * len(ids), pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = url_canonicalize(str(tmp_path)).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    exp = con.execute(entrymod.oracle_sql()["url_canonicalize"]).fetchdf()
+    pd.testing.assert_frame_equal(got, exp.reset_index(drop=True),
+                                  check_dtype=False)
+    # all three raw variants of one doc collapse to ONE canonical url
+    assert got.loc[got["url"] == "https://host2.example/p/2?q=2",
+                   "n_captures"].item() == 3

@@ -284,3 +284,45 @@ def test_random_walks_matches_serial(ray_session, tmp_path):
     assert len(got) == n * (steps + 1)
     assert {(int(r.walk_id), int(r.step)): int(r.node)
             for r in got.itertuples()} == want
+
+
+def test_host_link_graph_parses_html_exact(ray_session, tmp_path):
+    """The host link graph must be RECOVERED from the html bytes, not
+    recomputed arithmetically: (1) the synthesized linked pages carry real
+    <a href> anchors AND keep the extract_text byte-identity invariant;
+    (2) the aggregated host pairs are bit-equal to the arithmetic SQL
+    oracle over a doc_id set with every out-degree residue."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+    from lexmapr_ray.pipelines.webgraph import host_link_graph
+    from lexmapr_ray.sources.pages import (extract_text,
+                                           linked_pages_from_documents)
+
+    ids = list(range(41))  # > 37 so host ids wrap; d%3 covers 1..3 links
+    tbl = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array([f"body {d} <tag> & raw" for d in ids], pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    pages = linked_pages_from_documents(str(tmp_path)).take_all()
+    assert len(pages) == len(ids)
+    for p in pages:
+        d = int(p["url"].rsplit("/", 1)[1])
+        # anchors present, count = 1 + d%3, and the text invariant holds
+        assert p["html"].count(b"<a href=") == 1 + d % 3
+        assert extract_text(p["html"]) == f"body {d} <tag> & raw"
+
+    got = host_link_graph(str(tmp_path)).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    exp = con.execute(entrymod.oracle_sql()["host_link_graph"]).fetchdf()
+    pd.testing.assert_frame_equal(got, exp.reset_index(drop=True),
+                                  check_dtype=False)
+    # total parsed links == sum of out-degrees
+    assert got["n_links"].sum() == sum(1 + d % 3 for d in ids)
