@@ -87,6 +87,17 @@ def _kg_ancestor_rollup(sf_dir: str):
     return ancestor_rollup(triples, namespace_parents)
 
 
+def _anchor_entity_links(sf_dir: str):
+    """Anchor-text entity linking (pipelines/kg.py::anchor_text_triples):
+    the engine PARSES the anchor text out of raw html bytes and runs the
+    matcher actor pool over it; the oracle regenerates the deterministic
+    edge set arithmetically and joins the committed serial phrase->term
+    mapping (expected/op_anchor_phrase_terms.parquet) on dst % 20."""
+    from lexmapr_ray.pipelines.kg import anchor_text_triples
+
+    return anchor_text_triples(sf_dir, _lexicon_ref())
+
+
 def _crawl_diff(sf_dir: str):
     """Two-crawl snapshot diff (sources/pages.py::crawl_diff); both
     snapshots are pure functions of documents, so the SQL oracle
@@ -197,6 +208,7 @@ _DRIVER_PRIORITY = [
     "kg_components",
     "kg_incremental_merge",
     "kg_ancestor_rollup",
+    "anchor_entity_links",
     "hits_docs",
     "bm25_search",
     "crawl_diff",
@@ -435,6 +447,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_cooccurrence": _kg_cooccurrence,
         "kg_components": _kg_components,
         "kg_incremental_merge": _kg_incremental_merge,
+        # anchor-text entity linking: matcher over html-parsed anchor text
+        "anchor_entity_links": _anchor_entity_links,
     })
 
 
@@ -1939,6 +1953,23 @@ def oracle_sql() -> dict[str, str]:
                        AS dst_host,
                    COUNT(*) AS n_links
             FROM e GROUP BY src_host, dst_host ORDER BY src_host, dst_host
+        """,
+        # anchor-text entity linking — the engine parses anchor TEXT out of
+        # the html bytes and runs the matcher pool over it; the anchor text
+        # is _MATCHABLE_PHRASES[dst % 20] by synthesis, so the oracle
+        # regenerates the DISTINCT target set arithmetically and joins the
+        # committed serial phrase->term mapping (one matcher run per phrase,
+        # tools/make_kg_expected.py::serial_anchor_phrase_terms)
+        "anchor_entity_links": f"""
+            WITH e AS ({_EDGES_CTE}),
+            t AS (SELECT DISTINCT dst FROM e)
+            SELECT 'https://host' || CAST(t.dst % 37 AS VARCHAR)
+                       || '.example/p/' || CAST(t.dst AS VARCHAR) AS subj,
+                   p.pred, p.obj, p.obj_label, p.mention, p.status
+            FROM t JOIN read_parquet(
+                '/root/repo/expected/op_anchor_phrase_terms.parquet') p
+              ON p.phrase_idx = t.dst % 20
+            ORDER BY subj, pred, obj
         """,
         # Integer fixed-point PageRank, 3 iterations unrolled — the link
         # model, constants and int division mirror pipelines/webgraph.py

@@ -58,8 +58,13 @@ def extract_triples(
     concurrency=None,
     batch_size: int = 256,
     actor_num_cpus: float = 1,
+    pre_extracted: bool = False,
 ):
-    """pages Dataset -> triples Dataset (extraction + matcher actor pool)."""
+    """pages Dataset -> triples Dataset (extraction + matcher actor pool).
+
+    ``pre_extracted=True`` skips the html->text invariant stage for inputs
+    that already carry plain (url, text, lang) rows — e.g. anchor-text
+    mentions parsed out of the html by their own extraction stage."""
     if lexicon_ref is None:
         lexicon_ref = broadcast_lexicon()
     if concurrency is None:
@@ -79,7 +84,8 @@ def extract_triples(
         # pool whose one-time spin-up amortizes over thousands of blocks.
         cap = max(2, (int(ray.cluster_resources().get("CPU", 4)) * 7) // 8)
         concurrency = (2, cap)
-    ds = pages_ds.map_batches(extract_text_stage, batch_format="pyarrow")
+    ds = pages_ds if pre_extracted else pages_ds.map_batches(
+        extract_text_stage, batch_format="pyarrow")
     return ds.map_batches(
         MentionMatcher,
         # the ref is wrapped in a list so Ray ships the tiny handle instead of
@@ -536,3 +542,59 @@ def ancestor_rollup(triples_ds, parents):
         return g
 
     return sorted_group_reduce(deduped, "anc", partial, final)
+
+
+# ---------------------------------------------------------------------------
+# Anchor-text entity linking
+# ---------------------------------------------------------------------------
+
+_ANCHOR_RE = None
+
+
+def anchor_text_triples(sf_dir: str, lexicon_ref=None):
+    """Anchor-text entity linking: run the LexMapr matcher over the anchor
+    TEXT parsed out of raw html and emit (target_url, pred, term) triples —
+    link labels describe the page they point AT, so anchors are the
+    highest-precision mention source a web-scale KG build has (the same
+    matcher cascade as the flagship, a different mention extractor;
+    reference semantics anchor: lexmapr/pipeline.py's per-sample run).
+
+    Scale shape: stateless anchor parse (compiled regex; emits only
+    (url, text, lang) mention rows — html never reaches the matcher pool)
+    -> the SAME broadcast-lexicon matcher actor pool as
+    :func:`extract_triples` (``pre_extracted=True``) -> the standard
+    sorted triple dedup.  Anchors pointing at one target from many pages
+    produce byte-identical triples, so the dedup is unambiguous.
+
+    Oracle: the anchor text is ``_MATCHABLE_PHRASES[dst % 20]`` by
+    synthesis, so SQL regenerates the edge set arithmetically and joins
+    the committed serial phrase->term mapping
+    (``expected/op_anchor_phrase_terms.parquet``).
+    """
+    import re
+
+    from lexmapr_ray.sources.pages import linked_pages_from_documents
+
+    global _ANCHOR_RE
+    if _ANCHOR_RE is None:
+        _ANCHOR_RE = re.compile(rb'<a href="([^"]+)">([^<]*)</a>')
+
+    pages = linked_pages_from_documents(sf_dir)
+    anchor_re = _ANCHOR_RE
+
+    def parse(t: pa.Table) -> pa.Table:
+        urls: list[str] = []
+        texts: list[str] = []
+        for h in t["html"].to_pylist():
+            for m in anchor_re.finditer(h):
+                urls.append(m.group(1).decode("utf-8"))
+                texts.append(m.group(2).decode("utf-8"))
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(urls), pa.string()),
+        })
+
+    anchors = pages.map_batches(parse, batch_format="pyarrow")
+    triples = extract_triples(anchors, lexicon_ref, pre_extracted=True)
+    return materialize_graph(triples)

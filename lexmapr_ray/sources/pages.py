@@ -406,9 +406,12 @@ def linked_pages_from_documents(sf_dir: str, batch_size: int = 512):
     deterministic edge set as ``pipelines/webgraph.py::doc_links``, so SQL
     oracles regenerate it arithmetically while the ENGINE must recover it
     by parsing the html bytes.  Page and anchor urls live on
-    ``host{id % 37}.example``.  The anchors sit between ``</p>`` and
-    ``</body>``, so :func:`extract_text`'s byte-identical invariant is
-    untouched."""
+    ``host{id % 37}.example``; the anchor TEXT is the matchable phrase
+    ``_MATCHABLE_PHRASES[dst % 20]`` — a pure function of the TARGET doc,
+    so every anchor pointing at one page carries the same label (the
+    anchor-text entity-linking op rests on this).  The anchors sit between
+    ``</p>`` and ``</body>``, so :func:`extract_text`'s byte-identical
+    invariant is untouched."""
     import ray.data as rd
 
     n_docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
@@ -420,11 +423,12 @@ def linked_pages_from_documents(sf_dir: str, batch_size: int = 512):
         urls, htmls = [], []
         for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
             d = int(d)
+            dsts = [(d * 31 + 7 + 13 * j) % n_docs for j in range(1 + d % 3)]
             anchors = b"".join(
-                b'<a href="https://host%d.example/p/%d">l%d</a>'
-                % ((d * 31 + 7 + 13 * j) % n_docs % 37,
-                   (d * 31 + 7 + 13 * j) % n_docs, j)
-                for j in range(1 + d % 3)
+                b'<a href="https://host%d.example/p/%d">%s</a>'
+                % (dst % 37, dst,
+                   _MATCHABLE_PHRASES[dst % len(_MATCHABLE_PHRASES)].encode())
+                for dst in dsts
             )
             urls.append(f"https://host{d % 37}.example/p/{d}")
             htmls.append(_HTML_PREFIX + escape_html(t) + b"</p>"

@@ -85,6 +85,15 @@ def test_kg_expected_fresh(corpus):
         sorted(kg.serial_canonical(raw)), f"kg_entities: {MSG}"
 
 
+def test_anchor_expected_fresh():
+    import make_kg_expected as kg
+
+    t = pq.read_table(os.path.join(EXPECTED, "op_anchor_phrase_terms.parquet"))
+    committed = [tuple(r[c] for c in t.column_names) for r in t.to_pylist()]
+    assert sorted(committed) == sorted(kg.serial_anchor_phrase_terms()), \
+        f"op_anchor_phrase_terms: {MSG}"
+
+
 def test_kmeans_expected_fresh():
     import numpy as np
     import make_op_expected as ops

@@ -268,3 +268,40 @@ def test_ancestor_rollup_diamond_dag(ray_session):
     # callable seam: the namespace rule yields the 3-level closure
     assert _ancestor_closure("CHEBI_24433", namespace_parents) == {
         "CHEBI_24433", "ns_chebi", "owl_thing"}
+
+
+def test_anchor_entity_links_parses_html_exact(ray_session, lexicon, tmp_path):
+    """Anchor-text entity linking must recover its mentions from the html
+    BYTES: a tmp documents table covering every out-degree residue and a
+    host wrap goes through anchor_text_triples (regex anchor parse ->
+    pre_extracted matcher pool -> sorted dedup) and must equal the
+    arithmetic SQL oracle joined to the committed serial phrase->term
+    mapping."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+    from lexmapr_ray.pipelines.kg import anchor_text_triples, broadcast_lexicon
+
+    ids = list(range(41))  # > 37 so host ids wrap; d%3 covers 1..3 links
+    tbl = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array([f"body {d}" for d in ids], pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    got = anchor_text_triples(
+        str(tmp_path), broadcast_lexicon(lexicon)).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    exp = con.execute(entrymod.oracle_sql()["anchor_entity_links"]).fetchdf()
+    key = ["subj", "pred", "obj"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True),
+        exp.sort_values(key).reset_index(drop=True), check_dtype=False)
+    # distinct targets with a matching phrase only; every subj is a target
+    assert got["subj"].str.contains(r"\.example/p/\d+$").all()
+    assert (got.groupby("subj").size() >= 1).all()

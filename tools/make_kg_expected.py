@@ -113,6 +113,61 @@ def serial_canonical(rows: list[tuple]) -> list[tuple]:
     return out
 
 
+def serial_anchor_phrase_terms() -> list[tuple]:
+    """Serial phrase -> triple-payload mapping for the anchor-text
+    entity-linking op (pipelines/kg.py::anchor_text_triples).
+
+    The synthetic linked pages carry anchor text
+    ``_MATCHABLE_PHRASES[dst % 20]`` — a pure function of the TARGET doc —
+    so the committed mapping here is corpus-independent: 20 phrases, each
+    run through the serial matcher, deduped per (pred, obj) with the same
+    full-row lexicographic-min rule as :func:`serial_dedup` (within one
+    target url the text is fixed, so (pred, obj) IS the dedup key).
+    ``oracle_sql()['anchor_entity_links']`` regenerates the edge set
+    arithmetically and joins this table on ``dst % 20``."""
+    from lexmapr_ray.lexkit.lexicon import build_lexicon
+    from lexmapr_ray.lexkit.matcher import match_sample
+    from lexmapr_ray.sources.pages import _MATCHABLE_PHRASES
+    from lexmapr_ray.stages.match import (
+        PRED_COMPONENT, PRED_FULL, segment_mentions,
+    )
+
+    lexicon = build_lexicon()
+    rows: list[tuple] = []
+    for i, phrase in enumerate(_MATCHABLE_PHRASES):
+        best: dict[tuple, tuple] = {}
+        for mention in segment_mentions(phrase):
+            r = match_sample(mention, lexicon)
+            if not r.matched_components:
+                continue
+            p = PRED_FULL if r.macro_status == "Full Term Match" else PRED_COMPONENT
+            status_repr = str(r.micro_status)
+            for comp in r.matched_components:
+                label, term_id = comp.rsplit(":", 1)
+                surf = r.component_surfaces.get(comp, r.cleaned_sample)
+                row = (i, p, term_id, label, surf, status_repr)
+                k = (p, term_id)
+                if k not in best or row < best[k]:
+                    best[k] = row
+        rows.extend(best[k] for k in sorted(best))
+    return rows
+
+
+ANCHOR_COLS = ["phrase_idx", "pred", "obj", "obj_label", "mention", "status"]
+
+
+def write_anchor_table():
+    rows = serial_anchor_phrase_terms()
+    cols = list(zip(*rows))
+    tab = pa.table({
+        "phrase_idx": pa.array(list(cols[0]), pa.int64()),
+        **{n: pa.array(list(c)) for n, c in zip(ANCHOR_COLS[1:], cols[1:])},
+    })
+    pq.write_table(tab, os.path.join(EXPECTED_DIR,
+                                     "op_anchor_phrase_terms.parquet"))
+    print(f"wrote op_anchor_phrase_terms.parquet ({tab.num_rows} rows)")
+
+
 def _table(rows, names, corpus_len: int) -> pa.Table:
     cols = list(zip(*rows)) if rows else [[] for _ in names]
     arrays = [pa.array(list(c)) for c in cols]
@@ -121,9 +176,13 @@ def _table(rows, names, corpus_len: int) -> pa.Table:
 
 
 def main():
-    sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
-                               "/root/testdata/sf0.1"]
+    args = sys.argv[1:]
     os.makedirs(EXPECTED_DIR, exist_ok=True)
+    if args and args[0] == "--anchor-only":
+        write_anchor_table()
+        return
+    sf_dirs = args or ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                       "/root/testdata/sf0.1"]
     triples_tabs, entities_tabs, bucket_tabs = [], [], []
     for sf_dir in sf_dirs:
         texts = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
@@ -145,6 +204,7 @@ def main():
                    os.path.join(EXPECTED_DIR, "kg_entities.parquet"))
     pq.write_table(pa.concat_tables(bucket_tabs),
                    os.path.join(EXPECTED_DIR, "kg_triples_bucket.parquet"))
+    write_anchor_table()
     print(f"wrote {EXPECTED_DIR}/kg_*.parquet")
 
 
