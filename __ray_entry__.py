@@ -209,6 +209,7 @@ _DRIVER_PRIORITY = [
     "kg_incremental_merge",
     "kg_ancestor_rollup",
     "anchor_entity_links",
+    "redirect_resolve",
     "hits_docs",
     "bm25_search",
     "crawl_diff",
@@ -433,6 +434,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks": webgraph.random_walks,
         "host_stats": webgraph.host_stats,
         "host_filtered_corpus": webgraph.host_filtered_corpus,
+        # redirect-chain resolution by distributed pointer doubling
+        "redirect_resolve": webgraph.redirect_resolve,
         "token_triangles": webgraph.token_triangles,
         "k_core": webgraph.k_core,
         "bfs_distances": webgraph.bfs_distances,
@@ -487,6 +490,30 @@ def _bfs_sql(hops: int = 12, seed: int = 0) -> str:
 _EDGES_CTE = ("SELECT d.doc_id AS src, (d.doc_id * 31 + 7 + 13 * u.j)"
               " % (SELECT COUNT(*) FROM documents) AS dst"
               " FROM documents d, UNNEST(range(0, 1 + d.doc_id % 3)) AS u(j)")
+
+
+def _redirect_sql(rounds: int = 4) -> str:
+    """Mirror of pipelines/webgraph.py::redirect_resolve: the same
+    2**rounds hop bound, unrolled as LINEAR steps (the engine runs
+    pointer-doubling self-joins; both reach the definitionally identical
+    fixpoint).  Terminal iff node % 3 == 0; next = (node*17+3) % N."""
+    steps = 2 ** rounds
+    parts = [
+        "WITH nn AS (SELECT COUNT(*) AS c FROM documents),",
+        "s0 AS (SELECT doc_id AS node, doc_id AS ptr, 0::BIGINT AS hops"
+        " FROM documents),",
+    ]
+    for i in range(1, steps + 1):
+        parts.append(
+            f"s{i} AS (SELECT node,"
+            f" CASE WHEN ptr % 3 = 0 THEN ptr"
+            f" ELSE (ptr * 17 + 3) % (SELECT c FROM nn) END AS ptr,"
+            f" CASE WHEN ptr % 3 = 0 THEN hops ELSE hops + 1 END AS hops"
+            f" FROM s{i-1}),")
+    sql = "\n".join(parts).rstrip(",")
+    return (f"{sql}\nSELECT node AS doc_id, ptr AS final_id, hops,"
+            f" CASE WHEN ptr % 3 = 0 THEN 1 ELSE 0 END::BIGINT AS resolved"
+            f" FROM s{steps} ORDER BY doc_id")
 
 
 def _lpa_sql(iters: int = 2) -> str:
@@ -1975,6 +2002,7 @@ def oracle_sql() -> dict[str, str]:
         # model, constants and int division mirror pipelines/webgraph.py
         # literally, so the comparison is bit-exact (no float tolerance).
         "bfs_distances": _bfs_sql(),
+        "redirect_resolve": _redirect_sql(),
         "label_propagation": _lpa_sql(),
         "random_walks": _walks_sql(),
         # 1-hop neighbor feature aggregation — link model and integer

@@ -1050,3 +1050,80 @@ def host_link_graph(sf_dir: str):
     edges = pages.map_batches(extract, batch_format="pyarrow")
     return grouped_sum_count(edges, ["src_host", "dst_host"],
                              count_alias="n_links")
+
+
+def redirect_resolve(sf_dir: str, rounds: int = 4, num_buckets: int = 32):
+    """Redirect-chain resolution with loop detection — the crawl-frontier
+    pass that maps every fetched URL to its final destination before any
+    dedup/canonicalization keyed on URL can be trusted (HTTP 3xx chains
+    and redirect LOOPS are endemic in web crawls; cf. the reference's
+    single-URL fetch in ontofetch.py:158-213 which follows redirects one
+    page at a time).
+
+    Synthetic redirect model (pure function of ``doc_id``, same contract
+    as the link model above): page ``d`` is terminal iff ``d % 3 == 0``,
+    otherwise it redirects to ``(d * 17 + 3) mod N`` — a pseudo-random
+    functional graph whose chains either reach a terminal or fall into a
+    cycle, so the loop-detection path is genuinely exercised.
+
+    Shape: POINTER DOUBLING (path halving), the scale-correct resolver —
+    ``rounds`` bucketed self-joins bound chases of length ``2**rounds``,
+    where naive per-hop chasing would take 2**rounds joins and a
+    driver-side loop would not be distributed at all.  State row
+    ``(node, ptr, hops)`` means "ptr is node's position after
+    min(steps_to_terminal, hops) steps"; each round composes the state
+    with itself (join on ptr = node), exactly squaring the bound.  The
+    SQL oracle unrolls the SAME bound as 2**rounds LINEAR steps — a
+    different algorithm arriving at the definitionally identical
+    fixpoint, so the gate verifies the doubling logic, not a replay.
+
+    Output: (doc_id, final_id, hops, resolved) — resolved=0 rows ended
+    ``2**rounds`` hops deep without a terminal (loop participants/tails).
+    """
+    i64 = pa.int64()
+    n_docs = _read_docs(sf_dir, ["doc_id"]).count()
+
+    def init(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy().astype(np.int64)
+        term = d % 3 == 0
+        return pa.table({
+            "node": d,
+            "ptr": np.where(term, d, (d * 17 + 3) % n_docs),
+            "hops": np.where(term, 0, 1).astype(np.int64),
+        })
+
+    state = _read_docs(sf_dir, ["doc_id"]).map_batches(
+        init, batch_format="pyarrow")
+    st_schema = pa.schema([("node", i64), ("ptr", i64), ("hops", i64)])
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["jnode", "jptr", "jhops"])
+
+    def compose(df):
+        done = (df["ptr"] % 3) == 0
+        df["hops"] = np.where(done, df["hops"], df["hops"] + df["jhops"])
+        df["ptr"] = np.where(done, df["ptr"], df["jptr"])
+        # empty buckets arrive as float64 frames; pin the state dtype
+        return df[["node", "ptr", "hops"]].astype("int64")
+
+    j_schema = pa.schema([("jnode", i64), ("jptr", i64), ("jhops", i64)])
+    for _ in range(rounds):
+        # functional graph: every ptr value exists as a node, so the inner
+        # join is total; materialize keeps the per-round lineage flat
+        state = bucketed_hash_join(
+            state, state.map_batches(rename, batch_format="pyarrow"),
+            on="ptr", right_on="jnode", num_buckets=num_buckets,
+            left_schema=st_schema, right_schema=j_schema,
+            block_fn=compose,
+        ).materialize()
+
+    def finish(t: pa.Table) -> pa.Table:
+        ptr = t["ptr"].to_numpy().astype(np.int64)
+        return pa.table({
+            "doc_id": pc.cast(t["node"], i64),
+            "final_id": pc.cast(t["ptr"], i64),
+            "hops": pc.cast(t["hops"], i64),
+            "resolved": pa.array((ptr % 3 == 0).astype(np.int64), i64),
+        })
+
+    return state.map_batches(finish, batch_format="pyarrow").sort("doc_id")

@@ -326,3 +326,37 @@ def test_host_link_graph_parses_html_exact(ray_session, tmp_path):
                                   check_dtype=False)
     # total parsed links == sum of out-degrees
     assert got["n_links"].sum() == sum(1 + d % 3 for d in ids)
+
+
+def test_redirect_resolve_doubling_equals_linear(ray_session, tmp_path):
+    """Pointer doubling must equal the 16-linear-step oracle on a corpus
+    size whose redirect functional graph contains BOTH terminals and a
+    genuine cycle (n=41: one node ends 16 hops deep unresolved), proving
+    the loop-detection path — not just happy chains — is exercised."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+    from lexmapr_ray.pipelines.webgraph import redirect_resolve
+
+    ids = list(range(41))
+    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "text": pa.array(["x"] * len(ids))}),
+                   str(tmp_path / "documents.parquet"))
+
+    got = redirect_resolve(str(tmp_path)).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    exp = con.execute(entrymod.oracle_sql()["redirect_resolve"]).fetchdf()
+    pd.testing.assert_frame_equal(got, exp.reset_index(drop=True),
+                                  check_dtype=False)
+    # the cycle case is real: exactly one node unresolved at the 16 bound
+    assert (got["resolved"] == 0).sum() == 1
+    assert got.loc[got["resolved"] == 0, "hops"].iloc[0] == 16
+    # every resolved final target is terminal; every terminal is 0 hops
+    res = got[got["resolved"] == 1]
+    assert (res["final_id"] % 3 == 0).all()
+    assert (got.loc[got["doc_id"] % 3 == 0, "hops"] == 0).all()
