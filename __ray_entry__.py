@@ -415,6 +415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text heuristics / fingerprints (non-SQL)
         "lang_id_heuristic": textstats.lang_id,
         "rolling_fingerprint": textstats.rolling_fingerprint,
+        "winnowing_fingerprint": textstats.winnowing_fingerprint,
         # multimodal plumbing (payload bytes derived from the documents
         # table, so the decode stage consumes real parquet reads; codec
         # itself remains the documented stub)
@@ -1610,6 +1611,12 @@ def oracle_sql() -> dict[str, str]:
         "rolling_fingerprint": """
             SELECT doc_id, fp_min, fp_max
             FROM read_parquet('/root/repo/expected/op_rolling_fingerprint.parquet')
+            WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)
+            ORDER BY doc_id
+        """,
+        "winnowing_fingerprint": """
+            SELECT doc_id, n_grams, n_selected, fp_sum, pos_sum
+            FROM read_parquet('/root/repo/expected/op_winnowing.parquet')
             WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)
             ORDER BY doc_id
         """,

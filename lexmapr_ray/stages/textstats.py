@@ -211,52 +211,112 @@ def lang_id(sf_dir: str, concurrency: int | None = None):
     ).sort("doc_id")
 
 
+def _gram_hashes(s: str, window: int, mod: int) -> np.ndarray:
+    """All ``window``-byte k-gram hashes of *s*: polynomial base-257 hash
+    in uint64 wraparound arithmetic, reduced mod *mod*.
+
+    base 257 is odd, hence invertible mod 2**64: the rolling recurrence
+    h[i] = h[i-1]*base + c[i] solves in closed form as
+    h[i] = base**i * (h[0] + cumsum(c[j] * base**-j)) — fully vectorized,
+    no per-position Python loop and no scalar-overflow warnings.  Texts
+    shorter than ``window`` hash as one whole-text gram (standard k-gram
+    fingerprinting edge case), so the result is never empty for non-empty
+    input and exactly one hash for empty input (h=0)."""
+    base = np.uint64(257)
+    inv = np.uint64(pow(257, -1, 1 << 64))
+    modv = np.uint64(mod)
+    with np.errstate(over="ignore"):
+        b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+        if len(b) < window:
+            h = np.uint64(0)
+            for x in b:
+                h = h * base + x
+            return np.array([h % modv], dtype=np.uint64)
+        n = len(b) - window
+        powers = np.power(base, np.arange(window, dtype=np.uint64))
+        first = (b[:window] * powers[::-1]).sum(dtype=np.uint64)
+        if n == 0:
+            return np.array([first % modv], dtype=np.uint64)
+        top_pow_base = powers[-1] * base
+        c = b[window:] - b[:-window] * top_pow_base
+        invpow = np.multiply.accumulate(np.full(n, inv, dtype=np.uint64))
+        basepow = np.multiply.accumulate(np.full(n, base, dtype=np.uint64))
+        hp = first + np.cumsum(c * invpow, dtype=np.uint64)
+        return np.concatenate(([first], hp * basepow)) % modv
+
+
 def rolling_fingerprint(sf_dir: str, window: int = 16, mod: int = 1 << 61):
     """Rolling-hash (Rabin-Karp) document fingerprint: min/max window hash.
 
-    Vectorized with numpy polynomial rolling hash over byte arrays.
+    Vectorized with numpy polynomial rolling hash over byte arrays
+    (:func:`_gram_hashes`).
     """
     ds = _read_documents(sf_dir, ["doc_id", "text"])
-    base = np.uint64(257)
-    # base is odd, hence invertible mod 2**64: the rolling recurrence
-    # h[i] = h[i-1]*base + c[i] solves in closed form as
-    # h[i] = base**i * (h[0] + cumsum(c[j] * base**-j)) — fully vectorized
-    # uint64 wraparound arithmetic, no per-position Python loop and no
-    # scalar-overflow warnings
-    inv = np.uint64(pow(257, -1, 1 << 64))
 
     def fp(t: pa.Table) -> pa.Table:
         out_min, out_max = [], []
-        modv = np.uint64(mod)
-        with np.errstate(over="ignore"):
-            for s in t["text"].to_pylist():
-                b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-                if len(b) < window:
-                    h = np.uint64(0)
-                    for x in b:
-                        h = h * base + x
-                    out_min.append(int(h % modv))
-                    out_max.append(int(h % modv))
-                    continue
-                n = len(b) - window
-                powers = np.power(base, np.arange(window, dtype=np.uint64))
-                first = (b[:window] * powers[::-1]).sum(dtype=np.uint64)
-                if n == 0:
-                    hm = np.array([first % modv])
-                else:
-                    top_pow_base = powers[-1] * base
-                    c = b[window:] - b[:-window] * top_pow_base
-                    invpow = np.multiply.accumulate(np.full(n, inv, dtype=np.uint64))
-                    basepow = np.multiply.accumulate(np.full(n, base, dtype=np.uint64))
-                    hp = first + np.cumsum(c * invpow, dtype=np.uint64)
-                    h = np.concatenate(([first], hp * basepow))
-                    hm = h % modv
-                out_min.append(int(hm.min()))
-                out_max.append(int(hm.max()))
+        for s in t["text"].to_pylist():
+            hm = _gram_hashes(s, window, mod)
+            out_min.append(int(hm.min()))
+            out_max.append(int(hm.max()))
         return pa.table({
             "doc_id": t["doc_id"],
             "fp_min": pa.array(out_min, pa.int64()),
             "fp_max": pa.array(out_max, pa.int64()),
+        })
+
+    return ds.map_batches(fp, batch_format="pyarrow").sort("doc_id")
+
+
+def winnowing_fingerprint(sf_dir: str, k: int = 16, w: int = 8,
+                          mod: int = 1 << 61):
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003,
+    the MOSS algorithm): from the k-gram hash sequence, select in every
+    window of ``w`` consecutive hashes the MINIMUM value, rightmost on
+    ties; record each selected position once.  Winnowing guarantees any
+    shared substring of length >= w + k - 1 contributes a shared
+    fingerprint while keeping the stored set ~2/(w+1) of all grams — the
+    standard local-sampling contract plain min/max (rolling_fingerprint)
+    or modulo-sampling fingerprints cannot give.
+
+    Output per doc: (doc_id, n_grams, n_selected, fp_sum, pos_sum) where
+    fp_sum = sum of selected hash values mod 2**61 and pos_sum = sum of
+    selected positions — exact integers, so the serial-oracle comparison
+    is bit-exact.  A production pipeline would emit the (hash, pos) pairs
+    themselves into a near-dup index (the shape stages/dedup.py banding
+    consumes); the aggregate keeps the gate row per doc.
+
+    Shape: stateless vectorized map (sliding_window_view argmin over the
+    closed-form hash array — no per-position Python loop), one row out
+    per doc; embarrassingly parallel, no shuffle but the presentation
+    sort."""
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+    modv = int(mod)
+
+    def fp(t: pa.Table) -> pa.Table:
+        n_grams, n_sel, fp_sum, pos_sum = [], [], [], []
+        for s in t["text"].to_pylist():
+            hm = _gram_hashes(s, k, mod)
+            n = len(hm)
+            if n <= w:
+                # fewer hashes than one window: the whole doc is one window
+                sel = np.array([n - 1 - int(np.argmin(hm[::-1]))])
+            else:
+                sw = np.lib.stride_tricks.sliding_window_view(hm, w)
+                # rightmost minimum per window: argmin over the reversed
+                # window axis finds the LAST position of the min value
+                idx = (w - 1) - np.argmin(sw[:, ::-1], axis=1)
+                sel = np.unique(np.arange(n - w + 1, dtype=np.int64) + idx)
+            n_grams.append(n)
+            n_sel.append(len(sel))
+            fp_sum.append(int(hm[sel].astype(object).sum()) % modv)
+            pos_sum.append(int(sel.sum()))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_grams": pa.array(n_grams, pa.int64()),
+            "n_selected": pa.array(n_sel, pa.int64()),
+            "fp_sum": pa.array(fp_sum, pa.int64()),
+            "pos_sum": pa.array(pos_sum, pa.int64()),
         })
 
     return ds.map_batches(fp, batch_format="pyarrow").sort("doc_id")

@@ -38,6 +38,41 @@ def test_fingerprint_matches_md5(ray_session, sf_dir, docs):
             row.text.encode()).hexdigest()
 
 
+def test_winnowing_guarantee_and_density(ray_session, sf_dir, docs):
+    """Winnowing contract (Schleimer et al. 2003): every w-window of the
+    k-gram hash sequence contains a selected position (so any shared
+    substring of length >= w + k - 1 shares a fingerprint), and the
+    selected density is bounded by the number of windows."""
+    from lexmapr_ray.stages.textstats import (_gram_hashes,
+                                              winnowing_fingerprint)
+
+    k, w = 16, 8
+    got = winnowing_fingerprint(sf_dir, k=k, w=w).to_pandas().set_index("doc_id")
+    assert len(got) == len(docs)
+    for _, row in docs.sample(20, random_state=2).iterrows():
+        hm = _gram_hashes(row.text, k, 1 << 61)
+        r = got.loc[row.doc_id]
+        assert r["n_grams"] == len(hm)
+        # recompute selection serially: rightmost min per window
+        sel = set()
+        if len(hm) <= w:
+            m = hm.min()
+            sel.add(max(i for i, v in enumerate(hm) if v == m))
+        else:
+            for start in range(len(hm) - w + 1):
+                wnd = hm[start:start + w]
+                m = wnd.min()
+                sel.add(start + max(i for i, v in enumerate(wnd) if v == m))
+        assert r["n_selected"] == len(sel)
+        assert r["pos_sum"] == sum(sel)
+        assert r["fp_sum"] == int(sum(int(hm[i]) for i in sel)) % (1 << 61)
+        # guarantee: every window covered
+        if len(hm) > w:
+            picked = sorted(sel)
+            gaps = np.diff([-1] + picked + [len(hm)])
+            assert gaps.max() <= w
+
+
 def test_lang_id_heuristic_on_real_language_samples(ray_session, sf_dir):
     """The testdata's lang column is synthetic noise (all texts are English
     DB jargon), so the heuristic is validated on real-language snippets and

@@ -407,6 +407,45 @@ def serial_rolling_fp(doc_ids, texts, window: int = 16, mod: int = 1 << 61):
     return rows
 
 
+def serial_winnowing(doc_ids, texts, k: int = 16, w: int = 8,
+                     mod: int = 1 << 61):
+    """Plain-python winnowing (Schleimer et al. 2003): per-window rightmost
+    minimum over the k-gram rolling-hash sequence, distinct positions kept.
+    Independent of the engine's sliding_window_view argmin vectorization."""
+    M64 = 1 << 64
+    top = pow(257, k, M64)
+    rows = []
+    for d, t in zip(doc_ids, texts):
+        b = t.encode("utf-8")
+        if len(b) < k:
+            h = 0
+            for x in b:
+                h = (h * 257 + x) % M64
+            hs = [h % mod]
+        else:
+            h = 0
+            for x in b[:k]:
+                h = (h * 257 + x) % M64
+            hs = [h % mod]
+            for i in range(k, len(b)):
+                h = (h * 257 - b[i - k] * top + b[i]) % M64
+                hs.append(h % mod)
+        n = len(hs)
+        sel = set()
+        if n <= w:
+            m = min(hs)
+            sel.add(max(i for i, v in enumerate(hs) if v == m))
+        else:
+            for start in range(n - w + 1):
+                wnd = hs[start:start + w]
+                m = min(wnd)
+                sel.add(start + max(i for i, v in enumerate(wnd) if v == m))
+        picked = sorted(sel)
+        rows.append((d, n, len(picked),
+                     sum(hs[i] for i in picked) % mod, sum(picked)))
+    return rows
+
+
 def serial_media_features(doc_ids, texts):
     rows = []
     for d, t in zip(doc_ids, texts):
@@ -696,6 +735,9 @@ def main():
              ("doc_id", "lang_pred"), (i64, s), "corpus_len", corpus_len),
             ("op_rolling_fingerprint", serial_rolling_fp(doc_ids, texts),
              ("doc_id", "fp_min", "fp_max"), (i64, i64, i64), "corpus_len", corpus_len),
+            ("op_winnowing", serial_winnowing(doc_ids, texts),
+             ("doc_id", "n_grams", "n_selected", "fp_sum", "pos_sum"),
+             (i64, i64, i64, i64, i64), "corpus_len", corpus_len),
             ("op_hll_distinct_tokens", serial_hll_distinct(doc_langs, texts),
              ("lang", "approx_distinct"), (s, i64), "corpus_len", corpus_len),
             ("op_cms_heavy_hitters", serial_cms_heavy_hitters(texts),
