@@ -359,6 +359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # mergeable sketches (register rows, constant shuffle per group)
         "hll_distinct_tokens": sketches.hll_distinct_tokens,
         "cms_heavy_hitters": sketches.cms_heavy_hitters,
+        "kmv_token_quantiles": sketches.kmv_token_quantiles,
         # deduplication
         "dedup_exact": dedup.dedup_exact,
         "paragraph_dedup": dedup.paragraph_dedup,
@@ -1613,6 +1614,12 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('/root/repo/expected/op_rolling_fingerprint.parquet')
             WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)
             ORDER BY doc_id
+        """,
+        "kmv_token_quantiles": """
+            SELECT lang, sample_m, p10, p25, p50, p75, p90
+            FROM read_parquet('/root/repo/expected/op_kmv_token_quantiles.parquet')
+            WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)
+            ORDER BY lang
         """,
         "winnowing_fingerprint": """
             SELECT doc_id, n_grams, n_selected, fp_sum, pos_sum

@@ -130,6 +130,112 @@ def hll_distinct_tokens(sf_dir: str):
     )
 
 
+# KMV (bottom-k by hash) sample size: 256 (doc_hash, value) pairs = 4 KiB
+# per group row — the quantile analogue of the HLL register row above.
+KMV_K = 256
+KMV_QS = (10, 25, 50, 75, 90)
+
+
+def _kmv_pack(hs: np.ndarray, vs: np.ndarray) -> tuple[bytes, bytes]:
+    return hs.astype(np.uint64).tobytes(), vs.astype(np.int64).tobytes()
+
+
+def _kmv_unpack(hb: bytes, vb: bytes) -> tuple[np.ndarray, np.ndarray]:
+    return (np.frombuffer(hb, dtype=np.uint64),
+            np.frombuffer(vb, dtype=np.int64))
+
+
+def _kmv_bottom_k(hs: np.ndarray, vs: np.ndarray, k: int):
+    """Keep the k pairs with the smallest (hash, value) — the merge is a
+    set-union + re-truncate, so it is associative, commutative and
+    idempotent: ANY batching/partitioning of the input yields the same
+    bottom-k set (lexsort tie-break on value makes even a 64-bit hash
+    collision deterministic)."""
+    order = np.lexsort((vs, hs))[:k]
+    return hs[order], vs[order]
+
+
+def kmv_quantile_points(vs: np.ndarray, qs=KMV_QS) -> list[int]:
+    """Nearest-rank-below quantiles of the sample values: index
+    floor(q*(m-1)/100) into the ascending value array — pure integer
+    arithmetic, mirrored verbatim by the serial oracle."""
+    sv = np.sort(vs)
+    m = len(sv)
+    return [int(sv[(q * (m - 1)) // 100]) for q in qs]
+
+
+def kmv_token_quantiles(sf_dir: str, k: int = KMV_K, qs=KMV_QS):
+    """Per-language approximate token-count quantiles via a KMV
+    (K-Minimum-Values, Bar-Yossef et al. 2002) bottom-k-by-hash sample.
+
+    Why this sketch next to the exact pass: ``doc_length_quantiles`` is
+    integer-exact but shuffles one row per document into a global sort; at
+    10^12 documents the quantile pass is itself corpus-scale.  Keeping the
+    k documents whose blake2b-8(doc_id) hashes are SMALLEST is a uniform
+    k-sample of the group — and unlike reservoir sampling it is
+    merge-order-invariant (bottom-k of a union = bottom-k of the two
+    bottom-k sets), so the engine's standard combiner -> sort-co-located
+    final-merge shape applies unchanged and the result is bit-identical
+    under any partitioning.  Shuffle cost: |langs| x n_batches rows of
+    ~4 KiB, independent of corpus size.
+
+    Output per language: (lang, sample_m, p10, p25, p50, p75, p90) of the
+    engine token count (``_token_counts``), nearest-rank-below rule.
+    """
+    import pandas as pd
+
+    from lexmapr_ray.functions.groupagg import sorted_group_reduce
+    from lexmapr_ray.stages.textstats import _read_documents, _token_counts
+
+    ds = _read_documents(sf_dir, ["doc_id", "lang", "text"])
+
+    def sketch_partial(t: pa.Table) -> pa.Table:
+        n_tok = _token_counts(t["text"])
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        hs = hash_tokens([str(d) for d in doc_ids])
+        langs = t["lang"].to_numpy(zero_copy_only=False)
+        out_lang, out_hs, out_vs = [], [], []
+        for lang in np.unique(langs):
+            m = langs == lang
+            bh, bv = _kmv_bottom_k(hs[m], n_tok[m], k)
+            hb, vb = _kmv_pack(bh, bv)
+            out_lang.append(lang)
+            out_hs.append(hb)
+            out_vs.append(vb)
+        return pa.table({
+            "lang": pa.array(out_lang, pa.string()),
+            "hs": pa.array(out_hs, pa.binary()),
+            "vs": pa.array(out_vs, pa.binary()),
+        })
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for lang, grp in df.groupby("lang", sort=False):
+            hs = np.frombuffer(b"".join(grp["hs"]), dtype=np.uint64)
+            vs = np.frombuffer(b"".join(grp["vs"]), dtype=np.int64)
+            bh, bv = _kmv_bottom_k(hs, vs, k)
+            hb, vb = _kmv_pack(bh, bv)
+            rows.append((lang, hb, vb))
+        return pd.DataFrame(rows, columns=["lang", "hs", "vs"])
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        merged = merge(df)
+        rows = []
+        for _, r in merged.iterrows():
+            _, vs = _kmv_unpack(r["hs"], r["vs"])
+            rows.append((r["lang"], len(vs), *kmv_quantile_points(vs, qs)))
+        cols = ["lang", "sample_m"] + [f"p{q}" for q in qs]
+        out = pd.DataFrame(rows, columns=cols)
+        for c in cols[1:]:
+            out[c] = out[c].astype("int64")
+        return out.sort_values("lang")
+
+    return sorted_group_reduce(
+        ds.map_batches(sketch_partial, batch_format="pyarrow"),
+        "lang", merge, finalize,
+    )
+
+
 # Count-min sketch parameters: 4 rows x 16384 counters (512 KiB of int64).
 # Overestimate bound: est <= true + eps*T with eps = e/w (~1.7e-4) at
 # delta = e^-d (~1.8%); widen w with corpus size to hold the bound.

@@ -62,6 +62,7 @@ def test_op_expected_fresh(corpus):
         "op_ngram_jaccard_pairs": ops.serial_lsh_pairs(
             ids, texts, ops.char_shingles, b"char", 0.5),
         "op_hll_distinct_tokens": ops.serial_hll_distinct(_langs(), texts),
+        "op_kmv_token_quantiles": ops.serial_kmv_quantiles(ids, _langs(), texts),
         "op_cms_heavy_hitters": ops.serial_cms_heavy_hitters(texts),
         "op_media_resize_features": ops.serial_media_resize(ids, texts),
         "op_video_frame_features": ops.serial_video_frames(ids, texts),

@@ -38,6 +38,39 @@ def test_fingerprint_matches_md5(ray_session, sf_dir, docs):
             row.text.encode()).hexdigest()
 
 
+def test_kmv_bottom_k_merge_invariant():
+    """The KMV sketch contract: bottom-k of a union equals bottom-k of the
+    parts' bottom-k sets, under ANY split of the input — the property that
+    makes the quantile sample independent of batching/partitioning."""
+    from lexmapr_ray.stages.sketches import _kmv_bottom_k
+
+    rng = np.random.RandomState(7)
+    hs = rng.randint(0, 1 << 62, size=5000).astype(np.uint64)
+    vs = rng.randint(0, 1000, size=5000).astype(np.int64)
+    ref = _kmv_bottom_k(hs, vs, 256)
+    for n_parts in (2, 7, 33):
+        cuts = np.array_split(np.arange(5000), n_parts)
+        ph = np.concatenate([_kmv_bottom_k(hs[c], vs[c], 256)[0] for c in cuts])
+        pv = np.concatenate([_kmv_bottom_k(hs[c], vs[c], 256)[1] for c in cuts])
+        got = _kmv_bottom_k(ph, pv, 256)
+        assert np.array_equal(got[0], ref[0]) and np.array_equal(got[1], ref[1])
+
+
+def test_kmv_quantiles_exact_below_k(ray_session, sf_dir, docs):
+    """Below the sample cap the KMV 'sketch' degenerates to the exact
+    per-language quantiles — check against a direct pandas computation."""
+    from lexmapr_ray.stages.sketches import kmv_token_quantiles
+
+    got = kmv_token_quantiles(sf_dir, k=10**6).to_pandas().set_index("lang")
+    toks = docs.assign(n_tok=[len(t.split()) for t in docs.text])
+    for lang, grp in toks.groupby("lang"):
+        vs = np.sort(grp["n_tok"].to_numpy())
+        m = len(vs)
+        assert got.loc[lang, "sample_m"] == m
+        for q in (10, 25, 50, 75, 90):
+            assert got.loc[lang, f"p{q}"] == vs[(q * (m - 1)) // 100]
+
+
 def test_winnowing_guarantee_and_density(ray_session, sf_dir, docs):
     """Winnowing contract (Schleimer et al. 2003): every w-window of the
     k-gram hash sequence contains a selected position (so any shared

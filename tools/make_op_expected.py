@@ -357,6 +357,27 @@ def serial_hll_distinct(langs, texts, p: int = 12):
     return rows
 
 
+def serial_kmv_quantiles(doc_ids, langs, texts, k: int = 256,
+                         qs=(10, 25, 50, 75, 90)):
+    """Plain-python KMV bottom-k-by-hash token-count quantiles per language:
+    one dict of (hash, n_tokens) pair lists, sorted + truncated at the end —
+    independent of the engine's packed-binary mergeable rows."""
+    import re
+
+    pairs: dict[str, list] = {}
+    for d, lang, text in zip(doc_ids, langs, texts):
+        trimmed = text.strip(" \t\n\f\r")
+        toks = re.split(r"[ \t\n\f\r]+", trimmed) if trimmed else []
+        pairs.setdefault(lang, []).append((_h64(str(d).encode()), len(toks)))
+    rows = []
+    for lang in sorted(pairs):
+        sample = sorted(pairs[lang])[:k]
+        vs = sorted(v for _, v in sample)
+        m = len(vs)
+        rows.append((lang, m, *[vs[(q * (m - 1)) // 100] for q in qs]))
+    return rows
+
+
 def serial_cms_heavy_hitters(texts, k: int = 20, d: int = 4, w: int = 16384):
     """Pure-Python count-min sketch + exact top-k: dict counts, int-only
     Kirsch-Mitzenmacher positions, min-over-rows point queries."""
@@ -740,6 +761,10 @@ def main():
              (i64, i64, i64, i64, i64), "corpus_len", corpus_len),
             ("op_hll_distinct_tokens", serial_hll_distinct(doc_langs, texts),
              ("lang", "approx_distinct"), (s, i64), "corpus_len", corpus_len),
+            ("op_kmv_token_quantiles",
+             serial_kmv_quantiles(doc_ids, doc_langs, texts),
+             ("lang", "sample_m", "p10", "p25", "p50", "p75", "p90"),
+             (s, i64, i64, i64, i64, i64, i64), "corpus_len", corpus_len),
             ("op_cms_heavy_hitters", serial_cms_heavy_hitters(texts),
              ("word", "cnt", "cms_est"), (s, i64, i64), "corpus_len", corpus_len),
             ("op_media_resize_features", serial_media_resize(doc_ids, texts),
