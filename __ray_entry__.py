@@ -129,6 +129,19 @@ def _kg_components(sf_dir: str):
         extract_triples(pages_from_documents(sf_dir), _lexicon_ref()))
 
 
+def _kg_confidence(sf_dir: str):
+    """Assertion-confidence scoring over the RAW extraction stream
+    (pipelines/kg.py::triple_confidence): per (pred, obj) evidence volume,
+    page support, surface diversity and per-predicate permille support.
+    Oracled against the committed serial recomputation
+    (tools/make_kg_expected.py::serial_confidence)."""
+    from lexmapr_ray.pipelines.kg import extract_triples, triple_confidence
+    from lexmapr_ray.sources.pages import pages_from_documents
+
+    return triple_confidence(
+        extract_triples(pages_from_documents(sf_dir), _lexicon_ref()))
+
+
 def _kg_degree_stats(sf_dir: str):
     """Graph-analytics pass over the flagship output: per ontology term,
     distinct-triple and distinct-page fan-in (pipelines/kg.py::degree_stats).
@@ -452,6 +465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_cooccurrence": _kg_cooccurrence,
         "kg_components": _kg_components,
         "kg_incremental_merge": _kg_incremental_merge,
+        "kg_confidence": _kg_confidence,
         # anchor-text entity linking: matcher over html-parsed anchor text
         "anchor_entity_links": _anchor_entity_links,
     })
@@ -2254,6 +2268,12 @@ def oracle_sql() -> dict[str, str]:
                 FROM comp JOIN eu ON comp.node = eu.a)
             SELECT node AS term, MIN(label) AS component
             FROM comp GROUP BY node ORDER BY term
+        """,
+        "kg_confidence": """
+            SELECT pred, obj, n_mentions, n_pages, n_surfaces, conf_permille
+            FROM read_parquet('/root/repo/expected/kg_confidence.parquet')
+            WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)
+            ORDER BY pred, obj
         """,
         "kg_degree_stats": """
             SELECT obj, COUNT(*)::BIGINT AS n_triples,

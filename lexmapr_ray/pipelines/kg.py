@@ -363,6 +363,87 @@ def degree_stats(triples_ds):
     return sorted_group_reduce(deduped, "obj", pair_partial, final)
 
 
+def triple_confidence(triples_ds):
+    """Per-(pred, obj) assertion confidence over the RAW (pre-dedup)
+    extraction stream — the evidence-scoring pass that turns extracted
+    triples into a ranked KG: evidence volume (``n_mentions`` raw rows),
+    page support (``n_pages`` distinct subjects), surface diversity
+    (``n_surfaces`` distinct mention strings), and ``conf_permille`` =
+    floor(1000 * n_pages / max n_pages among assertions of the SAME
+    predicate) — an integer-exact support score normalized per predicate
+    so full-term and component links are ranked within their own class.
+
+    Shape: per-batch Arrow group_by collapses the raw stream to distinct
+    (pred, obj, subj, mention) quadruples with counts (a hot assertion
+    repeated across a batch ships once), ONE (pred, obj) sort co-locates
+    each assertion's quadruples, and the per-block final computes the
+    exact distinct counts.  The assertion-level stats table (ontology x
+    predicate scale, orders below corpus) is materialized once so the
+    per-predicate maxima (<= |preds| = 3 rows) fold on the driver without
+    re-running the matcher; the annotate step is a stateless map over the
+    materialized stats."""
+    import pandas as pd
+
+    from lexmapr_ray.functions.groupagg import sorted_group_reduce
+
+    def quad_partial(t: pa.Table) -> pa.Table:
+        sel = t.select(["pred", "obj", "subj", "mention"])
+        sel = pa.table({c: pc.cast(sel[c], pa.string())
+                        for c in sel.column_names})
+        out = sel.group_by(["pred", "obj", "subj", "mention"],
+                           use_threads=False).aggregate([([], "count_all")])
+        return out.rename_columns(["pred", "obj", "subj", "mention", "cnt"])
+
+    quads = triples_ds.map_batches(quad_partial, batch_format="pyarrow")
+
+    _QCOLS = ["pred", "obj", "subj", "mention", "cnt"]
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype="int64" if c == "cnt"
+                                              else "object") for c in _QCOLS})
+        return df.groupby(["pred", "obj", "subj", "mention"],
+                          as_index=False, sort=False)["cnt"].sum()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "pred": pd.Series([], dtype="object"),
+                "obj": pd.Series([], dtype="object"),
+                "n_mentions": pd.Series([], dtype="int64"),
+                "n_pages": pd.Series([], dtype="int64"),
+                "n_surfaces": pd.Series([], dtype="int64")})
+        g = df.groupby(["pred", "obj"], sort=True).agg(
+            n_mentions=("cnt", "sum"), n_pages=("subj", "nunique"),
+            n_surfaces=("mention", "nunique")).reset_index()
+        for c in ("n_mentions", "n_pages", "n_surfaces"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    stats = sorted_group_reduce(quads, ["pred", "obj"], combine, final) \
+        .materialize()  # assertion-scale, never corpus-scale
+
+    def max_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"pred": pd.Series([], dtype="object"),
+                                 "mx": pd.Series([], dtype="int64")})
+        return df.groupby("pred", as_index=False)["n_pages"].max() \
+            .rename(columns={"n_pages": "mx"})
+
+    # |preds| = 3 fixed predicate constants — a domain-bounded aggregate
+    pred_max: dict[str, int] = {}
+    for r in stats.map_batches(max_partial, batch_format="pandas").take_all():
+        pred_max[r["pred"]] = max(pred_max.get(r["pred"], 0), int(r["mx"]))
+
+    def annotate(df: pd.DataFrame) -> pd.DataFrame:
+        mx = df["pred"].map(pred_max).to_numpy(np.int64)
+        df = df.copy()
+        df["conf_permille"] = (1000 * df["n_pages"].to_numpy(np.int64)) // mx
+        return df
+
+    return stats.map_batches(annotate, batch_format="pandas")
+
+
 def cooccurrence_edges(triples_ds):
     """Term co-mention edges: for every pair of ontology terms linked from
     the same page, the number of distinct pages naming both — the

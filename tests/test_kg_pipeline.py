@@ -103,6 +103,38 @@ def test_canonicalize_matches_serial_oracle(ray_session, skewed_triples):
     pd.testing.assert_frame_equal(got, exp)
 
 
+def test_triple_confidence_matches_serial(ray_session, skewed_triples):
+    """Evidence scoring on the skewed fixture, where the distinct-count
+    paths genuinely diverge: n_mentions > n_pages (repeats per subject
+    across blocks), n_surfaces > 1 on the cold key, and per-predicate
+    permille normalization across two predicates."""
+    from collections import Counter, defaultdict
+
+    from lexmapr_ray.pipelines.kg import triple_confidence
+
+    got = triple_confidence(skewed_triples).to_pandas().reset_index(drop=True)
+
+    df = skewed_triples.to_pandas()
+    mentions, pages, surfaces = Counter(), defaultdict(set), defaultdict(set)
+    for r in df.itertuples():
+        k = (r.pred, r.obj)
+        mentions[k] += 1
+        pages[k].add(r.subj)
+        surfaces[k].add(r.mention)
+    pred_max = defaultdict(int)
+    for (p, _o), s in pages.items():
+        pred_max[p] = max(pred_max[p], len(s))
+    exp = pd.DataFrame(
+        [(p, o, mentions[(p, o)], len(pages[(p, o)]), len(surfaces[(p, o)]),
+          1000 * len(pages[(p, o)]) // pred_max[p])
+         for p, o in sorted(mentions)],
+        columns=["pred", "obj", "n_mentions", "n_pages", "n_surfaces",
+                 "conf_permille"])
+    pd.testing.assert_frame_equal(got, exp.astype({c: "int64" for c in exp.columns[2:]}))
+    assert (got["n_mentions"] > got["n_pages"]).any()
+    assert (got["n_surfaces"] > 1).any()
+
+
 def test_hot_key_prefers_majority_obj(ray_session, skewed_triples):
     from lexmapr_ray.pipelines.kg import canonicalize_mentions
 

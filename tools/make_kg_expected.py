@@ -113,6 +113,33 @@ def serial_canonical(rows: list[tuple]) -> list[tuple]:
     return out
 
 
+def serial_confidence(rows: list[tuple]) -> list[tuple]:
+    """Per-(pred, obj) evidence stats over the RAW triple stream + permille
+    support vs the predicate's best-supported assertion — plain dict/set
+    loops, independent of the engine's quadruple-collapse reduce."""
+    from collections import defaultdict
+
+    mentions: Counter = Counter()
+    pages: dict = defaultdict(set)
+    surfaces: dict = defaultdict(set)
+    for subj, pred, obj, _obj_label, surface, _status in rows:
+        k = (pred, obj)
+        mentions[k] += 1
+        pages[k].add(subj)
+        surfaces[k].add(surface)
+    pred_max: dict = defaultdict(int)
+    for (pred, _obj), s in pages.items():
+        pred_max[pred] = max(pred_max[pred], len(s))
+    return [(pred, obj, mentions[(pred, obj)], len(pages[(pred, obj)]),
+             len(surfaces[(pred, obj)]),
+             1000 * len(pages[(pred, obj)]) // pred_max[pred])
+            for pred, obj in sorted(mentions)]
+
+
+CONF_COLS = ["pred", "obj", "n_mentions", "n_pages", "n_surfaces",
+             "conf_permille"]
+
+
 def serial_anchor_phrase_terms() -> list[tuple]:
     """Serial phrase -> triple-payload mapping for the anchor-text
     entity-linking op (pipelines/kg.py::anchor_text_triples).
@@ -183,7 +210,7 @@ def main():
         return
     sf_dirs = args or ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
                        "/root/testdata/sf0.1"]
-    triples_tabs, entities_tabs, bucket_tabs = [], [], []
+    triples_tabs, entities_tabs, bucket_tabs, conf_tabs = [], [], [], []
     for sf_dir in sf_dirs:
         texts = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
         corpus_len = sum(len(t) for t in texts["text"].to_pylist())
@@ -192,6 +219,7 @@ def main():
         ent_cols = ["mention", "canonical_obj", "canonical_label",
                     "n_mentions", "n_distinct_obj"]
         entities_tabs.append(_table(serial_canonical(raw), ent_cols, corpus_len))
+        conf_tabs.append(_table(serial_confidence(raw), CONF_COLS, corpus_len))
         raw_b = serial_triples(sf_dir, bucket=True)
         bucket_tabs.append(_table(sorted(raw_b), TRIPLE_COLS, corpus_len))
         print(f"{sf_dir}: corpus_len={corpus_len} raw={len(raw)} "
@@ -204,6 +232,8 @@ def main():
                    os.path.join(EXPECTED_DIR, "kg_entities.parquet"))
     pq.write_table(pa.concat_tables(bucket_tabs),
                    os.path.join(EXPECTED_DIR, "kg_triples_bucket.parquet"))
+    pq.write_table(pa.concat_tables(conf_tabs),
+                   os.path.join(EXPECTED_DIR, "kg_confidence.parquet"))
     write_anchor_table()
     print(f"wrote {EXPECTED_DIR}/kg_*.parquet")
 
