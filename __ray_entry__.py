@@ -142,6 +142,17 @@ def _kg_confidence(sf_dir: str):
         extract_triples(pages_from_documents(sf_dir), _lexicon_ref()))
 
 
+def _kg_mention_contexts(sf_dir: str):
+    """KG provenance extraction: per (mention window, linked term) evidence
+    rows with neighboring windows (pipelines/kg.py::mention_contexts).
+    Oracled against the committed serial recomputation
+    (tools/make_kg_expected.py::serial_contexts)."""
+    from lexmapr_ray.pipelines.kg import mention_contexts
+    from lexmapr_ray.sources.pages import pages_from_documents
+
+    return mention_contexts(pages_from_documents(sf_dir), _lexicon_ref())
+
+
 def _kg_degree_stats(sf_dir: str):
     """Graph-analytics pass over the flagship output: per ontology term,
     distinct-triple and distinct-page fan-in (pipelines/kg.py::degree_stats).
@@ -466,6 +477,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_components": _kg_components,
         "kg_incremental_merge": _kg_incremental_merge,
         "kg_confidence": _kg_confidence,
+        "kg_mention_contexts": _kg_mention_contexts,
         # anchor-text entity linking: matcher over html-parsed anchor text
         "anchor_entity_links": _anchor_entity_links,
     })
@@ -2274,6 +2286,12 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('/root/repo/expected/kg_confidence.parquet')
             WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)
             ORDER BY pred, obj
+        """,
+        "kg_mention_contexts": """
+            SELECT subj, obj, mention_idx, mention, ctx_before, ctx_after
+            FROM read_parquet('/root/repo/expected/kg_contexts.parquet')
+            WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)
+            ORDER BY subj, mention_idx, obj
         """,
         "kg_degree_stats": """
             SELECT obj, COUNT(*)::BIGINT AS n_triples,

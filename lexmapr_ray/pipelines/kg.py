@@ -363,6 +363,41 @@ def degree_stats(triples_ds):
     return sorted_group_reduce(deduped, "obj", pair_partial, final)
 
 
+def mention_contexts(
+    pages_ds,
+    lexicon_ref=None,
+    *,
+    langs: tuple = ("en",),
+    concurrency=None,
+    batch_size: int = 256,
+):
+    """pages Dataset -> per-(sentence, term) evidence-context rows.
+
+    KG provenance extraction: each matched sentence mention with its
+    neighbor sentences, one row per distinct linked term
+    (stages/match.py::MentionContexts).  Embarrassingly parallel actor
+    pool — same broadcast/pool contract as :func:`extract_triples`; the
+    only wide op is the presentation sort."""
+    if lexicon_ref is None:
+        lexicon_ref = broadcast_lexicon()
+    if concurrency is None:
+        import ray
+
+        cap = max(2, (int(ray.cluster_resources().get("CPU", 4)) * 7) // 8)
+        concurrency = (2, cap)
+    from lexmapr_ray.stages.match import MentionContexts
+
+    ds = pages_ds.map_batches(extract_text_stage, batch_format="pyarrow")
+    return ds.map_batches(
+        MentionContexts,
+        fn_constructor_kwargs={"lexicon": [lexicon_ref], "langs": langs},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    ).sort(["subj", "mention_idx", "obj"])
+
+
 def triple_confidence(triples_ds):
     """Per-(pred, obj) assertion confidence over the RAW (pre-dedup)
     extraction stream — the evidence-scoring pass that turns extracted

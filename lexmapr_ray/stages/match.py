@@ -57,6 +57,95 @@ def segment_mentions(text: str, max_tokens: int = MAX_MENTION_TOKENS) -> list[st
     return mentions
 
 
+def segment_mention_windows(text: str, window_tokens: int = 32) -> list[str]:
+    """Sentence split, then length-bounded windowing: each sentence longer
+    than ``window_tokens`` yields consecutive token windows instead of one
+    truncated mega-sentence.  :func:`segment_mentions` TRUNCATES at
+    MAX_MENTION_TOKENS and drops the tail — reference-parity behavior for
+    matching, but wrong for evidence extraction, which must cover the whole
+    page (unpunctuated web text is one giant 'sentence')."""
+    out = []
+    for raw in _SENTENCE_SPLIT.split(text):
+        raw = raw.strip()
+        if not raw:
+            continue
+        toks = raw.split()
+        for i in range(0, len(toks), window_tokens):
+            out.append(" ".join(toks[i:i + window_tokens]))
+    return out
+
+
+CONTEXTS_SCHEMA = pa.schema(
+    [
+        ("subj", pa.string()),
+        ("obj", pa.string()),
+        ("mention_idx", pa.int64()),
+        ("mention", pa.string()),
+        ("ctx_before", pa.string()),
+        ("ctx_after", pa.string()),
+    ]
+)
+
+
+class MentionContexts:
+    """Actor-pool stage: pages batches in, evidence-context rows out.
+
+    For every mention window (:func:`segment_mention_windows`) the matcher
+    links to at least one ontology term, emit one row per DISTINCT matched
+    term carrying the raw window plus its neighboring windows — the
+    provenance snippet a KG reviewer (or a relation-extraction training
+    set) needs next to the bare triple.  Same broadcast-lexicon /
+    init-once contract as :class:`MentionMatcher`; reference parity
+    anchor: lexmapr/pipeline.py keeps the original sample text beside each
+    match for exactly this audit purpose."""
+
+    def __init__(self, lexicon=None, langs: tuple = ("en",),
+                 window_tokens: int = 32):
+        import ray
+
+        if isinstance(lexicon, (list, tuple)) and len(lexicon) == 1:
+            lexicon = lexicon[0]
+        if lexicon is None:
+            lexicon = build_lexicon()
+        elif isinstance(lexicon, ray.ObjectRef):
+            lexicon = ray.get(lexicon)
+        self.lexicon: Lexicon = lexicon
+        self.langs = set(langs) if langs else None
+        self.window_tokens = window_tokens
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        texts = batch["text"].to_pylist()
+        langs = batch["lang"].to_pylist() if "lang" in batch.column_names else [None] * len(urls)
+
+        subj, obj, idx, men, bef, aft = [], [], [], [], [], []
+        for url, text, lang in zip(urls, texts, langs):
+            if self.langs and lang is not None and lang not in self.langs:
+                continue
+            ms = segment_mention_windows(text, self.window_tokens)
+            for i, mention in enumerate(ms):
+                r = match_sample(mention, self.lexicon)
+                if not r.matched_components:
+                    continue
+                terms = sorted({c.rsplit(":", 1)[1]
+                                for c in r.matched_components})
+                before = ms[i - 1] if i > 0 else ""
+                after = ms[i + 1] if i + 1 < len(ms) else ""
+                for t in terms:
+                    subj.append(url)
+                    obj.append(t)
+                    idx.append(i)
+                    men.append(mention)
+                    bef.append(before)
+                    aft.append(after)
+        return pa.Table.from_arrays(
+            [pa.array(subj, pa.string()), pa.array(obj, pa.string()),
+             pa.array(idx, pa.int64()), pa.array(men, pa.string()),
+             pa.array(bef, pa.string()), pa.array(aft, pa.string())],
+            schema=CONTEXTS_SCHEMA,
+        )
+
+
 def extract_text_stage(batch: pa.Table) -> pa.Table:
     """Stateless map_batches fn: html -> text, asserting the per-row
     byte-identical invariant against the shipped ``text`` column.

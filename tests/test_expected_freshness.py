@@ -87,6 +87,8 @@ def test_kg_expected_fresh(corpus):
         sorted(kg.serial_canonical(raw)), f"kg_entities: {MSG}"
     assert sorted(_committed("kg_confidence", "corpus_len", corpus_len)) == \
         sorted(kg.serial_confidence(raw)), f"kg_confidence: {MSG}"
+    assert sorted(_committed("kg_contexts", "corpus_len", corpus_len)) == \
+        sorted(kg.serial_contexts(SF)), f"kg_contexts: {MSG}"
 
 
 def test_anchor_expected_fresh():

@@ -135,6 +135,60 @@ def test_triple_confidence_matches_serial(ray_session, skewed_triples):
     assert (got["n_surfaces"] > 1).any()
 
 
+def test_mention_windows_cover_whole_text():
+    """segment_mention_windows must cover EVERY token (segment_mentions
+    truncates at MAX_MENTION_TOKENS — the evidence op must not), respect
+    sentence boundaries, and bound each window at window_tokens."""
+    from lexmapr_ray.stages.match import (MAX_MENTION_TOKENS,
+                                          segment_mention_windows,
+                                          segment_mentions)
+
+    long = " ".join(f"w{i}" for i in range(100))
+    assert len(segment_mentions(long)[0].split()) == MAX_MENTION_TOKENS
+    ws = segment_mention_windows(long, 32)
+    assert [len(w.split()) for w in ws] == [32, 32, 32, 4]
+    assert " ".join(ws) == long
+    two = "a b c. d e"
+    assert segment_mention_windows(two, 2) == ["a b", "c", "d e"]
+    assert segment_mention_windows("", 32) == []
+
+
+def test_mention_contexts_neighbors_exact(ray_session, lexicon):
+    """Evidence rows carry the actual neighboring windows: build a page
+    whose 2nd window holds the matchable phrase and check ctx columns."""
+    import ray.data as rd
+
+    from lexmapr_ray.pipelines.kg import mention_contexts
+    from lexmapr_ray.sources.pages import render_html
+
+    w0 = " ".join(f"filler{i}" for i in range(8))
+    w1 = "chicken breast is a fine food item right here"  # 9 tokens
+    w2 = " ".join(f"tail{i}" for i in range(8))
+    text = " ".join([w0, w1, w2])
+    pages = rd.from_items([{
+        "url": "doc://1", "warc_ts": 0, "html": render_html(text),
+        "text": text, "lang": "en",
+    }])
+    got = mention_contexts(pages, lexicon, concurrency=1,
+                           batch_size=8).to_pandas()
+    # 25 tokens < the 32-token window: whole page is ONE window
+    assert len(got) >= 1
+    assert (got["mention_idx"] == 0).all() and (got["ctx_before"] == "").all()
+    # multi-window page: repeat filler to push the phrase into window 1
+    w0 = " ".join(f"filler{i}" for i in range(32))
+    text = " ".join([w0, w1, w2])
+    pages = rd.from_items([{
+        "url": "doc://2", "warc_ts": 0, "html": render_html(text),
+        "text": text, "lang": "en",
+    }])
+    got = mention_contexts(pages, lexicon, concurrency=1,
+                           batch_size=8).to_pandas()
+    assert (got["mention_idx"] == 1).all()
+    assert (got["ctx_before"] == w0).all()
+    assert (got["ctx_after"] == "").all()
+    assert got["mention"].iloc[0].startswith("chicken breast")
+
+
 def test_hot_key_prefers_majority_obj(ray_session, skewed_triples):
     from lexmapr_ray.pipelines.kg import canonicalize_mentions
 

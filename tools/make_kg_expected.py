@@ -140,6 +140,53 @@ CONF_COLS = ["pred", "obj", "n_mentions", "n_pages", "n_surfaces",
              "conf_permille"]
 
 
+def serial_contexts(sf_dir: str, window_tokens: int = 32) -> list[tuple]:
+    """Serial evidence-context rows: one plain loop per page, mirroring the
+    SEMANTICS of stages/match.py::MentionContexts (raw mention window +
+    neighbor windows per distinct matched term) without the actor pool.
+    The windowing is re-derived inline (sentence split then fixed token
+    windows) rather than imported, so the engine's helper is checked too."""
+    import re
+
+    from lexmapr_ray.lexkit.lexicon import build_lexicon
+    from lexmapr_ray.lexkit.matcher import match_sample
+
+    sentence_split = re.compile(r"[.!?;\n]+")
+
+    def windows(text: str) -> list[str]:
+        out = []
+        for raw in sentence_split.split(text):
+            toks = raw.strip().split()
+            for i in range(0, len(toks), window_tokens):
+                out.append(" ".join(toks[i:i + window_tokens]))
+        return out
+
+    lexicon = build_lexicon()
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    rows = []
+    for doc_id, text, lang in zip(docs["doc_id"].to_pylist(),
+                                  docs["text"].to_pylist(),
+                                  docs["lang"].to_pylist()):
+        if lang != "en":
+            continue
+        ms = windows(text)
+        for i, mention in enumerate(ms):
+            r = match_sample(mention, lexicon)
+            if not r.matched_components:
+                continue
+            terms = sorted({c.rsplit(":", 1)[1] for c in r.matched_components})
+            before = ms[i - 1] if i > 0 else ""
+            after = ms[i + 1] if i + 1 < len(ms) else ""
+            for t in terms:
+                rows.append((f"doc://{doc_id}", t, i, mention, before, after))
+    return rows
+
+
+CTX_COLS = ["subj", "obj", "mention_idx", "mention", "ctx_before",
+            "ctx_after"]
+
+
 def serial_anchor_phrase_terms() -> list[tuple]:
     """Serial phrase -> triple-payload mapping for the anchor-text
     entity-linking op (pipelines/kg.py::anchor_text_triples).
@@ -210,7 +257,8 @@ def main():
         return
     sf_dirs = args or ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
                        "/root/testdata/sf0.1"]
-    triples_tabs, entities_tabs, bucket_tabs, conf_tabs = [], [], [], []
+    triples_tabs, entities_tabs, bucket_tabs, conf_tabs, ctx_tabs = \
+        [], [], [], [], []
     for sf_dir in sf_dirs:
         texts = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
         corpus_len = sum(len(t) for t in texts["text"].to_pylist())
@@ -220,6 +268,7 @@ def main():
                     "n_mentions", "n_distinct_obj"]
         entities_tabs.append(_table(serial_canonical(raw), ent_cols, corpus_len))
         conf_tabs.append(_table(serial_confidence(raw), CONF_COLS, corpus_len))
+        ctx_tabs.append(_table(serial_contexts(sf_dir), CTX_COLS, corpus_len))
         raw_b = serial_triples(sf_dir, bucket=True)
         bucket_tabs.append(_table(sorted(raw_b), TRIPLE_COLS, corpus_len))
         print(f"{sf_dir}: corpus_len={corpus_len} raw={len(raw)} "
@@ -234,6 +283,8 @@ def main():
                    os.path.join(EXPECTED_DIR, "kg_triples_bucket.parquet"))
     pq.write_table(pa.concat_tables(conf_tabs),
                    os.path.join(EXPECTED_DIR, "kg_confidence.parquet"))
+    pq.write_table(pa.concat_tables(ctx_tabs),
+                   os.path.join(EXPECTED_DIR, "kg_contexts.parquet"))
     write_anchor_table()
     print(f"wrote {EXPECTED_DIR}/kg_*.parquet")
 
