@@ -153,6 +153,18 @@ def _kg_mention_contexts(sf_dir: str):
     return mention_contexts(pages_from_documents(sf_dir), _lexicon_ref())
 
 
+def _kg_negative_samples(sf_dir: str):
+    """Deterministic in-page hard-negative sampling over the deduped graph
+    (pipelines/kg.py::negative_samples).  Oracled by plain SQL that
+    recomputes the md5-offset draw over the committed serial expected
+    triples — a genuinely independent arithmetic recomputation."""
+    from lexmapr_ray.pipelines.kg import extract_triples, negative_samples
+    from lexmapr_ray.sources.pages import pages_from_documents
+
+    return negative_samples(
+        extract_triples(pages_from_documents(sf_dir), _lexicon_ref()))
+
+
 def _kg_degree_stats(sf_dir: str):
     """Graph-analytics pass over the flagship output: per ontology term,
     distinct-triple and distinct-page fan-in (pipelines/kg.py::degree_stats).
@@ -478,6 +490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_incremental_merge": _kg_incremental_merge,
         "kg_confidence": _kg_confidence,
         "kg_mention_contexts": _kg_mention_contexts,
+        "kg_negative_samples": _kg_negative_samples,
         # anchor-text entity linking: matcher over html-parsed anchor text
         "anchor_entity_links": _anchor_entity_links,
     })
@@ -2292,6 +2305,31 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('/root/repo/expected/kg_contexts.parquet')
             WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)
             ORDER BY subj, mention_idx, obj
+        """,
+        # in-page negative draw recomputed arithmetically: same-page distinct
+        # objs (sorted), offset = 1 + (32-bit md5 prefix) % (n-1) from the
+        # true obj's position — mirrors pipelines/kg.py::negative_samples
+        "kg_negative_samples": """
+            WITH t AS (
+              SELECT subj, pred, obj
+              FROM read_parquet('/root/repo/expected/kg_triples.parquet')
+              WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)
+            ),
+            l AS (
+              SELECT subj, list(DISTINCT obj ORDER BY obj) AS objs
+              FROM t GROUP BY subj
+            ),
+            h AS (
+              SELECT t.subj, t.pred, t.obj, l.objs, len(l.objs) AS n,
+                     CAST(('0x' || substr(md5(t.subj || chr(0) || t.pred
+                          || chr(0) || t.obj), 1, 8)) AS BIGINT) AS hv
+              FROM t JOIN l ON t.subj = l.subj
+            )
+            SELECT subj, pred, obj,
+                   objs[((list_position(objs, obj) + hv % (n - 1)) % n) + 1]
+                       AS neg_obj
+            FROM h WHERE n > 1
+            ORDER BY subj, pred, obj
         """,
         "kg_degree_stats": """
             SELECT obj, COUNT(*)::BIGINT AS n_triples,

@@ -479,6 +479,55 @@ def triple_confidence(triples_ds):
     return stats.map_batches(annotate, batch_format="pandas")
 
 
+def negative_samples(triples_ds):
+    """In-page hard-negative sampling for KG-embedding / contrastive
+    training: for each deduped (subj, pred, obj), corrupt the OBJECT with
+    another entity linked from the SAME page — the 'in-batch negatives'
+    pattern, made deterministic.  Same-page entities share context, so
+    these are hard negatives, and the page-local domain means NO global
+    entity table is shuffled or broadcast.  The draw is an md5-based
+    integer offset (1 + h % (n-1), h = 32-bit prefix of
+    md5('subj\\0pred\\0obj')), so neg_obj != obj by construction and the
+    DuckDB oracle recomputes the same value arithmetically.  Pages linking
+    a single entity yield no negative and are dropped.
+
+    Shape: :func:`dedup_triples` already leaves blocks subj-co-located
+    (sort outputs are never re-split — functions/groupagg.py contract), so
+    ONE per-block pandas pass with ``batch_size=None`` groups each page
+    whole; no shuffle beyond the dedup sort itself."""
+    import hashlib
+
+    import pandas as pd
+
+    deduped = dedup_triples(triples_ds)
+    _NCOLS = ["subj", "pred", "obj", "neg_obj"]
+
+    def neg(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype="object")
+                                 for c in _NCOLS})
+        md5 = hashlib.md5
+        rows = []
+        # observed=True: dictionary-encoded triple columns arrive as pandas
+        # Categorical, whose groupby otherwise emits every category
+        for subj, grp in df.groupby("subj", sort=False, observed=True):
+            subj = str(subj)
+            objs = sorted(set(str(o) for o in grp["obj"]))
+            n = len(objs)
+            if n < 2:
+                continue
+            pos = {o: i for i, o in enumerate(objs)}
+            for pred, obj in zip(grp["pred"], grp["obj"]):
+                pred, obj = str(pred), str(obj)
+                h = int(md5(f"{subj}\x00{pred}\x00{obj}".encode())
+                        .hexdigest()[:8], 16)
+                rows.append((subj, pred, obj,
+                             objs[(pos[obj] + 1 + h % (n - 1)) % n]))
+        return pd.DataFrame(rows, columns=_NCOLS)
+
+    return deduped.map_batches(neg, batch_format="pandas", batch_size=None)
+
+
 def cooccurrence_edges(triples_ds):
     """Term co-mention edges: for every pair of ontology terms linked from
     the same page, the number of distinct pages naming both — the

@@ -135,6 +135,34 @@ def test_triple_confidence_matches_serial(ray_session, skewed_triples):
     assert (got["n_surfaces"] > 1).any()
 
 
+def test_negative_samples_in_page_domain(ray_session, skewed_triples):
+    """Negatives are always another entity from the SAME page, never the
+    true object; single-entity pages are dropped; the draw matches the
+    serial md5-offset recomputation."""
+    import hashlib
+
+    from lexmapr_ray.pipelines.kg import dedup_triples, negative_samples
+
+    got = negative_samples(skewed_triples).to_pandas()
+    ded = dedup_triples(skewed_triples).to_pandas().astype(str)
+    page_objs = ded.groupby("subj")["obj"].apply(lambda s: sorted(set(s)))
+    exp_rows = []
+    for r in ded.itertuples():
+        objs = page_objs[r.subj]
+        n = len(objs)
+        if n < 2:
+            continue
+        h = int(hashlib.md5(f"{r.subj}\x00{r.pred}\x00{r.obj}".encode())
+                .hexdigest()[:8], 16)
+        exp_rows.append((r.subj, r.pred, r.obj,
+                         objs[(objs.index(r.obj) + 1 + h % (n - 1)) % n]))
+    exp = pd.DataFrame(exp_rows, columns=["subj", "pred", "obj", "neg_obj"])
+    g = got.astype(str).sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+    e = exp.sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, e)
+    assert (g["obj"] != g["neg_obj"]).all()
+
+
 def test_mention_windows_cover_whole_text():
     """segment_mention_windows must cover EVERY token (segment_mentions
     truncates at MAX_MENTION_TOKENS — the evidence op must not), respect
