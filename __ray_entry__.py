@@ -165,6 +165,20 @@ def _kg_negative_samples(sf_dir: str):
         extract_triples(pages_from_documents(sf_dir), _lexicon_ref()))
 
 
+def _kg_snapshot_diff(sf_dir: str):
+    """Temporal KG maintenance: assertion-level diff between the two
+    deterministic crawl snapshots (pipelines/kg.py::snapshot_diff over
+    sources/pages.py::snapshot_pages).  Oracled against the committed
+    serial set-difference recomputation."""
+    from lexmapr_ray.pipelines.kg import extract_triples, snapshot_diff
+    from lexmapr_ray.sources.pages import snapshot_pages
+
+    lex = _lexicon_ref()
+    return snapshot_diff(
+        extract_triples(snapshot_pages(sf_dir, "a"), lex),
+        extract_triples(snapshot_pages(sf_dir, "b"), lex))
+
+
 def _kg_degree_stats(sf_dir: str):
     """Graph-analytics pass over the flagship output: per ontology term,
     distinct-triple and distinct-page fan-in (pipelines/kg.py::degree_stats).
@@ -491,6 +505,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_confidence": _kg_confidence,
         "kg_mention_contexts": _kg_mention_contexts,
         "kg_negative_samples": _kg_negative_samples,
+        "kg_snapshot_diff": _kg_snapshot_diff,
         # anchor-text entity linking: matcher over html-parsed anchor text
         "anchor_entity_links": _anchor_entity_links,
     })
@@ -2330,6 +2345,12 @@ def oracle_sql() -> dict[str, str]:
                        AS neg_obj
             FROM h WHERE n > 1
             ORDER BY subj, pred, obj
+        """,
+        "kg_snapshot_diff": """
+            SELECT subj, pred, obj, change
+            FROM read_parquet('/root/repo/expected/kg_snapshot_diff.parquet')
+            WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)
+            ORDER BY subj, pred, obj, change
         """,
         "kg_degree_stats": """
             SELECT obj, COUNT(*)::BIGINT AS n_triples,

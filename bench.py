@@ -284,6 +284,8 @@ def run_queries(sf_dir: str) -> dict:
         ("paragraph_dedup", dedup.paragraph_dedup),
         ("url_canonicalize", _url_canonicalize),
         ("host_link_graph", webgraph.host_link_graph),
+        ("winnowing_fingerprint", textstats.winnowing_fingerprint),
+        ("kmv_token_quantiles", sketches.kmv_token_quantiles),
     ]:
         t0 = time.time()
         res = fn(sf_dir)

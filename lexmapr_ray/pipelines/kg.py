@@ -479,6 +479,65 @@ def triple_confidence(triples_ds):
     return stats.map_batches(annotate, batch_format="pandas")
 
 
+def snapshot_diff(triples_a, triples_b):
+    """Temporal KG maintenance: the assertion-level diff between two crawl
+    snapshots' extracted graphs — every (subj, pred, obj) present in
+    exactly one snapshot, tagged ``added`` (new crawl only) or ``removed``
+    (old crawl only).  The downstream of an incremental ingest: apply the
+    adds, retract the removes, leave the intersection untouched.
+
+    Shape: each side collapses per batch to distinct (subj, pred, obj)
+    keys carrying an in_a/in_b flag pair, the tagged union goes through
+    ONE triple-key sort (not two dedup sorts plus a join), and the
+    co-located final ORs the flags and keeps the symmetric difference.
+    Shuffle volume is <= one row per distinct triple per batch per side."""
+    import pandas as pd
+
+    _DCOLS = ["subj", "pred", "obj", "in_a", "in_b"]
+
+    def tag(a_flag: int, b_flag: int):
+        def f(t: pa.Table) -> pa.Table:
+            sel = t.select(["subj", "pred", "obj"])
+            sel = pa.table({c: pc.cast(sel[c], pa.string())
+                            for c in sel.column_names})
+            out = sel.group_by(["subj", "pred", "obj"],
+                               use_threads=False).aggregate([])
+            n = out.num_rows
+            return out.append_column(
+                "in_a", pa.array(np.full(n, a_flag, dtype=np.int64))
+            ).append_column(
+                "in_b", pa.array(np.full(n, b_flag, dtype=np.int64)))
+        return f
+
+    tagged = triples_a.map_batches(tag(1, 0), batch_format="pyarrow").union(
+        triples_b.map_batches(tag(0, 1), batch_format="pyarrow"))
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series(
+                [], dtype="int64" if c in ("in_a", "in_b") else "object")
+                for c in _DCOLS})
+        return df.groupby(["subj", "pred", "obj"], as_index=False,
+                          sort=False)[["in_a", "in_b"]].max()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = combine(df)
+        if len(g) == 0:
+            return pd.DataFrame({"subj": pd.Series([], dtype="object"),
+                                 "pred": pd.Series([], dtype="object"),
+                                 "obj": pd.Series([], dtype="object"),
+                                 "change": pd.Series([], dtype="object")})
+        g = g[g["in_a"] != g["in_b"]].copy()
+        g["change"] = np.where(g["in_b"] == 1, "added", "removed")
+        return g.sort_values(["subj", "pred", "obj"])[
+            ["subj", "pred", "obj", "change"]]
+
+    from lexmapr_ray.functions.groupagg import sorted_group_reduce
+
+    return sorted_group_reduce(tagged, ["subj", "pred", "obj"],
+                               combine, final)
+
+
 def negative_samples(triples_ds):
     """In-page hard-negative sampling for KG-embedding / contrastive
     training: for each deduped (subj, pred, obj), corrupt the OBJECT with

@@ -174,6 +174,49 @@ def pages_from_documents(sf_dir: str, batch_size: int = 512):
     return ds.map_batches(to_pages, batch_format="pyarrow", batch_size=batch_size)
 
 
+def snapshot_pages(sf_dir: str, which: str, batch_size: int = 512):
+    """Deterministic crawl SNAPSHOT of the documents url space, for
+    KG-snapshot diffing: snapshot ``a`` holds docs with ``d % 4 != 0``
+    as-is; snapshot ``b`` holds docs with ``d % 5 != 0``, and pages with
+    ``d % 7 == 0`` gained the phrase ``' chicken breast'`` between the
+    crawls — a lexicon-MATCHABLE edit, so the triple diff observes changed
+    pages as assertion adds, not just url adds/removes.  Pure function of
+    the documents table; the serial oracle regenerates the identical
+    snapshots."""
+    if which not in ("a", "b"):
+        raise ValueError(f"snapshot_pages: which must be 'a' or 'b', got {which!r}")
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+
+    def to_snapshot(batch: pa.Table) -> pa.Table:
+        rows = []
+        for d, t, lang in zip(batch["doc_id"].to_pylist(),
+                              batch["text"].to_pylist(),
+                              batch["lang"].to_pylist()):
+            d = int(d)
+            if which == "a":
+                if d % 4 == 0:
+                    continue
+            else:
+                if d % 5 == 0:
+                    continue
+                if d % 7 == 0:
+                    t = t + " chicken breast"
+            rows.append({
+                "url": f"doc://{d}",
+                "warc_ts": _BASE_TS_US + d * 1_000_000,
+                "html": render_html(t),
+                "text": t,
+                "lang": lang,
+            })
+        return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+
+    return ds.map_batches(to_snapshot, batch_format="pyarrow",
+                          batch_size=batch_size)
+
+
 def multi_capture_pages(sf_dir: str, batch_size: int = 512):
     """Deterministic MULTI-CAPTURE pages table: document ``d`` appears as
     ``1 + d % 3`` crawl captures of the same url at strictly increasing

@@ -89,6 +89,8 @@ def test_kg_expected_fresh(corpus):
         sorted(kg.serial_confidence(raw)), f"kg_confidence: {MSG}"
     assert sorted(_committed("kg_contexts", "corpus_len", corpus_len)) == \
         sorted(kg.serial_contexts(SF)), f"kg_contexts: {MSG}"
+    assert sorted(_committed("kg_snapshot_diff", "corpus_len", corpus_len)) == \
+        sorted(kg.serial_snapshot_diff(SF)), f"kg_snapshot_diff: {MSG}"
 
 
 def test_anchor_expected_fresh():

@@ -135,6 +135,33 @@ def test_triple_confidence_matches_serial(ray_session, skewed_triples):
     assert (got["n_surfaces"] > 1).any()
 
 
+def test_snapshot_diff_symmetric_difference(ray_session):
+    """The tagged-union diff must survive duplicates straddling blocks:
+    triples present in both snapshots vanish, each side's exclusives come
+    back tagged, and within-snapshot duplicate rows don't double-count."""
+    import ray.data as rd
+
+    from lexmapr_ray.pipelines.kg import snapshot_diff
+
+    def tset(ids):
+        rows = []
+        for i in ids:
+            for _ in range(3):  # duplicates spread over many blocks
+                rows.append((f"u{i}", "p", f"T{i % 5}",
+                             "lab", "m", "[]"))
+        return rd.from_arrow(_triples_table(rows)).repartition(11)
+
+    a = tset(range(0, 40))        # triples (u0..u39, T*)
+    b = tset(range(20, 60))       # overlap u20..u39
+    got = snapshot_diff(a, b).to_pandas()
+    assert set(got.columns) == {"subj", "pred", "obj", "change"}
+    removed = {(r.subj, r.obj) for r in got.itertuples() if r.change == "removed"}
+    added = {(r.subj, r.obj) for r in got.itertuples() if r.change == "added"}
+    assert removed == {(f"u{i}", f"T{i % 5}") for i in range(0, 20)}
+    assert added == {(f"u{i}", f"T{i % 5}") for i in range(40, 60)}
+    assert len(got) == len(removed) + len(added)  # no dup rows survive
+
+
 def test_negative_samples_in_page_domain(ray_session, skewed_triples):
     """Negatives are always another entity from the SAME page, never the
     true object; single-entity pages are dropped; the draw matches the

@@ -187,6 +187,58 @@ CTX_COLS = ["subj", "obj", "mention_idx", "mention", "ctx_before",
             "ctx_after"]
 
 
+def serial_snapshot_diff(sf_dir: str) -> list[tuple]:
+    """Serial KG snapshot diff: re-derive both deterministic crawl
+    snapshots (sources/pages.py::snapshot_pages rules, re-stated inline),
+    run the serial matcher over each, and set-diff the (subj, pred, obj)
+    sets — plain Python sets, independent of the engine's tagged-union
+    sorted reduce."""
+    from lexmapr_ray.lexkit.lexicon import build_lexicon
+    from lexmapr_ray.lexkit.matcher import match_sample
+    from lexmapr_ray.stages.match import (
+        PRED_COMPONENT, PRED_FULL, segment_mentions,
+    )
+
+    lexicon = build_lexicon()
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+
+    def triple_set(which: str) -> set:
+        s: set = set()
+        for d, t, lang in zip(docs["doc_id"].to_pylist(),
+                              docs["text"].to_pylist(),
+                              docs["lang"].to_pylist()):
+            if lang != "en":
+                continue
+            d = int(d)
+            if which == "a":
+                if d % 4 == 0:
+                    continue
+            else:
+                if d % 5 == 0:
+                    continue
+                if d % 7 == 0:
+                    t = t + " chicken breast"
+            for mention in segment_mentions(t):
+                r = match_sample(mention, lexicon)
+                if not r.matched_components:
+                    continue
+                p = PRED_FULL if r.macro_status == "Full Term Match" \
+                    else PRED_COMPONENT
+                for comp in r.matched_components:
+                    _label, term_id = comp.rsplit(":", 1)
+                    s.add((f"doc://{d}", p, term_id))
+        return s
+
+    sa, sb = triple_set("a"), triple_set("b")
+    rows = [(s, p, o, "added") for (s, p, o) in sb - sa] + \
+        [(s, p, o, "removed") for (s, p, o) in sa - sb]
+    return sorted(rows)
+
+
+DIFF_COLS = ["subj", "pred", "obj", "change"]
+
+
 def serial_anchor_phrase_terms() -> list[tuple]:
     """Serial phrase -> triple-payload mapping for the anchor-text
     entity-linking op (pipelines/kg.py::anchor_text_triples).
@@ -257,8 +309,8 @@ def main():
         return
     sf_dirs = args or ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
                        "/root/testdata/sf0.1"]
-    triples_tabs, entities_tabs, bucket_tabs, conf_tabs, ctx_tabs = \
-        [], [], [], [], []
+    triples_tabs, entities_tabs, bucket_tabs, conf_tabs, ctx_tabs, \
+        diff_tabs = [], [], [], [], [], []
     for sf_dir in sf_dirs:
         texts = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
         corpus_len = sum(len(t) for t in texts["text"].to_pylist())
@@ -269,6 +321,8 @@ def main():
         entities_tabs.append(_table(serial_canonical(raw), ent_cols, corpus_len))
         conf_tabs.append(_table(serial_confidence(raw), CONF_COLS, corpus_len))
         ctx_tabs.append(_table(serial_contexts(sf_dir), CTX_COLS, corpus_len))
+        diff_tabs.append(_table(serial_snapshot_diff(sf_dir), DIFF_COLS,
+                                corpus_len))
         raw_b = serial_triples(sf_dir, bucket=True)
         bucket_tabs.append(_table(sorted(raw_b), TRIPLE_COLS, corpus_len))
         print(f"{sf_dir}: corpus_len={corpus_len} raw={len(raw)} "
@@ -285,6 +339,8 @@ def main():
                    os.path.join(EXPECTED_DIR, "kg_confidence.parquet"))
     pq.write_table(pa.concat_tables(ctx_tabs),
                    os.path.join(EXPECTED_DIR, "kg_contexts.parquet"))
+    pq.write_table(pa.concat_tables(diff_tabs),
+                   os.path.join(EXPECTED_DIR, "kg_snapshot_diff.parquet"))
     write_anchor_table()
     print(f"wrote {EXPECTED_DIR}/kg_*.parquet")
 
