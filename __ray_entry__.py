@@ -467,6 +467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_heuristic": textstats.lang_id,
         "rolling_fingerprint": textstats.rolling_fingerprint,
         "winnowing_fingerprint": textstats.winnowing_fingerprint,
+        "winnowing_dup_pairs": dedup.winnowing_dup_pairs,
         # multimodal plumbing (payload bytes derived from the documents
         # table, so the decode stage consumes real parquet reads; codec
         # itself remains the documented stub)
@@ -1680,6 +1681,12 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('/root/repo/expected/op_winnowing.parquet')
             WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)
             ORDER BY doc_id
+        """,
+        "winnowing_dup_pairs": """
+            SELECT doc_a, doc_b, n_shared
+            FROM read_parquet('/root/repo/expected/op_winnowing_pairs.parquet')
+            WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)
+            ORDER BY doc_a, doc_b
         """,
         "media_features": """
             SELECT media_id, mean_milli, std_milli

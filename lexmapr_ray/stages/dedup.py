@@ -1539,6 +1539,81 @@ def host_near_dup(sf_dir: str, min_match_pct: int = 5,
 # Paragraph-level corpus dedup (CCNet shape)
 # ---------------------------------------------------------------------------
 
+def winnowing_dup_pairs(sf_dir: str, k: int = 16, w: int = 8,
+                        mod: int = 1 << 61, max_df: int = 32,
+                        min_shared: int = 2):
+    """MOSS-style overlap detection (Schleimer, Wilkerson & Aiken 2003):
+    document pairs sharing winnowing fingerprints.  Winnowing guarantees
+    any shared substring of length >= w + k - 1 contributes a shared
+    selected k-gram hash, so substring plagiarism/mirroring surfaces as
+    fingerprint collisions — the use the fingerprint op exists for.
+
+    Semantics: per doc, the DISTINCT selected hash values
+    (textstats._winnow_select over textstats._gram_hashes); fingerprints
+    held by more than ``max_df`` docs are dropped — MOSS's common-code
+    (boilerplate) elimination, which is also the hot-bucket guard: a
+    boilerplate gram selected by half the corpus would otherwise explode
+    quadratically.  Surviving co-holders pair up; pairs sharing >=
+    ``min_shared`` fingerprints are reported with the shared count.
+
+    Shape: stateless select-explode (one row per (fp, doc)) -> per-batch
+    dedup combiner -> ONE fp sort -> per-block C(n,2) pair emit bounded by
+    max_df^2 per fingerprint -> grouped pair count (standard combiner ->
+    sort shape).  No all-pairs scan; shuffle is fingerprint-scale
+    (~2/(w+1) of corpus grams)."""
+    from lexmapr_ray.functions.groupagg import grouped_sum_count, sorted_group_reduce
+    from lexmapr_ray.stages.textstats import (_gram_hashes, _read_documents,
+                                              _winnow_select)
+
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def select_fps(t: pa.Table) -> pa.Table:
+        fps, docs = [], []
+        for d, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            hm = _gram_hashes(s, k, mod)
+            for v in np.unique(hm[_winnow_select(hm, w)]):
+                fps.append(int(v))
+                docs.append(int(d))
+        return pa.table({"fp": pa.array(fps, pa.int64()),
+                         "doc_id": pa.array(docs, pa.int64())})
+
+    exploded = ds.map_batches(select_fps, batch_format="pyarrow")
+
+    def fp_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"fp": pd.Series([], dtype="int64"),
+                                 "doc_id": pd.Series([], dtype="int64")})
+        return df.drop_duplicates(["fp", "doc_id"])
+
+    def fp_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        if len(df):
+            for _, grp in df.groupby("fp", sort=False):
+                d = np.unique(grp["doc_id"].to_numpy(np.int64))
+                n = len(d)
+                if n < 2 or n > max_df:
+                    continue
+                ia, ib = np.triu_indices(n, 1)
+                out_a.append(d[ia])
+                out_b.append(d[ib])
+        if not out_a:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"doc_a": np.concatenate(out_a),
+                             "doc_b": np.concatenate(out_b)})
+
+    pairs = sorted_group_reduce(exploded, "fp", fp_partial, fp_pairs)
+    counted = grouped_sum_count(pairs, ["doc_a", "doc_b"],
+                                count_alias="n_shared")
+
+    def keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater_equal(t["n_shared"], min_shared))
+
+    return counted.map_batches(keep, batch_format="pyarrow")
+
+
 def paragraph_dedup(sf_dir: str):
     """CCNet-style paragraph-level corpus dedup (Wenzek et al. 2020 shape,
     generalizing the doc-level exact dedup the way the reference's per-term

@@ -268,6 +268,18 @@ def rolling_fingerprint(sf_dir: str, window: int = 16, mod: int = 1 << 61):
     return ds.map_batches(fp, batch_format="pyarrow").sort("doc_id")
 
 
+def _winnow_select(hm: np.ndarray, w: int) -> np.ndarray:
+    """Winnowing selection (Schleimer et al. 2003): the distinct positions
+    of the rightmost-minimum of every ``w``-window of the hash sequence —
+    vectorized sliding_window_view argmin over the reversed window axis."""
+    n = len(hm)
+    if n <= w:
+        return np.array([n - 1 - int(np.argmin(hm[::-1]))])
+    sw = np.lib.stride_tricks.sliding_window_view(hm, w)
+    idx = (w - 1) - np.argmin(sw[:, ::-1], axis=1)
+    return np.unique(np.arange(n - w + 1, dtype=np.int64) + idx)
+
+
 def winnowing_fingerprint(sf_dir: str, k: int = 16, w: int = 8,
                           mod: int = 1 << 61):
     """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003,
@@ -298,15 +310,7 @@ def winnowing_fingerprint(sf_dir: str, k: int = 16, w: int = 8,
         for s in t["text"].to_pylist():
             hm = _gram_hashes(s, k, mod)
             n = len(hm)
-            if n <= w:
-                # fewer hashes than one window: the whole doc is one window
-                sel = np.array([n - 1 - int(np.argmin(hm[::-1]))])
-            else:
-                sw = np.lib.stride_tricks.sliding_window_view(hm, w)
-                # rightmost minimum per window: argmin over the reversed
-                # window axis finds the LAST position of the min value
-                idx = (w - 1) - np.argmin(sw[:, ::-1], axis=1)
-                sel = np.unique(np.arange(n - w + 1, dtype=np.int64) + idx)
+            sel = _winnow_select(hm, w)
             n_grams.append(n)
             n_sel.append(len(sel))
             fp_sum.append(int(hm[sel].astype(object).sum()) % modv)

@@ -106,6 +106,39 @@ def test_winnowing_guarantee_and_density(ray_session, sf_dir, docs):
             assert gaps.max() <= w
 
 
+def test_winnowing_pairs_planted_overlap(ray_session, tmp_path):
+    """The MOSS guarantee end-to-end: two docs sharing a >= w+k-1-char
+    substring MUST pair; unrelated docs must not; a boilerplate
+    fingerprint held by > max_df docs is dropped."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lexmapr_ray.stages.dedup import winnowing_dup_pairs
+
+    shared = "the quick brown fox jumps over the lazy dog again"  # 50 chars
+    boiler = "x" * 60  # one repeated byte -> few distinct grams, common
+    rows = [
+        (0, "unique prefix alpha " + shared),
+        (1, shared + " unique suffix beta"),
+        (2, "totally different content with nothing in common at all here"),
+    ]
+    # 40 docs all carrying the boilerplate -> its fingerprints exceed
+    # max_df=32 and are dropped, so these docs pair only if they share
+    # something else (they don't — each has a unique long tail)
+    for i in range(3, 43):
+        rows.append((i, boiler + f" tail{i} " + f"filler{i} " * 6))
+    t = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "text": pa.array([r[1] for r in rows], pa.string())})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    got = winnowing_dup_pairs(str(tmp_path)).to_pandas()
+    pairs = set(zip(got["doc_a"], got["doc_b"]))
+    assert (0, 1) in pairs
+    assert not any(2 in p for p in pairs)
+    boiler_pairs = [p for p in pairs if p[0] >= 3 and p[1] >= 3]
+    assert boiler_pairs == []
+
+
 def test_lang_id_heuristic_on_real_language_samples(ray_session, sf_dir):
     """The testdata's lang column is synthetic noise (all texts are English
     DB jargon), so the heuristic is validated on real-language snippets and

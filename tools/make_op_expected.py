@@ -467,6 +467,58 @@ def serial_winnowing(doc_ids, texts, k: int = 16, w: int = 8,
     return rows
 
 
+def serial_winnowing_pairs(doc_ids, texts, k: int = 16, w: int = 8,
+                           mod: int = 1 << 61, max_df: int = 32,
+                           min_shared: int = 2):
+    """Plain-python MOSS overlap pairs: per-doc selected-value sets from
+    the serial winnow loop, df filter, pair counts — dicts and Counters,
+    independent of the engine's explode/sort/pair-emit shape."""
+    from collections import Counter, defaultdict
+
+    M64 = 1 << 64
+    top = pow(257, k, M64)
+    doc_fps: dict = {}
+    for d, t in zip(doc_ids, texts):
+        b = t.encode("utf-8")
+        if len(b) < k:
+            h = 0
+            for x in b:
+                h = (h * 257 + x) % M64
+            hs = [h % mod]
+        else:
+            h = 0
+            for x in b[:k]:
+                h = (h * 257 + x) % M64
+            hs = [h % mod]
+            for i in range(k, len(b)):
+                h = (h * 257 - b[i - k] * top + b[i]) % M64
+                hs.append(h % mod)
+        n = len(hs)
+        sel = set()
+        if n <= w:
+            m = min(hs)
+            sel.add(max(i for i, v in enumerate(hs) if v == m))
+        else:
+            for start in range(n - w + 1):
+                wnd = hs[start:start + w]
+                m = min(wnd)
+                sel.add(start + max(i for i, v in enumerate(wnd) if v == m))
+        doc_fps[d] = {hs[i] for i in sel}
+    holders: dict = defaultdict(list)
+    for d in sorted(doc_fps):
+        for v in doc_fps[d]:
+            holders[v].append(d)
+    shared: Counter = Counter()
+    for v, docs in holders.items():
+        if len(docs) < 2 or len(docs) > max_df:
+            continue
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                shared[(docs[i], docs[j])] += 1
+    return [(a, b, n) for (a, b), n in sorted(shared.items())
+            if n >= min_shared]
+
+
 def serial_media_features(doc_ids, texts):
     rows = []
     for d, t in zip(doc_ids, texts):
@@ -759,6 +811,9 @@ def main():
             ("op_winnowing", serial_winnowing(doc_ids, texts),
              ("doc_id", "n_grams", "n_selected", "fp_sum", "pos_sum"),
              (i64, i64, i64, i64, i64), "corpus_len", corpus_len),
+            ("op_winnowing_pairs", serial_winnowing_pairs(doc_ids, texts),
+             ("doc_a", "doc_b", "n_shared"), (i64, i64, i64),
+             "corpus_len", corpus_len),
             ("op_hll_distinct_tokens", serial_hll_distinct(doc_langs, texts),
              ("lang", "approx_distinct"), (s, i64), "corpus_len", corpus_len),
             ("op_kmv_token_quantiles",
