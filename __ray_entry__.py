@@ -179,6 +179,18 @@ def _kg_snapshot_diff(sf_dir: str):
         extract_triples(snapshot_pages(sf_dir, "b"), lex))
 
 
+def _kg_density_filter(sf_dir: str):
+    """KG-density corpus curation (pipelines/kg.py::density_filter): keep
+    documents whose distinct-triples-per-token permille clears the
+    threshold.  Oracled by plain SQL joining the committed serial expected
+    triples to the documents table."""
+    from lexmapr_ray.pipelines.kg import density_filter, extract_triples
+    from lexmapr_ray.sources.pages import pages_from_documents
+
+    return density_filter(
+        extract_triples(pages_from_documents(sf_dir), _lexicon_ref()), sf_dir)
+
+
 def _kg_degree_stats(sf_dir: str):
     """Graph-analytics pass over the flagship output: per ontology term,
     distinct-triple and distinct-page fan-in (pipelines/kg.py::degree_stats).
@@ -507,6 +519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mention_contexts": _kg_mention_contexts,
         "kg_negative_samples": _kg_negative_samples,
         "kg_snapshot_diff": _kg_snapshot_diff,
+        "kg_density_filter": _kg_density_filter,
         # anchor-text entity linking: matcher over html-parsed anchor text
         "anchor_entity_links": _anchor_entity_links,
     })
@@ -2358,6 +2371,28 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('/root/repo/expected/kg_snapshot_diff.parquet')
             WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)
             ORDER BY subj, pred, obj, change
+        """,
+        "kg_density_filter": f"""
+            WITH t AS (
+              SELECT subj, COUNT(*)::BIGINT AS n_triples
+              FROM read_parquet('/root/repo/expected/kg_triples.parquet')
+              WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)
+              GROUP BY subj
+            ),
+            d AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN {_trim('text')} = '' THEN 0
+                          ELSE len(string_split_regex({_trim('text')}, '\\s+'))
+                          END AS BIGINT) AS n_tokens
+              FROM documents WHERE lang = 'en'
+            )
+            SELECT d.doc_id, t.n_triples, d.n_tokens,
+                   (1000 * t.n_triples) // GREATEST(d.n_tokens, 1)
+                       AS density_permille
+            FROM t
+            JOIN d ON d.doc_id = CAST(REPLACE(t.subj, 'doc://', '') AS BIGINT)
+            WHERE (1000 * t.n_triples) // GREATEST(d.n_tokens, 1) >= 10
+            ORDER BY d.doc_id
         """,
         "kg_degree_stats": """
             SELECT obj, COUNT(*)::BIGINT AS n_triples,

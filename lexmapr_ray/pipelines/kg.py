@@ -479,6 +479,82 @@ def triple_confidence(triples_ds):
     return stats.map_batches(annotate, batch_format="pandas")
 
 
+def density_filter(triples_ds, sf_dir: str, min_density_permille: int = 10):
+    """KG-density corpus curation: keep documents whose extraction yield —
+    distinct deduped triples per token, in integer permille — clears a
+    threshold.  The cross-family pass that turns the KG extractor into a
+    training-data quality signal: entity-dense pages are topical prose,
+    entity-free pages are navigation/boilerplate.
+
+    Output (doc_id, n_triples, n_tokens, density_permille), doc-sorted,
+    English docs only (the matcher's language gate).  density_permille =
+    floor(1000 * n_triples / n_tokens); n_tokens = engine token count
+    (never 0 for a doc that produced a triple, since a mention implies a
+    token).
+
+    Shape: triple dedup leaves subj-co-located blocks, a per-block count
+    collapses to one row per page, the subj url parses back to doc_id
+    arithmetically, and a bucketed hash join attaches the documents-side
+    token counts (size-switched semi-join semantics are not needed — both
+    sides are page-scale, co-partitioned by the join's own bucketing)."""
+    import pandas as pd
+
+    from lexmapr_ray.functions.joins import bucketed_hash_join
+
+    deduped = dedup_triples(triples_ds)
+
+    def page_counts(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "n_triples": pd.Series([], dtype="int64")})
+        g = df.groupby("subj", sort=False, observed=True).size() \
+            .reset_index(name="n_triples")
+        g["doc_id"] = g["subj"].astype(str).str.removeprefix("doc://") \
+            .astype("int64")
+        g["n_triples"] = g["n_triples"].astype("int64")
+        return g[["doc_id", "n_triples"]]
+
+    counts = deduped.map_batches(page_counts, batch_format="pandas",
+                                 batch_size=None)
+
+    from lexmapr_ray.stages.textstats import _read_documents, _token_counts
+
+    docs = _read_documents(sf_dir, ["doc_id", "lang", "text"])
+
+    def tok(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["lang"], "en")
+        t = t.filter(keep)
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_tokens": pa.array(_token_counts(t["text"]), pa.int64()),
+        })
+
+    toks = docs.map_batches(tok, batch_format="pyarrow")
+
+    joined = bucketed_hash_join(
+        counts, toks, on="doc_id",
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("n_triples", pa.int64())]),
+        right_schema=pa.schema([("doc_id", pa.int64()),
+                                ("n_tokens", pa.int64())]),
+    )
+
+    def density(t: pa.Table) -> pa.Table:
+        tri = t["n_triples"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tok_n = t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = (1000 * tri) // np.maximum(tok_n, 1)
+        out = pa.table({
+            "doc_id": t["doc_id"],
+            "n_triples": t["n_triples"],
+            "n_tokens": t["n_tokens"],
+            "density_permille": pa.array(d, pa.int64()),
+        })
+        return out.filter(pc.greater_equal(out["density_permille"],
+                                           min_density_permille))
+
+    return joined.map_batches(density, batch_format="pyarrow").sort("doc_id")
+
+
 def snapshot_diff(triples_a, triples_b):
     """Temporal KG maintenance: the assertion-level diff between two crawl
     snapshots' extracted graphs — every (subj, pred, obj) present in
