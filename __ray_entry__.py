@@ -219,6 +219,52 @@ def _kg_triples_bucket(sf_dir: str):
     ))
 
 
+def _kg_entities_incremental(sf_dir: str):
+    """The canonicalization (A3) analogue of ``kg_incremental_merge``: the
+    corpus arrives in two parity batches, each extracted by its OWN
+    actor-pool pass, and entity canonicalization runs over the union of
+    the raw mention streams.  Must equal the full-corpus canonical table
+    bit-for-bit (the mention-count combiner is a sum, sums are
+    associative) — the property that lets a delta crawl's mentions merge
+    into an existing canonical table without recomputing history.  Oracled
+    by the same serial expected table as ``kg_entities``."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+    import ray as _ray
+
+    from lexmapr_ray.pipelines.kg import canonicalize_mentions, extract_triples
+    from lexmapr_ray.sources.pages import pages_from_documents
+
+    cpus = int(_ray.cluster_resources().get("CPU", 4))
+    pool = (1, max(2, (cpus * 7) // 16))
+
+    def half(parity: int):
+        pages = pages_from_documents(sf_dir)
+
+        def keep(t):
+            doc = _pc.cast(_pc.replace_substring_regex(
+                t["url"], pattern=r"[^0-9]", replacement=""), _pa.int64())
+            return t.filter(_pc.equal(_pc.bit_wise_and(doc, 1), parity))
+
+        return pages.map_batches(keep, batch_format="pyarrow")
+
+    a = extract_triples(half(0), _lexicon_ref(), concurrency=pool)
+    b = extract_triples(half(1), _lexicon_ref(), concurrency=pool)
+    return canonicalize_mentions(a.union(b))
+
+
+def _kg_host_profile(sf_dir: str):
+    """Per-(host, term) assertion profile over the deduped graph
+    (pipelines/kg.py::host_entity_profile).  Oracled by plain SQL over the
+    committed serial expected triples with the host id re-derived
+    arithmetically (host = doc_id // 16, webgraph's host model)."""
+    from lexmapr_ray.pipelines.kg import extract_triples, host_entity_profile
+    from lexmapr_ray.sources.pages import pages_from_documents
+
+    return host_entity_profile(
+        extract_triples(pages_from_documents(sf_dir), _lexicon_ref()))
+
+
 def _kg_incremental_merge(sf_dir: str):
     """Incremental graph maintenance: the corpus arrives in two batches
     (doc_id parity split — stand-in for 'yesterday's crawl' + 'today's
@@ -520,6 +566,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_negative_samples": _kg_negative_samples,
         "kg_snapshot_diff": _kg_snapshot_diff,
         "kg_density_filter": _kg_density_filter,
+        "kg_entities_incremental": _kg_entities_incremental,
+        "kg_host_profile": _kg_host_profile,
         # anchor-text entity linking: matcher over html-parsed anchor text
         "anchor_entity_links": _anchor_entity_links,
     })
@@ -2393,6 +2441,22 @@ def oracle_sql() -> dict[str, str]:
             JOIN d ON d.doc_id = CAST(REPLACE(t.subj, 'doc://', '') AS BIGINT)
             WHERE (1000 * t.n_triples) // GREATEST(d.n_tokens, 1) >= 10
             ORDER BY d.doc_id
+        """,
+        "kg_entities_incremental": """
+            SELECT mention, canonical_obj, canonical_label,
+                   n_mentions, n_distinct_obj
+            FROM read_parquet('/root/repo/expected/kg_entities.parquet')
+            WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)
+            ORDER BY mention
+        """,
+        "kg_host_profile": """
+            SELECT 'host' || CAST(CAST(REPLACE(subj, 'doc://', '') AS BIGINT)
+                                  // 16 AS VARCHAR) AS host,
+                   obj, COUNT(*)::BIGINT AS n_triples,
+                   COUNT(DISTINCT subj)::BIGINT AS n_pages
+            FROM read_parquet('/root/repo/expected/kg_triples.parquet')
+            WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)
+            GROUP BY 1, 2 ORDER BY host, obj
         """,
         "kg_degree_stats": """
             SELECT obj, COUNT(*)::BIGINT AS n_triples,

@@ -479,6 +479,52 @@ def triple_confidence(triples_ds):
     return stats.map_batches(annotate, batch_format="pandas")
 
 
+def host_entity_profile(triples_ds, docs_per_host: int = 16):
+    """Per-(host, ontology term) assertion profile over the deduped graph:
+    triple count and distinct-page support — the entity-level host profile
+    that turns KG extraction into host curation (a host whose profile is
+    one hot entity across thousands of pages is a template farm; the C4
+    recipe blocks whole hosts, not documents).  Host model mirrors
+    webgraph.DOCS_PER_HOST (host id = doc_id // 16), so the SQL oracle
+    re-derives it arithmetically.
+
+    Shape: same ONE-sort grouped reduce as :func:`degree_stats`, keyed
+    (host, obj); the per-batch (host, obj, subj) collapse bounds a hot
+    (host, term) pair at one row per batch."""
+    import pandas as pd
+
+    from lexmapr_ray.functions.groupagg import sorted_group_reduce
+
+    deduped = dedup_triples(triples_ds).map_batches(
+        lambda t: t.select(["subj", "obj"]), batch_format="pyarrow")
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"host": pd.Series([], dtype="object"),
+                                 "obj": pd.Series([], dtype="object"),
+                                 "subj": pd.Series([], dtype="object"),
+                                 "cnt": pd.Series([], dtype="int64")})
+        doc = df["subj"].astype(str).str.removeprefix("doc://").astype("int64")
+        df = df.assign(host="host" + (doc // docs_per_host).astype(str))
+        return df.groupby(["host", "obj", "subj"], as_index=False,
+                          sort=False, observed=True).size() \
+            .rename(columns={"size": "cnt"})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"host": pd.Series([], dtype="object"),
+                                 "obj": pd.Series([], dtype="object"),
+                                 "n_triples": pd.Series([], dtype="int64"),
+                                 "n_pages": pd.Series([], dtype="int64")})
+        g = df.groupby(["host", "obj"], sort=True, observed=True).agg(
+            n_triples=("cnt", "sum"), n_pages=("subj", "nunique")).reset_index()
+        g["n_triples"] = g["n_triples"].astype("int64")
+        g["n_pages"] = g["n_pages"].astype("int64")
+        return g
+
+    return sorted_group_reduce(deduped, ["host", "obj"], pair_partial, final)
+
+
 def density_filter(triples_ds, sf_dir: str, min_density_permille: int = 10):
     """KG-density corpus curation: keep documents whose extraction yield —
     distinct deduped triples per token, in integer permille — clears a
