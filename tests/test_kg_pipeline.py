@@ -135,6 +135,33 @@ def test_triple_confidence_matches_serial(ray_session, skewed_triples):
     assert (got["n_surfaces"] > 1).any()
 
 
+def test_host_entity_profile_matches_serial(ray_session):
+    """Per-(host, term) counts vs a serial recomputation, with a hot
+    (host, obj) pair spread across many blocks and subjects straddling
+    host boundaries (doc 15 -> host0, doc 16 -> host1)."""
+    import ray.data as rd
+
+    from lexmapr_ray.pipelines.kg import host_entity_profile
+
+    rows = []
+    for i in range(600):
+        d = i % 40  # docs 0..39 -> hosts 0,1,2
+        rows.append((f"doc://{d}", "p", f"T{i % 3}", "lab", "m", f"[{i % 5}]"))
+    ds = rd.from_arrow(_triples_table(rows)).repartition(23)
+    got = host_entity_profile(ds).to_pandas().reset_index(drop=True)
+
+    df = pd.DataFrame(rows, columns=["subj", "pred", "obj", "ol", "m", "st"])
+    ded = df.drop_duplicates(["subj", "pred", "obj"])
+    ded = ded.assign(host="host" + (
+        ded["subj"].str.removeprefix("doc://").astype(int) // 16).astype(str))
+    exp = ded.groupby(["host", "obj"], sort=True).agg(
+        n_triples=("subj", "size"), n_pages=("subj", "nunique")) \
+        .reset_index().astype({"n_triples": "int64", "n_pages": "int64"})
+    pd.testing.assert_frame_equal(
+        got.sort_values(["host", "obj"]).reset_index(drop=True), exp)
+    assert set(exp["host"]) == {"host0", "host1", "host2"}
+
+
 def test_snapshot_diff_symmetric_difference(ray_session):
     """The tagged-union diff must survive duplicates straddling blocks:
     triples present in both snapshots vanish, each side's exclusives come
