@@ -510,6 +510,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_zscore_outliers": rel.events_zscore_outliers,
         "fuzzy_name_pairs": rel.fuzzy_name_pairs,
         "q10_returned_revenue": rel.q10_returned_revenue,
+        "q6_forecast_revenue": rel.q6_forecast_revenue,
+        "q7_volume_shipping": rel.q7_volume_shipping,
         "events_daily_gapfill": rel.events_daily_gapfill,
         "referential_audit": rel.referential_audit,
         "revenue_rollup": rel.revenue_rollup,
@@ -775,6 +777,37 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_cents
             FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
             GROUP BY c.c_custkey ORDER BY c.c_custkey
+        """,
+        "q6_forecast_revenue": """
+            SELECT SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                       * CAST(ROUND(l_discount*100) AS BIGINT))::BIGINT
+                       AS revenue_e4,
+                   COUNT(*)::BIGINT AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND CAST(ROUND(l_discount*100) AS BIGINT) BETWEEN 5 AND 7
+              AND l_quantity < 24
+        """,
+        "q7_volume_shipping": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+                   SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)
+                       * (100 - CAST(ROUND(l.l_discount*100) AS BIGINT)))::BIGINT
+                       AS revenue_e4,
+                   COUNT(*)::BIGINT AS n_items
+            FROM lineitem l
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+            JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+            WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+              AND n1.n_name IN ('NATION_0', 'NATION_1')
+              AND n2.n_name IN ('NATION_0', 'NATION_1')
+              AND n1.n_name <> n2.n_name
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
         """,
         "filter_project": """
             SELECT l_orderkey, l_partkey, l_quantity

@@ -169,6 +169,134 @@ def _prep_li_revenue(t: pa.Table) -> pa.Table:
     })
 
 
+def q6_forecast_revenue(sf_dir: str, date_lo: str = "1996-01-01",
+                        date_hi: str = "1997-01-01",
+                        disc_lo_cents: int = 5, disc_hi_cents: int = 7,
+                        max_qty: int = 24):
+    """TPC-H Q6-style forecasting-revenue-change: a pure filter + global
+    sum over the fact table — the simplest possible full-scan aggregate,
+    kept integer-exact (price_cents x disc_cents = revenue in 1e-4 units).
+
+    Shape: per-batch filter + partial sum collapses each batch to ONE row;
+    the constant-key grouped reduce ships one 16-byte row per batch to a
+    single co-located final — the standard 1-row-result pattern
+    (split_drift, bloom bitmap)."""
+    from lexmapr_ray.functions.groupagg import grouped_sum_count
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+    lo = pa.scalar(pc.strptime(date_lo, format="%Y-%m-%d", unit="us"))
+    hi = pa.scalar(pc.strptime(date_hi, format="%Y-%m-%d", unit="us"))
+
+    def prep(t: pa.Table) -> pa.Table:
+        disc_cents = _cents(t["l_discount"])
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                    pc.less(t["l_shipdate"], hi)),
+            pc.and_(
+                pc.and_(pc.greater_equal(disc_cents,
+                                         pa.scalar(disc_lo_cents, pa.int64())),
+                        pc.less_equal(disc_cents,
+                                      pa.scalar(disc_hi_cents, pa.int64()))),
+                pc.less(t["l_quantity"], pa.scalar(float(max_qty)))))
+        t2 = t.filter(keep)
+        rev = pc.multiply(_cents(t2["l_extendedprice"]), _cents(t2["l_discount"]))
+        return pa.table({
+            "one": pa.array(np.ones(t2.num_rows, dtype=np.int64)),
+            "revenue_e4": pc.cast(rev, pa.int64()),
+        })
+
+    agg = grouped_sum_count(ds.map_batches(prep, batch_format="pyarrow"),
+                            "one", {"revenue_e4": "revenue_e4"},
+                            count_alias="n_items")
+    return agg.map_batches(
+        lambda t: t.select(["revenue_e4", "n_items"]), batch_format="pyarrow")
+
+
+def q7_volume_shipping(sf_dir: str, nation_a: str = "NATION_0",
+                       nation_b: str = "NATION_1", num_buckets: int = 32,
+                       date_lo: str = "1995-01-01", date_hi: str = "1997-01-01"):
+    """TPC-H Q7-style volume shipping between two nations: for every
+    (supplier nation, customer nation) ordered pair drawn from {a, b} with
+    supp != cust, yearly shipped revenue.
+
+    Planner choices by side size (same policy as q5_full_asia_revenue):
+    nation (tiny) and supplier (a dimension at any scale) broadcast as
+    aligned key->value arrays; lineitem x orders and x customer are
+    bucketed hash joins; the two-nation predicate is a vectorized
+    pre-join filter on the lineitem side (supp nation) and a post-join
+    filter on the customer side — cutting the fact stream before the
+    first shuffle, exactly where a distributed planner pushes it."""
+    from lexmapr_ray.functions.broadcast import lookup, put_lookup
+    from lexmapr_ray.functions.joins import bucketed_hash_join
+    from lexmapr_ray.functions.groupagg import grouped_sum_count
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    name_by_key = put_lookup(nation["n_nationkey"].to_numpy(),
+                             nation["n_name"].to_numpy())
+    pair_keys = nation.loc[nation["n_name"].isin([nation_a, nation_b]),
+                           "n_nationkey"].to_numpy()
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    supp_nat = put_lookup(supp["s_suppkey"].to_numpy(),
+                          supp["s_nationkey"].to_numpy())
+
+    lo = pa.scalar(pc.strptime(date_lo, format="%Y-%m-%d", unit="us"))
+    hi = pa.scalar(pc.strptime(date_hi, format="%Y-%m-%d", unit="us"))
+    pk = pa.array(pair_keys.astype("int64"))
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                       pc.less(t["l_shipdate"], hi))
+        t = t.filter(keep)
+        s_nat = pc.cast(lookup(t["l_suppkey"], supp_nat), pa.int64())
+        t = t.append_column("s_nat", s_nat)
+        t = t.filter(pc.is_in(t["s_nat"], value_set=pk))
+        year = pc.cast(pc.year(t["l_shipdate"]), pa.int64())
+        rev = pc.multiply(_cents(t["l_extendedprice"]),
+                          pc.subtract(pa.scalar(100, pa.int64()),
+                                      _cents(t["l_discount"])))
+        return pa.table({
+            "l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+            "s_nat": t["s_nat"],
+            "l_year": year,
+            "revenue_e4": pc.cast(rev, pa.int64()),
+        })
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice",
+                "l_discount"]).map_batches(prep_li, batch_format="pyarrow")
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    j1 = bucketed_hash_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                            num_buckets=num_buckets)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    j2 = bucketed_hash_join(
+        j1, cust, on="o_custkey", right_on="c_custkey",
+        num_buckets=num_buckets,
+        left_schema=pa.schema([
+            ("l_orderkey", pa.int64()), ("s_nat", pa.int64()),
+            ("l_year", pa.int64()), ("revenue_e4", pa.int64()),
+            ("o_custkey", pa.int64())]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        c_nat = pc.cast(t["c_nationkey"], pa.int64())
+        keep = pc.and_(pc.is_in(c_nat, value_set=pk),
+                       pc.not_equal(t["s_nat"], c_nat))
+        t = t.append_column("c_nat", c_nat).filter(keep)
+        return pa.table({
+            "supp_nation": lookup(t["s_nat"], name_by_key),
+            "cust_nation": lookup(t["c_nat"], name_by_key),
+            "l_year": t["l_year"],
+            "revenue_e4": t["revenue_e4"],
+        })
+
+    return grouped_sum_count(
+        j2.map_batches(finish, batch_format="pyarrow"),
+        ["supp_nation", "cust_nation", "l_year"],
+        {"revenue_e4": "revenue_e4"}, count_alias="n_items")
+
+
 def q3_topk_revenue(sf_dir: str, num_buckets: int = 32):
     """Filtered 3-way join: size-switched semi-join for the dimension filter
     (customer segment — the segment key set is built DISTRIBUTED, collected
