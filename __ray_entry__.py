@@ -512,6 +512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q10_returned_revenue": rel.q10_returned_revenue,
         "q6_forecast_revenue": rel.q6_forecast_revenue,
         "q7_volume_shipping": rel.q7_volume_shipping,
+        "q14_promo_revenue": rel.q14_promo_revenue,
         "events_daily_gapfill": rel.events_daily_gapfill,
         "referential_audit": rel.referential_audit,
         "revenue_rollup": rel.revenue_rollup,
@@ -808,6 +809,29 @@ def oracle_sql() -> dict[str, str]:
               AND n2.n_name IN ('NATION_0', 'NATION_1')
               AND n1.n_name <> n2.n_name
             GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "q14_promo_revenue": """
+            WITH m AS (
+              SELECT CAST(EXTRACT(year FROM l.l_shipdate)*100
+                          + EXTRACT(month FROM l.l_shipdate) AS BIGINT)
+                         AS ship_month,
+                     SUM(CASE WHEN p.p_type = 'PROMO' THEN
+                         CAST(ROUND(l.l_extendedprice*100) AS BIGINT)
+                         * (100 - CAST(ROUND(l.l_discount*100) AS BIGINT))
+                         ELSE 0 END)::BIGINT AS promo_e4,
+                     SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)
+                         * (100 - CAST(ROUND(l.l_discount*100) AS BIGINT))
+                         )::BIGINT AS total_e4,
+                     COUNT(*)::BIGINT AS n_items
+              FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+              WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+              GROUP BY 1
+            )
+            SELECT ship_month, promo_e4, total_e4, n_items,
+                   (1000000 * promo_e4) // GREATEST(total_e4, 1)
+                       AS promo_share_ppm
+            FROM m ORDER BY ship_month
         """,
         "filter_project": """
             SELECT l_orderkey, l_partkey, l_quantity

@@ -297,6 +297,67 @@ def q7_volume_shipping(sf_dir: str, nation_a: str = "NATION_0",
         {"revenue_e4": "revenue_e4"}, count_alias="n_items")
 
 
+def q14_promo_revenue(sf_dir: str, date_lo: str = "1996-01-01",
+                      date_hi: str = "1998-01-01"):
+    """TPC-H Q14-style promo revenue share: per ship month, the ppm share
+    of revenue from PROMO-type parts — the conditional (CASE WHEN) sum
+    shape.  Integer-exact: share_ppm = floor(1e6 * promo_e4 / total_e4).
+
+    Planner: part is a dimension at any scale — a broadcast
+    partkey -> is_promo lookup probed vectorized inside the fact scan (no
+    join shuffle); ONE grouped sum on the month key; the ratio is a
+    trivial per-row final map."""
+    from lexmapr_ray.functions.broadcast import lookup, put_lookup
+    from lexmapr_ray.functions.groupagg import grouped_sum_count
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    promo_ref = put_lookup(
+        part["p_partkey"].to_numpy(),
+        (part["p_type"] == "PROMO").to_numpy().astype(np.int64))
+
+    lo = pa.scalar(pc.strptime(date_lo, format="%Y-%m-%d", unit="us"))
+    hi = pa.scalar(pc.strptime(date_hi, format="%Y-%m-%d", unit="us"))
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                             pc.less(t["l_shipdate"], hi)))
+        rev = pc.multiply(_cents(t["l_extendedprice"]),
+                          pc.subtract(pa.scalar(100, pa.int64()),
+                                      _cents(t["l_discount"])))
+        rev = pc.cast(rev, pa.int64())
+        is_promo = pc.cast(lookup(t["l_partkey"], promo_ref), pa.int64())
+        month = pc.add(
+            pc.multiply(pc.cast(pc.year(t["l_shipdate"]), pa.int64()),
+                        pa.scalar(100, pa.int64())),
+            pc.cast(pc.month(t["l_shipdate"]), pa.int64()))
+        return pa.table({
+            "ship_month": month,
+            "promo_e4": pc.multiply(rev, is_promo),
+            "total_e4": rev,
+        })
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"]) \
+        .map_batches(prep, batch_format="pyarrow")
+    agg = grouped_sum_count(ds, "ship_month",
+                            {"promo_e4": "promo_e4", "total_e4": "total_e4"},
+                            count_alias="n_items")
+
+    def share(t: pa.Table) -> pa.Table:
+        p = t["promo_e4"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tot = t["total_e4"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ppm = (1_000_000 * p) // np.maximum(tot, 1)
+        return pa.table({
+            "ship_month": t["ship_month"],
+            "promo_e4": t["promo_e4"],
+            "total_e4": t["total_e4"],
+            "n_items": t["n_items"],
+            "promo_share_ppm": pa.array(ppm, pa.int64()),
+        })
+
+    return agg.map_batches(share, batch_format="pyarrow")
+
+
 def q3_topk_revenue(sf_dir: str, num_buckets: int = 32):
     """Filtered 3-way join: size-switched semi-join for the dimension filter
     (customer segment — the segment key set is built DISTRIBUTED, collected
