@@ -513,6 +513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_forecast_revenue": rel.q6_forecast_revenue,
         "q7_volume_shipping": rel.q7_volume_shipping,
         "q14_promo_revenue": rel.q14_promo_revenue,
+        "q4_order_priority": rel.q4_order_priority,
         "events_daily_gapfill": rel.events_daily_gapfill,
         "referential_audit": rel.referential_audit,
         "revenue_rollup": rel.revenue_rollup,
@@ -809,6 +810,16 @@ def oracle_sql() -> dict[str, str]:
               AND n2.n_name IN ('NATION_0', 'NATION_1')
               AND n1.n_name <> n2.n_name
             GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, COUNT(*)::BIGINT AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_returnflag = 'R')
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         "q14_promo_revenue": """
             WITH m AS (

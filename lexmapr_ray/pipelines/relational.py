@@ -297,6 +297,53 @@ def q7_volume_shipping(sf_dir: str, nation_a: str = "NATION_0",
         {"revenue_e4": "revenue_e4"}, count_alias="n_items")
 
 
+def q4_order_priority(sf_dir: str, date_lo: str = "1996-01-01",
+                      date_hi: str = "1997-01-01"):
+    """TPC-H Q4-style order-priority check: count orders in a date window
+    that have AT LEAST ONE returned line item — the EXISTS/semi-join
+    shape.  (The reference Q4 predicate is commitdate < receiptdate; this
+    schema carries neither, so the exists-side predicate is
+    ``l_returnflag = 'R'`` — the join shape, which is what the operator
+    exercises, is identical.)
+
+    Planner: the exists side collapses to per-batch DISTINCT orderkeys
+    before the size-switched :func:`~lexmapr_ray.functions.joins.semi_join`
+    (broadcast keyset below 2M keys, bucketed above); one grouped count on
+    o_orderpriority finishes."""
+    from lexmapr_ray.functions.groupagg import grouped_sum_count
+    from lexmapr_ray.functions.joins import semi_join
+
+    lo = pa.scalar(pc.strptime(date_lo, format="%Y-%m-%d", unit="us"))
+    hi = pa.scalar(pc.strptime(date_hi, format="%Y-%m-%d", unit="us"))
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def in_window(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                             pc.less(t["o_orderdate"], hi)))
+        return t.select(["o_orderkey", "o_orderpriority"])
+
+    orders_f = orders.map_batches(in_window, batch_format="pyarrow")
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+
+    def returned_keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        return pa.table({"l_orderkey": pc.unique(t["l_orderkey"])})
+
+    returned = li.map_batches(returned_keys, batch_format="pyarrow")
+
+    kept = semi_join(orders_f, "o_orderkey", returned, "l_orderkey")
+
+    def prio_only(t: pa.Table) -> pa.Table:
+        return t.select(["o_orderpriority"])
+
+    return grouped_sum_count(
+        kept.map_batches(prio_only, batch_format="pyarrow"),
+        "o_orderpriority", count_alias="order_count")
+
+
 def q14_promo_revenue(sf_dir: str, date_lo: str = "1996-01-01",
                       date_hi: str = "1998-01-01"):
     """TPC-H Q14-style promo revenue share: per ship month, the ppm share
