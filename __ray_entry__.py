@@ -498,6 +498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph": similarity.knn_graph,
         "hybrid_search": similarity.hybrid_search,
         "rrf_search": similarity.rrf_search,
+        "rerank_topk": similarity.rerank_topk,
         "bm25_search": similarity.bm25_search,
         # exact grouped quantiles (histogram-first; functions/quantiles.py)
         "doc_length_quantiles": textstats.doc_length_quantiles,
@@ -1834,6 +1835,13 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('/root/repo/expected/op_video_frame_features.parquet')
             WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)
             ORDER BY media_id, frame_idx
+        """,
+        "rerank_topk": """
+            SELECT query_id, vec_id, sim_bp, xenc_score, rank
+            FROM read_parquet('/root/repo/expected/op_rerank_topk.parquet')
+            WHERE emb_checksum = (SELECT SUM(CAST(FLOOR(CAST(embedding[1] AS DOUBLE)
+                                  * 1000000) AS BIGINT)) FROM embeddings)
+            ORDER BY query_id, rank
         """,
         "ann_lsh_topk": """
             SELECT vec_id, sim_bp

@@ -646,6 +646,114 @@ def cosine_topk_multi(sf_dir: str, n_queries: int = 8, k: int = 5):
     )
 
 
+class _XEncRescorer:
+    """Actor-pool 'cross-encoder' rescoring stage for :func:`rerank_topk`.
+
+    A learned cross-encoder jointly encodes (query, candidate) pairs —
+    no ML runtime ships in this container, so the scoring function is a
+    DETERMINISTIC integer interaction model (milli-quantized elementwise
+    product sum: sum_d floor(1000*q_d) * floor(1000*v_d)), the same
+    documented stand-in convention as the multimodal codec: the Ray-side
+    plumbing (broadcast query state read once per actor in ``__init__``,
+    candidate routing, per-batch vectorized pair scoring) is the real,
+    tested part; swap ``_score`` for a model call in production.
+    """
+
+    def __init__(self, state_ref=None):
+        import ray
+
+        if isinstance(state_ref, (list, tuple)) and len(state_ref) == 1:
+            state_ref = state_ref[0]
+        # {vec_id: [(query_id, sim_bp), ...]}, plus (qids, q_milli matrix)
+        self.cand_by_vec, self.qids, self.q_milli = ray.get(state_ref)
+        self.q_index = {int(q): i for i, q in enumerate(self.qids)}
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        m_milli = np.floor(_batch_matrix(t) * 1000).astype(np.int64)
+        vec_ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_q, out_v, out_bp, out_x = [], [], [], []
+        for row, v in enumerate(vec_ids):
+            for q, bp in self.cand_by_vec.get(int(v), ()):
+                x = int(self.q_milli[self.q_index[q]] @ m_milli[row])
+                out_q.append(q)
+                out_v.append(int(v))
+                out_bp.append(int(bp))
+                out_x.append(x)
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "sim_bp": pa.array(out_bp, pa.int64()),
+            "xenc_score": pa.array(out_x, pa.int64()),
+        })
+
+
+def rerank_topk(sf_dir: str, n_queries: int = 8, k1: int = 50, k: int = 10):
+    """Two-stage retrieve -> rerank, the standard neural-search topology:
+    cheap exact cosine retrieval keeps ``k1`` candidates per query
+    (:func:`cosine_topk_multi` — one matmul per batch against the
+    broadcast query matrix, exact pruned sort), then an actor-pool
+    'cross-encoder' rescoring pass (:class:`_XEncRescorer`) re-orders each
+    query's candidates and keeps the top ``k``.
+
+    Scale shape: the candidate table is parameter-bounded (n_queries x
+    k1 rows — a driver-side ``take_all`` on it is bounded by the CALLER's
+    knobs, never the corpus), the rescorer reads ONLY the candidate
+    vectors (broadcast keyset filter on the embeddings read — the corpus
+    never flows into stage 2), and the final per-query top-k is the same
+    sort+reduce as every other top-k in the suite.  Output:
+    (query_id, vec_id, sim_bp, xenc_score, rank)."""
+    import ray
+
+    import pyarrow.compute as pc
+
+    cands = cosine_topk_multi(sf_dir, n_queries=n_queries, k=k1).take_all()
+    cand_by_vec: dict[int, list] = {}
+    for r in cands:
+        cand_by_vec.setdefault(int(r["vec_id"]), []).append(
+            (int(r["query_id"]), int(r["sim_bp"])))
+
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"])
+    qt = qt.filter(pc.less(qt["vec_id"], n_queries))
+    order = np.argsort(np.asarray(qt["vec_id"]))
+    qids = np.asarray(qt["vec_id"])[order].astype(np.int64)
+    qm = np.stack([np.asarray(qt["embedding"][int(i)].as_py(),
+                              dtype=np.float64) for i in order])
+    q_milli = np.floor(qm * 1000).astype(np.int64)
+    state_ref = ray.put((cand_by_vec, qids, q_milli))
+
+    cand_vec_ids = pa.array(sorted(cand_by_vec), pa.int64())
+    ds = _read_embeddings(sf_dir, ["vec_id", "embedding"])
+
+    def keep_cands(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(pc.cast(t["vec_id"], pa.int64()),
+                                 value_set=cand_vec_ids))
+
+    import pandas as pd
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df.assign(rank=pd.Series([], dtype="int64"))
+        df = df.sort_values(["query_id", "xenc_score", "vec_id"],
+                            ascending=[True, False, True], kind="mergesort")
+        df = df[df.groupby("query_id", sort=False).cumcount() < k].copy()
+        df["rank"] = df.groupby("query_id", sort=False).cumcount() \
+            .astype("int64")
+        return df
+
+    scored = ds.map_batches(keep_cands, batch_format="pyarrow").map_batches(
+        _XEncRescorer,
+        fn_constructor_kwargs={"state_ref": [state_ref]},
+        batch_format="pyarrow",
+        concurrency=_auto_concurrency(),
+        num_cpus=1,
+    )
+    return scored.sort("query_id").map_batches(
+        final_topk, batch_format="pandas", batch_size=None)
+
+
 def embedding_centroids(sf_dir: str):
     """Per-label centroid of the embedding column, integer-exact.
 

@@ -121,3 +121,6 @@ def test_kmeans_expected_fresh():
     committed = _committed("op_knn_graph", "emb_checksum", tag)
     assert sorted(committed) == sorted(ops.serial_knn_graph(vec_ids, m)), \
         f"op_knn_graph: {MSG}"
+    committed = _committed("op_rerank_topk", "emb_checksum", tag)
+    assert sorted(committed) == sorted(ops.serial_rerank(vec_ids, m)), \
+        f"op_rerank_topk: {MSG}"

@@ -626,6 +626,33 @@ def serial_ann_ivf(vec_ids, m: np.ndarray, k: int = 10, n_centroids: int = 16,
     return rows[:k]
 
 
+def serial_rerank(vec_ids, m: np.ndarray, n_queries: int = 8,
+                  k1: int = 50, k: int = 10):
+    """Plain-loop retrieve -> rerank mirror: numpy cosine (same float64
+    normalize + round-to-bp ops the engine runs), per-query top-k1 by
+    (-bp, vec_id), integer milli-quantized interaction rescoring, top-k by
+    (-xenc, vec_id) with dense rank."""
+    ids = np.asarray(vec_ids, dtype=np.int64)
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    mn = m / norms[:, None]
+    m_milli = np.floor(m * 1000).astype(np.int64)
+    rows = []
+    for q in range(n_queries):
+        qrow = mn[ids == q][0]
+        bp = np.round((mn @ qrow) * 10_000).astype(np.int64)
+        top = np.lexsort((ids, -bp))[:k1]
+        q_milli = m_milli[ids == q][0]
+        scored = []
+        for t in top:
+            x = int(q_milli @ m_milli[t])
+            scored.append((int(ids[t]), int(bp[t]), x))
+        scored.sort(key=lambda r: (-r[2], r[0]))
+        for rank, (v, sbp, x) in enumerate(scored[:k]):
+            rows.append((q, v, sbp, x, rank))
+    return rows
+
+
 def serial_embedding_near_dup(vec_ids, m: np.ndarray, threshold_bp: int = 3000,
                               n_tables: int = 4, target_bucket: int = 64):
     n = len(vec_ids)
@@ -831,6 +858,9 @@ def main():
             ("op_media_features", serial_media_features(doc_ids, texts),
              ("media_id", "mean_milli", "std_milli"), (i64, i64, i64),
              "corpus_len", corpus_len),
+            ("op_rerank_topk", serial_rerank(vec_ids, m),
+             ("query_id", "vec_id", "sim_bp", "xenc_score", "rank"),
+             (i64, i64, i64, i64, i64), "emb_checksum", emb_checksum),
             ("op_ann_lsh_topk", serial_ann_lsh(vec_ids, m),
              ("vec_id", "sim_bp"), (i64, i64), "emb_checksum", emb_checksum),
             ("op_ann_ivf_topk", serial_ann_ivf(vec_ids, m),
