@@ -36,12 +36,31 @@ def topk_prune(ds, keys: list[str], descending: list[bool], k: int, *,
     return ds.map_batches(prune, batch_format="pyarrow", batch_size=bundle)
 
 
-def global_topk(ds, keys: list[str], descending: list[bool], k: int):
+def global_topk(ds, keys: list[str], descending: list[bool], k: int,
+                schema: pa.Schema | None = None):
     """Deterministic global top-k: per-block prune -> tiny sort -> limit.
 
     ``keys``/``descending`` must form a total order (include a tiebreaker
     column) so the result is engine-independent.
+
+    ``schema``: pass the result schema when the input can be LEGITIMATELY
+    EMPTY — a sort over zero blocks yields a dataset with no blocks at
+    all (``schema() is None``), so downstream consumers lose the column
+    names and a schema compare fails on an empty-vs-empty result.  With a
+    schema, the ≤ k result rows (parameter-bounded, never corpus-scale)
+    are collected once and re-wrapped as one TYPED block, so ``schema()``
+    is always populated.  (``Dataset.union`` with a 0-row block was tried
+    first and trips an executor assertion on sort-bearing plans in Ray
+    2.49.)
     """
-    return topk_prune(ds, keys, descending, k).sort(
+    out = topk_prune(ds, keys, descending, k).sort(
         keys, descending=descending
     ).limit(k)
+    if schema is not None:
+        import ray.data as rd
+
+        rows = out.take_all()  # ≤ k rows by construction
+        tbl = pa.Table.from_pylist(rows, schema=schema) if rows \
+            else schema.empty_table()
+        return rd.from_arrow(tbl)
+    return out

@@ -750,7 +750,14 @@ def orders_running_window(sf_dir: str):
         })
 
     prepped = ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
-    return prepped.sort(["o_custkey", "date_us", "o_orderkey"]).map_batches(
+    # Sort on the PARTITION KEY ALONE: the range partitioner splits on the
+    # full sort key, so sorting on (custkey, date, orderkey) can cut one
+    # customer across two blocks at a (custkey, mid-date) boundary and the
+    # per-block window then restarts mid-partition (caught by the sf0.1
+    # gate sweep: a -1 gap_days inside a split customer).  With the key
+    # alone, equal keys are provably co-partitioned (functions/groupagg
+    # contract) and window_block's in-block mergesort restores date order.
+    return prepped.sort("o_custkey").map_batches(
         window_block, batch_format="pandas", batch_size=None)
 
 

@@ -717,8 +717,14 @@ def link_prediction(sf_dir: str, permille: int = 100, min_common: int = 2,
     missing = semi_join(cn, "key", edge_keys, "key", anti=True) \
         .map_batches(lambda t: t.select(["x", "y", "common_neighbors"]),
                      batch_format="pyarrow")
+    # At permissive thresholds every strong candidate pair may already BE
+    # an edge — an empty result is legitimate, so pin the schema (see
+    # global_topk docstring)
     return global_topk(missing, ["common_neighbors", "x", "y"],
-                       [True, False, False], k)
+                       [True, False, False], k,
+                       schema=pa.schema([("x", pa.string()),
+                                         ("y", pa.string()),
+                                         ("common_neighbors", pa.int64())]))
 
 
 def degree_histogram(sf_dir: str):

@@ -1006,10 +1006,15 @@ def span_dedup(sf_dir: str, span_tokens: int = 3):
         if len(df) == 0:
             return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                                  "text_clean": pd.Series([], dtype="object")})
+        df = df.sort_values(["doc_id", "span_idx"], kind="mergesort")
         g = df.groupby("doc_id", sort=False)["span"].agg(" ".join)
         return pd.DataFrame({"doc_id": g.index.to_numpy(), "text_clean": g.to_numpy()})
 
-    return winners.sort(["doc_id", "span_idx"]).map_batches(
+    # doc_id ALONE as the sort key: a (doc_id, span_idx) composite sort
+    # could cut one doc's spans across two range partitions and reassemble
+    # would emit the doc twice (same boundary hazard the sf0.1 sweep caught
+    # in orders_running_window); the in-block mergesort restores span order
+    return winners.sort("doc_id").map_batches(
         reassemble, batch_format="pandas", batch_size=None
     ).sort("doc_id")
 

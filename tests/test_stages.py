@@ -552,6 +552,44 @@ def test_textstats_whitespace_edges_match_duckdb(ray_session, tmp_path):
             got[sorted(got.columns)], exp[sorted(exp.columns)], check_dtype=False)
 
 
+def test_running_window_survives_partition_split(ray_session, sf_dir):
+    """Regression (sf0.1 sweep): sorting on the COMPOSITE (custkey, date,
+    orderkey) let a range boundary cut one customer across two blocks and
+    the per-block window restarted mid-partition (-1 gap on a non-first
+    order).  The fix sorts on the partition key alone; this pins it by
+    forcing many tiny range partitions so boundaries land mid-customer."""
+    import pandas as pd
+    from ray.data import DataContext
+
+    from lexmapr_ray.pipelines.relational import orders_running_window
+
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    ctx.target_max_block_size = 16 * 1024
+    try:
+        got = orders_running_window(sf_dir).to_pandas() \
+            .sort_values(["o_custkey", "o_orderkey"]).reset_index(drop=True)
+    finally:
+        ctx.target_max_block_size = old
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_orderkey", "o_orderdate",
+                                 "o_totalprice"])
+    o["date_us"] = o["o_orderdate"].astype("int64")
+    o["cents"] = (o["o_totalprice"] * 100).round().astype("int64")
+    o = o.sort_values(["o_custkey", "date_us", "o_orderkey"],
+                      kind="mergesort")
+    g = o.groupby("o_custkey", sort=False)
+    o["running_cents"] = g["cents"].cumsum()
+    prev = g["date_us"].shift(1)
+    gap = ((o["date_us"] - prev.fillna(0)) // 86_400_000_000).astype("int64")
+    gap[prev.isna()] = -1
+    o["gap_days"] = gap
+    exp = o[["o_custkey", "o_orderkey", "running_cents", "gap_days"]] \
+        .sort_values(["o_custkey", "o_orderkey"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+
+
 def test_sorted_reduce_survives_tiny_block_target(ray_session):
     """Pins the sort co-location guarantee the whole engine rests on
     (advisor r2): one hot key whose group vastly exceeds

@@ -26,7 +26,17 @@ def to_pandas(result) -> pd.DataFrame:
         import ray.data as rd
 
         if isinstance(result, rd.Dataset):
-            return result.to_pandas()
+            df = result.to_pandas()
+            if len(df) == 0 and len(df.columns) == 0:
+                # Ray quirk: to_pandas() on a 0-row dataset drops the
+                # column names even when blocks are typed — rebuild the
+                # empty frame from the dataset schema so the schema
+                # compare stays meaningful for legitimately-empty results
+                sch = result.schema()
+                if sch is not None:
+                    return pd.DataFrame({n: pd.Series([], dtype="object")
+                                         for n in sch.names})
+            return df
     except ImportError:
         pass
     if isinstance(result, pa.Table):
