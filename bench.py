@@ -286,6 +286,8 @@ def run_queries(sf_dir: str) -> dict:
         ("host_link_graph", webgraph.host_link_graph),
         ("winnowing_fingerprint", textstats.winnowing_fingerprint),
         ("kmv_token_quantiles", sketches.kmv_token_quantiles),
+        ("winnowing_dup_pairs", dedup.winnowing_dup_pairs),
+        ("rerank_topk", similarity.rerank_topk),
     ]:
         t0 = time.time()
         res = fn(sf_dir)

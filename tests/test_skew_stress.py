@@ -76,6 +76,58 @@ def test_hot_mention_canonicalize_exact_under_skew(ray_session, lexicon):
     assert top["n_mentions"] / got["n_mentions"].sum() > 0.25
 
 
+def test_boilerplate_winnowing_pairs_exact_under_skew(ray_session, tmp_path):
+    """Half the corpus shares one boilerplate prefix: its winnowing
+    fingerprints are held by ~n/2 docs, far above max_df — without the
+    common-fingerprint elimination (MOSS's common-code drop, which is
+    ALSO the hot-bucket guard) the pair explode would be quadratic in the
+    hot bucket.  Must match the serial oracle exactly AND stay bounded:
+    pair count <= C(max_df, 2) x surviving fingerprints, never ~n²/4."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import make_op_expected as ops
+    from lexmapr_ray.stages.dedup import winnowing_dup_pairs
+
+    n = 2000
+    boiler = ("shared boilerplate navigation header terms of service "
+              "cookie notice subscribe newsletter footer links " * 3)
+    texts, ids = [], []
+    for i in range(n):
+        ids.append(i)
+        if i % 2 == 0:
+            # boilerplate half: unique tail, pairs ONLY via the hot
+            # (dropped) fingerprints -> must not pair at all
+            texts.append(boiler + f"unique document body {i} " + " ".join(
+                f"tok{i}_{j}" for j in range(12)))
+        else:
+            # genuine near-dup groups of ~10 docs sharing a long tail:
+            # their fingerprints are held by ~10 docs (< max_df) and MUST
+            # pair — proves the guard drops the hot bucket, not the signal
+            g = i // 20
+            texts.append(f"intro {i} " + " ".join(
+                f"shared{g}_{j} common phrase body" for j in range(10)))
+    sf = tmp_path / "boilsf"
+    sf.mkdir()
+    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "text": pa.array(texts, pa.string())}),
+                   str(sf / "documents.parquet"))
+
+    got = winnowing_dup_pairs(str(sf)).to_pandas()
+    exp_rows = ops.serial_winnowing_pairs(ids, texts)
+    exp = pd.DataFrame(exp_rows, columns=["doc_a", "doc_b", "n_shared"]) \
+        .astype("int64")
+    got = got.sort_values(list(got.columns)).reset_index(drop=True)
+    exp = exp.sort_values(list(exp.columns)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+    # the signal survived (the planted groups pair) ...
+    assert len(got) > 0
+    # ... and the guard held: no boilerplate (even-doc) pair leaked, and
+    # the total stays far below the ~n²/4 hot-bucket explosion
+    assert not ((got["doc_a"] % 2 == 0) & (got["doc_b"] % 2 == 0)).any()
+    assert len(got) < (n // 2) ** 2 // 8
+
+
 def test_hot_host_near_dup_exact_under_skew(ray_session, tmp_path):
     """One host owning 50% of all docs (docs_per_host = n/2): the
     mergeable-MinHash grouped min reduce and the banded pair scoring must
