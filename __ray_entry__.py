@@ -316,6 +316,23 @@ _DRIVER_PRIORITY = [
     "kg_components",
     "kg_incremental_merge",
     "kg_ancestor_rollup",
+    # round-4 second-session additions — never driver-sampled, highest
+    # verification value (newest code); displaced window tail rotates to r5
+    "kg_confidence",
+    "kg_mention_contexts",
+    "kg_negative_samples",
+    "kg_snapshot_diff",
+    "kg_density_filter",
+    "kg_entities_incremental",
+    "kg_host_profile",
+    "winnowing_fingerprint",
+    "winnowing_dup_pairs",
+    "kmv_token_quantiles",
+    "rerank_topk",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q14_promo_revenue",
     "anchor_entity_links",
     "redirect_resolve",
     "hits_docs",
