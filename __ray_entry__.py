@@ -548,6 +548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_fingerprint": textstats.rolling_fingerprint,
         "winnowing_fingerprint": textstats.winnowing_fingerprint,
         "winnowing_dup_pairs": dedup.winnowing_dup_pairs,
+        "compression_ratio": textstats.compression_ratio,
         # multimodal plumbing (payload bytes derived from the documents
         # table, so the decode stage consumes real parquet reads; codec
         # itself remains the documented stub)
@@ -1826,6 +1827,12 @@ def oracle_sql() -> dict[str, str]:
         "winnowing_fingerprint": """
             SELECT doc_id, n_grams, n_selected, fp_sum, pos_sum
             FROM read_parquet('/root/repo/expected/op_winnowing.parquet')
+            WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)
+            ORDER BY doc_id
+        """,
+        "compression_ratio": """
+            SELECT doc_id, raw_bytes, compressed_bytes, ratio_permille
+            FROM read_parquet('/root/repo/expected/op_compression_ratio.parquet')
             WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)
             ORDER BY doc_id
         """,

@@ -268,6 +268,42 @@ def rolling_fingerprint(sf_dir: str, window: int = 16, mod: int = 1 << 61):
     return ds.map_batches(fp, batch_format="pyarrow").sort("doc_id")
 
 
+def compression_ratio(sf_dir: str, level: int = 6):
+    """Per-document zlib compression ratio — the repetitive-content
+    quality signal (CCNet/RedPajama family): templated or repeated text
+    compresses far below prose, so a low ratio flags boilerplate and a
+    ratio near (or above) 1000 permille flags high-entropy noise.
+
+    Output: (doc_id, raw_bytes, compressed_bytes, ratio_permille) with
+    ratio_permille = floor(1000 * compressed / raw) (raw floored at 1).
+    zlib at a FIXED level is deterministic for a given input, so the
+    serial oracle (same stdlib, independent loop — the md5/blake2b
+    convention) is bit-exact.
+
+    Shape: stateless embarrassingly-parallel map; presentation sort only."""
+    import zlib
+
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def comp(t: pa.Table) -> pa.Table:
+        raws, comps = [], []
+        for s in t["text"].to_pylist():
+            b = s.encode("utf-8")
+            raws.append(len(b))
+            comps.append(len(zlib.compress(b, level)))
+        raw = np.asarray(raws, dtype=np.int64)
+        cmp_ = np.asarray(comps, dtype=np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "raw_bytes": pa.array(raw),
+            "compressed_bytes": pa.array(cmp_),
+            "ratio_permille": pa.array(
+                (1000 * cmp_) // np.maximum(raw, 1), pa.int64()),
+        })
+
+    return ds.map_batches(comp, batch_format="pyarrow").sort("doc_id")
+
+
 def _winnow_select(hm: np.ndarray, w: int) -> np.ndarray:
     """Winnowing selection (Schleimer et al. 2003): the distinct positions
     of the rightmost-minimum of every ``w``-window of the hash sequence —

@@ -57,6 +57,7 @@ def test_op_expected_fresh(corpus):
         "op_rolling_fingerprint": ops.serial_rolling_fp(ids, texts),
         "op_winnowing": ops.serial_winnowing(ids, texts),
         "op_winnowing_pairs": ops.serial_winnowing_pairs(ids, texts),
+        "op_compression_ratio": ops.serial_compression_ratio(ids, texts),
         "op_media_features": ops.serial_media_features(ids, texts),
         "op_minhash_dedup_pairs": ops.serial_lsh_pairs(
             ids, texts, ops.word_shingles, b"word", 0.8),

@@ -467,6 +467,19 @@ def serial_winnowing(doc_ids, texts, k: int = 16, w: int = 8,
     return rows
 
 
+def serial_compression_ratio(doc_ids, texts, level: int = 6):
+    """Plain-loop zlib ratio per doc (same stdlib codec, independent loop
+    — the md5/blake2b convention)."""
+    import zlib
+
+    rows = []
+    for d, t in zip(doc_ids, texts):
+        b = t.encode("utf-8")
+        c = len(zlib.compress(b, level))
+        rows.append((d, len(b), c, 1000 * c // max(len(b), 1)))
+    return rows
+
+
 def serial_winnowing_pairs(doc_ids, texts, k: int = 16, w: int = 8,
                            mod: int = 1 << 61, max_df: int = 32,
                            min_shared: int = 2):
@@ -841,6 +854,9 @@ def main():
             ("op_winnowing_pairs", serial_winnowing_pairs(doc_ids, texts),
              ("doc_a", "doc_b", "n_shared"), (i64, i64, i64),
              "corpus_len", corpus_len),
+            ("op_compression_ratio", serial_compression_ratio(doc_ids, texts),
+             ("doc_id", "raw_bytes", "compressed_bytes", "ratio_permille"),
+             (i64, i64, i64, i64), "corpus_len", corpus_len),
             ("op_hll_distinct_tokens", serial_hll_distinct(doc_langs, texts),
              ("lang", "approx_distinct"), (s, i64), "corpus_len", corpus_len),
             ("op_kmv_token_quantiles",
