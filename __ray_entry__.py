@@ -560,6 +560,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_diff": _crawl_diff,
         "url_canonicalize": _url_canonicalize,
         "host_link_graph": webgraph.host_link_graph,
+        "anchor_text_profile": webgraph.anchor_text_profile,
         # web-graph analytics: link authority + host-level curation
         "pagerank_docs": webgraph.pagerank_docs,
         "hits_docs": webgraph.hits_docs,
@@ -631,6 +632,19 @@ def _bfs_sql(hops: int = 12, seed: int = 0) -> str:
 _EDGES_CTE = ("SELECT d.doc_id AS src, (d.doc_id * 31 + 7 + 13 * u.j)"
               " % (SELECT COUNT(*) FROM documents) AS dst"
               " FROM documents d, UNNEST(range(0, 1 + d.doc_id % 3)) AS u(j)")
+
+
+def _phrases_values() -> str:
+    """VALUES rows for the deterministic anchor-phrase table (a pure
+    corpus-synthesis constant, sources/pages.py::_MATCHABLE_PHRASES)."""
+    from lexmapr_ray.sources.pages import _MATCHABLE_PHRASES
+
+    return ", ".join(
+        f"({i}, '" + p.replace("'", "''") + "')"
+        for i, p in enumerate(_MATCHABLE_PHRASES))
+
+
+_PHRASES_VALUES = _phrases_values()
 
 
 def _redirect_sql(rounds: int = 4) -> str:
@@ -2216,6 +2230,20 @@ def oracle_sql() -> dict[str, str]:
                        AS dst_host,
                    COUNT(*) AS n_links
             FROM e GROUP BY src_host, dst_host ORDER BY src_host, dst_host
+        """,
+        # per-target anchor profile — engine parses (href, text) pairs from
+        # the html; oracle regenerates edges + the phrase table (both pure
+        # functions of the documents table) arithmetically
+        "anchor_text_profile": f"""
+            WITH e AS ({_EDGES_CTE}),
+            ph(idx, phrase) AS (VALUES {_PHRASES_VALUES})
+            SELECT 'https://host' || CAST(e.dst % 37 AS VARCHAR)
+                       || '.example/p/' || CAST(e.dst AS VARCHAR) AS dst_url,
+                   COUNT(*)::BIGINT AS n_inlinks,
+                   COUNT(DISTINCT e.src % 37)::BIGINT AS n_src_hosts,
+                   MIN(ph.phrase) AS anchor_text
+            FROM e JOIN ph ON ph.idx = e.dst % 20
+            GROUP BY 1 ORDER BY 1
         """,
         # anchor-text entity linking — the engine parses anchor TEXT out of
         # the html bytes and runs the matcher pool over it; the anchor text

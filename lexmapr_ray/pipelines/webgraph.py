@@ -1011,6 +1011,78 @@ _HREF_RE = None
 _HOST_RE = None
 
 
+def anchor_text_profile(sf_dir: str):
+    """Per-TARGET in-link profile recovered from raw page html: total
+    in-anchors, distinct source hosts, and the anchor text — the
+    anchor-text evidence table a web-KG pipeline aggregates per entity
+    page (anchor text is how the rest of the web describes a page; the
+    anchor-text entity-linking op consumes exactly this signal).  Like
+    :func:`host_link_graph`, the engine PARSES the anchors out of the
+    html bytes while the SQL oracle regenerates the deterministic edge
+    set + phrase table arithmetically — the gate verifies the parse.
+
+    Shape: stateless anchor-extract map emits (dst_url, src_host, text)
+    rows (html never leaves the task); per-batch collapse to distinct
+    (dst_url, src_host) with counts + a min-text carry, ONE dst_url sort,
+    co-located final computes the exact distinct-host count.  Output:
+    (dst_url, n_inlinks, n_src_hosts, anchor_text), dst-sorted."""
+    import re
+
+    import pandas as pd
+
+    from lexmapr_ray.functions.groupagg import sorted_group_reduce
+    from lexmapr_ray.sources.pages import linked_pages_from_documents
+
+    anchor_re = re.compile(rb'<a href="([^"]+)">([^<]*)</a>')
+    host_re = re.compile(r"://([^/:?#]+)")
+
+    pages = linked_pages_from_documents(sf_dir)
+
+    def extract(t: pa.Table) -> pa.Table:
+        dsts, hosts, texts = [], [], []
+        for u, h in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+            sh = host_re.search(u).group(1)
+            for m in anchor_re.finditer(h):
+                dsts.append(m.group(1).decode("utf-8"))
+                hosts.append(sh)
+                texts.append(m.group(2).decode("utf-8"))
+        return pa.table({"dst_url": pa.array(dsts, pa.string()),
+                         "src_host": pa.array(hosts, pa.string()),
+                         "anchor_text": pa.array(texts, pa.string())})
+
+    edges = pages.map_batches(extract, batch_format="pyarrow")
+
+    _COLS = ["dst_url", "src_host", "anchor_text", "cnt"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series(
+                [], dtype="int64" if c == "cnt" else "object")
+                for c in _COLS})
+        if "cnt" not in df.columns:
+            df = df.assign(cnt=np.ones(len(df), dtype=np.int64))
+        return df.groupby(["dst_url", "src_host"], as_index=False,
+                          sort=False).agg(anchor_text=("anchor_text", "min"),
+                                          cnt=("cnt", "sum"))[_COLS]
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = partial(df)
+        if len(g) == 0:
+            return pd.DataFrame({
+                "dst_url": pd.Series([], dtype="object"),
+                "n_inlinks": pd.Series([], dtype="int64"),
+                "n_src_hosts": pd.Series([], dtype="int64"),
+                "anchor_text": pd.Series([], dtype="object")})
+        out = g.groupby("dst_url", sort=True).agg(
+            n_inlinks=("cnt", "sum"), n_src_hosts=("src_host", "nunique"),
+            anchor_text=("anchor_text", "min")).reset_index()
+        out["n_inlinks"] = out["n_inlinks"].astype("int64")
+        out["n_src_hosts"] = out["n_src_hosts"].astype("int64")
+        return out[["dst_url", "n_inlinks", "n_src_hosts", "anchor_text"]]
+
+    return sorted_group_reduce(edges, "dst_url", partial, final)
+
+
 def host_link_graph(sf_dir: str):
     """Host-level link graph parsed out of raw page html: how many anchors
     point from pages on ``src_host`` to urls on ``dst_host`` — the
