@@ -301,10 +301,22 @@ def dedup_triples(triples_ds):
     ds = triples_ds.map_batches(
         _block_dedup_sorted, batch_format="pyarrow", batch_size=131072
     )
-    # sort key must be EXACTLY the dedup key: boundaries on a longer key
-    # could split equal (subj,pred,obj) rows across partitions; determinism
-    # of the kept row is handled inside the block reduce instead
-    return ds.sort(["subj", "pred", "obj"]).map_batches(
+    # Sort on subj ALONE (not the full triple key): equal (subj,pred,obj)
+    # rows share a subj, so single-key range partitioning still co-locates
+    # every duplicate group (dedup stays exact — the block reduce re-sorts
+    # the whole block anyway), while additionally co-locating each WHOLE
+    # SUBJECT — the contract the per-page consumers (cooccurrence_edges,
+    # negative_samples, density_filter) group on.  A composite-key sort
+    # places range boundaries at (subj, mid-pred) points and splits one
+    # page's triples across two blocks — measured: 113 of 124 boundaries
+    # split a subject on a 24k-triple fixture at a 16 KiB block target,
+    # double-counting 430 of 12000 co-occurrence pairs in one run (the
+    # same bug class the sf0.1 sweep caught in orders_running_window;
+    # latent at gate scales where the deduped set fits in one block).
+    # Global order is unchanged: blocks are subj ranges and the block
+    # reduce leaves each block fully (subj, pred, obj)-sorted, so the
+    # concatenation stays globally composite-sorted for materialize_graph.
+    return ds.sort("subj").map_batches(
         _block_dedup_sorted, batch_format="pyarrow", batch_size=None
     )
 

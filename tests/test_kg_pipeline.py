@@ -135,6 +135,101 @@ def test_triple_confidence_matches_serial(ray_session, skewed_triples):
     assert (got["n_surfaces"] > 1).any()
 
 
+def test_per_page_consumers_survive_partition_split(ray_session):
+    """Regression (same class as the sf0.1 orders_running_window find):
+    dedup_triples used to sort on the full (subj, pred, obj) key, so a
+    range boundary at (subj, mid-pred) could split one page's triples
+    across two blocks — silently corrupting every downstream per-page
+    block pass.  Measured on this fixture at 16 KiB blocks / 8 CPUs
+    standalone: 113 of 124 boundaries split a subject and co-occurrence
+    emitted 12430 raw pairs for 12000 true ones.  The leak is
+    CONFIGURATION-DEPENDENT (the 4-CPU test session happens to produce
+    whole-subject batches even pre-fix), so the whole-subject probe here
+    is a canary for the contract, and the serial compares pin the
+    consumers; dedup now sorts on subj alone, which holds the invariant
+    by construction in every configuration."""
+    import hashlib
+    import itertools
+
+    import ray.data as rd
+    from ray.data import DataContext
+
+    from lexmapr_ray.pipelines.kg import cooccurrence_edges, negative_samples
+
+    # 2000 subjects x 12 distinct triples each, duplicated 12x, under a
+    # 16 KiB block target: the deduped set (24k rows, ~2 MB) range-
+    # partitions into dozens of blocks, and under the old composite-key
+    # sort a boundary lands mid-subject with probability ~11/12 per
+    # boundary (verified to fail pre-fix).
+    rows = []
+    for s in range(2000):
+        for p in range(3):
+            for o in range(4):
+                for _dup in range(12):
+                    rows.append((f"doc://{s:05d}", f"p{p}", f"T{o}",
+                                 "lab", "m" * 40, f"[{(s + o) % 5}]"))
+    ds = rd.from_arrow(_triples_table(rows))
+
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    ctx.target_max_block_size = 16 * 1024
+    try:
+        # The deterministic invariant itself: every subject reaches the
+        # per-page consumer position WHOLE (all 12 distinct rows in one
+        # batch).  Under the old composite sort this probe measured 234
+        # fragmented subject occurrences across 125 batches (and the
+        # grouped results corrupted probabilistically per run — 12430 of
+        # 12000 pairs in one measured run); the probe fails determinist-
+        # ically whenever the contract breaks.
+        from lexmapr_ray.pipelines.kg import dedup_triples
+
+        def probe(df):
+            sizes = df.groupby("subj").size()
+            return pd.DataFrame({"incomplete": [int((sizes != 12).sum())]})
+
+        frag = dedup_triples(ds).map_batches(
+            probe, batch_format="pandas", batch_size=None).to_pandas()
+        assert frag["incomplete"].sum() == 0, \
+            "dedup no longer co-locates whole subjects"
+
+        co = cooccurrence_edges(ds).to_pandas()
+        neg = negative_samples(ds).to_pandas().astype(str)
+    finally:
+        ctx.target_max_block_size = old
+
+    df = pd.DataFrame(rows, columns=["subj", "pred", "obj", "l", "m", "st"])
+    ded = df.drop_duplicates(["subj", "pred", "obj"])
+    # serial co-occurrence: per-page distinct obj pairs, counted
+    exp_pairs: dict = {}
+    for s, grp in ded.groupby("subj"):
+        for a, b in itertools.combinations(sorted(set(grp["obj"])), 2):
+            exp_pairs[(a, b)] = exp_pairs.get((a, b), 0) + 1
+    exp_co = pd.DataFrame(
+        [(a, b, n) for (a, b), n in sorted(exp_pairs.items())],
+        columns=["obj_a", "obj_b", "n_pages"])
+    got_co = co.sort_values(["obj_a", "obj_b"]).reset_index(drop=True)
+    exp_co["n_pages"] = exp_co["n_pages"].astype(got_co["n_pages"].dtype)
+    pd.testing.assert_frame_equal(got_co, exp_co)
+
+    # serial negatives: in-page domain md5-offset draw
+    page_objs = ded.groupby("subj")["obj"].apply(lambda s: sorted(set(s)))
+    exp_rows = []
+    for r in ded.itertuples():
+        objs = page_objs[r.subj]
+        n = len(objs)
+        if n < 2:
+            continue
+        h = int(hashlib.md5(f"{r.subj}\x00{r.pred}\x00{r.obj}".encode())
+                .hexdigest()[:8], 16)
+        exp_rows.append((r.subj, r.pred, r.obj,
+                         objs[(objs.index(r.obj) + 1 + h % (n - 1)) % n]))
+    exp_neg = pd.DataFrame(exp_rows,
+                           columns=["subj", "pred", "obj", "neg_obj"])
+    g = neg.sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+    e = exp_neg.sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, e)
+
+
 def test_host_entity_profile_matches_serial(ray_session):
     """Per-(host, term) counts vs a serial recomputation, with a hot
     (host, obj) pair spread across many blocks and subjects straddling
