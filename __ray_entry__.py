@@ -532,6 +532,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q7_volume_shipping": rel.q7_volume_shipping,
         "q14_promo_revenue": rel.q14_promo_revenue,
         "q4_order_priority": rel.q4_order_priority,
+        "q19_discount_revenue": rel.q19_discount_revenue,
         "events_daily_gapfill": rel.events_daily_gapfill,
         "referential_audit": rel.referential_audit,
         "revenue_rollup": rel.revenue_rollup,
@@ -843,6 +844,19 @@ def oracle_sql() -> dict[str, str]:
               AND n2.n_name IN ('NATION_0', 'NATION_1')
               AND n1.n_name <> n2.n_name
             GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "q19_discount_revenue": """
+            SELECT SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)
+                       * (100 - CAST(ROUND(l.l_discount*100) AS BIGINT))
+                       )::BIGINT AS revenue_e4,
+                   COUNT(*)::BIGINT AS n_items
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 10
+                   AND l.l_quantity BETWEEN 1 AND 11)
+               OR (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 1 AND 20
+                   AND l.l_quantity BETWEEN 10 AND 20)
+               OR (p.p_brand = 'Brand#5' AND p.p_size BETWEEN 1 AND 30
+                   AND l.l_quantity BETWEEN 20 AND 30)
         """,
         "q4_order_priority": """
             SELECT o_orderpriority, COUNT(*)::BIGINT AS order_count

@@ -297,6 +297,58 @@ def q7_volume_shipping(sf_dir: str, nation_a: str = "NATION_0",
         {"revenue_e4": "revenue_e4"}, count_alias="n_items")
 
 
+def q19_discount_revenue(sf_dir: str):
+    """TPC-H Q19-style disjunctive predicate scan: revenue from lineitems
+    matching ANY of three (brand, size-range, quantity-range) conjunctions
+    — the OR-of-ANDs shape a planner must evaluate row-wise after pushing
+    the part attributes to the fact scan.
+
+    Planner: part is a dimension — TWO broadcast lookups (partkey→brand
+    id, partkey→size) probed inside the scan; the disjunction is pure
+    vectorized numpy over the probed columns; ONE global integer sum
+    (constant-key reduce).  Output: (revenue_e4, n_items)."""
+    from lexmapr_ray.functions.broadcast import lookup, put_lookup
+    from lexmapr_ray.functions.groupagg import grouped_sum_count
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]).to_pandas()
+    brands = sorted(part["p_brand"].unique())
+    bid = {b: i for i, b in enumerate(brands)}
+    brand_ref = put_lookup(part["p_partkey"].to_numpy(),
+                           part["p_brand"].map(bid).to_numpy().astype(np.int64))
+    size_ref = put_lookup(part["p_partkey"].to_numpy(),
+                          part["p_size"].to_numpy().astype(np.int64))
+    # the three (brand, max_size, qty_lo, qty_hi) arms — Q19's shape with
+    # this corpus's brand domain
+    arms = [(bid.get("Brand#13", 0), 10, 1, 11),
+            (bid.get("Brand#19", 1), 20, 10, 20),
+            (bid.get("Brand#5", 2), 30, 20, 30)]
+
+    def prep(t: pa.Table) -> pa.Table:
+        b = np.asarray(lookup(t["l_partkey"], brand_ref))
+        sz = np.asarray(lookup(t["l_partkey"], size_ref))
+        q = t["l_quantity"].to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(b), dtype=bool)
+        for brand, max_size, qlo, qhi in arms:
+            keep |= (b == brand) & (sz >= 1) & (sz <= max_size) \
+                & (q >= qlo) & (q <= qhi)
+        t = t.filter(pa.array(keep))
+        rev = pc.multiply(_cents(t["l_extendedprice"]),
+                          pc.subtract(pa.scalar(100, pa.int64()),
+                                      _cents(t["l_discount"])))
+        return pa.table({
+            "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "revenue_e4": pc.cast(rev, pa.int64()),
+        })
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"]) \
+        .map_batches(prep, batch_format="pyarrow")
+    agg = grouped_sum_count(ds, "one", {"revenue_e4": "revenue_e4"},
+                            count_alias="n_items")
+    return agg.map_batches(
+        lambda t: t.select(["revenue_e4", "n_items"]), batch_format="pyarrow")
+
+
 def q4_order_priority(sf_dir: str, date_lo: str = "1996-01-01",
                       date_hi: str = "1997-01-01"):
     """TPC-H Q4-style order-priority check: count orders in a date window
