@@ -303,71 +303,20 @@ def _kg_incremental_merge(sf_dir: str):
 
 
 # The driver correctness gate samples roughly the first ~50 entries of the
-# queries() dict per round.  Rounds 1-3 covered 66 of the 123 queries; the
-# list below front-loads the 57 never-driver-verified entries (plus the
-# flagship kg_triples family) so round 4 verifies the previously unsampled
-# surface.  Queries not named here keep their original relative order after
-# the priority block.  Rotate this list each round to sweep the full surface.
+# queries() dict per round.  Union of driver-green rows across rounds 1-4
+# covers 114/156 queries; the list below front-loads the 42 entries that have
+# NEVER had a driver CORRECTNESS row (VERDICT r4 "What's wrong" #1), followed
+# by the flagship kg_triples and the ops this round's edits touch, so round 5
+# closes the verification gap.  Queries not named here keep their original
+# relative order after the priority block.
 _DRIVER_PRIORITY = [
-    "kg_triples",
-    "kg_entities",
-    "kg_degree_stats",
-    "kg_cooccurrence",
-    "kg_components",
-    "kg_incremental_merge",
-    "kg_ancestor_rollup",
-    # round-4 second-session additions — never driver-sampled, highest
-    # verification value (newest code); displaced window tail rotates to r5
-    "kg_confidence",
-    "kg_mention_contexts",
-    "kg_negative_samples",
-    "kg_snapshot_diff",
-    "kg_density_filter",
-    "kg_entities_incremental",
-    "kg_host_profile",
-    "winnowing_fingerprint",
-    "winnowing_dup_pairs",
-    "kmv_token_quantiles",
-    "rerank_topk",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q14_promo_revenue",
-    "anchor_entity_links",
-    "redirect_resolve",
-    "hits_docs",
-    "bm25_search",
-    "crawl_diff",
-    "paragraph_dedup",
-    "url_canonicalize",
-    "host_link_graph",
-    "weighted_sample",
-    "label_propagation",
-    "neighbor_feature_agg",
-    "random_walks",
-    "sequence_pack",
-    "chunk_documents",
-    "curate_pack_shuffle",
-    "bpe_merges",
-    "bpe_token_counts",
-    "vocab_topk",
-    "stratified_sample",
-    "token_rarity",
-    "bigram_lm_score",
-    "target_affinity",
-    "inverted_index",
-    "hll_distinct_tokens",
-    "cms_heavy_hitters",
-    "span_dedup",
-    "simhash_near_dup_pairs",
-    "ngram_decontaminate",
     "dup_span_trim",
     "host_near_dup",
     "bloom_decontaminate",
     "minhash_index_dedup",
     "minhash_index_dedup_persisted",
-    "ann_ivf_topk_persisted",
     "cosine_topk_multi",
+    "ann_ivf_topk_persisted",
     "knn_graph",
     "hybrid_search",
     "rrf_search",
@@ -379,6 +328,7 @@ _DRIVER_PRIORITY = [
     "events_zscore_outliers",
     "fuzzy_name_pairs",
     "q10_returned_revenue",
+    "q19_discount_revenue",
     "events_daily_gapfill",
     "referential_audit",
     "revenue_rollup",
@@ -389,9 +339,11 @@ _DRIVER_PRIORITY = [
     "cluster_representatives",
     "semantic_dedup",
     "embedding_quantize",
+    "compression_ratio",
     "media_resize_features",
     "video_frame_features",
     "url_latest_capture",
+    "anchor_text_profile",
     "pagerank_docs",
     "host_stats",
     "host_filtered_corpus",
@@ -400,6 +352,12 @@ _DRIVER_PRIORITY = [
     "bfs_distances",
     "link_prediction",
     "degree_histogram",
+    "kg_triples",
+    "kg_negative_samples",
+    "kg_mention_contexts",
+    "kg_cooccurrence",
+    "kg_density_filter",
+    "q6_forecast_revenue",
 ]
 
 
