@@ -2292,8 +2292,13 @@ def oracle_sql() -> dict[str, str]:
             e AS (SELECT a, b FROM bg GROUP BY a, b
                   HAVING COUNT(*) * 1000 >=
                          100 * (SELECT COUNT(*) FROM documents)),
-            adj AS (SELECT a AS u, b AS v FROM e
-                    UNION ALL SELECT b AS u, a AS v FROM e),
+            adj0 AS (SELECT a AS u, b AS v FROM e
+                     UNION ALL SELECT b AS u, a AS v FROM e),
+            -- engine's enforced hub cap (webgraph.py::link_prediction
+            -- max_degree=512): pivots above it generate no pairs
+            deg AS (SELECT u, COUNT(*) AS d FROM adj0 GROUP BY u),
+            adj AS (SELECT adj0.u, adj0.v FROM adj0
+                    JOIN deg ON deg.u = adj0.u WHERE deg.d <= 512),
             cn AS (SELECT w1.v AS x, w2.v AS y,
                           COUNT(*)::BIGINT AS common_neighbors
                    FROM adj w1 JOIN adj w2 ON w1.u = w2.u AND w1.v < w2.v
@@ -2450,13 +2455,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE h.n_dup * 1000 <= h.n_docs * 187
             ORDER BY d.doc_id
         """,
+        # kept: only pages with <= 128 distinct terms generate pairs — the
+        # engine's enforced hub cap (pipelines/kg.py::cooccurrence_edges
+        # max_page_terms; no synthetic page comes near it, but the clause
+        # keeps oracle and engine definitionally identical)
         "kg_cooccurrence": """
             WITH t AS (
                 SELECT DISTINCT subj, obj
                 FROM read_parquet('/root/repo/expected/kg_triples.parquet')
-                WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents))
+                WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)),
+            kept AS (SELECT subj FROM t GROUP BY subj HAVING COUNT(*) <= 128)
             SELECT a.obj AS obj_a, b.obj AS obj_b, COUNT(*)::BIGINT AS n_pages
             FROM t a JOIN t b ON a.subj = b.subj AND a.obj < b.obj
+            JOIN kept k ON k.subj = a.subj
             GROUP BY a.obj, b.obj ORDER BY obj_a, obj_b
         """,
         "kg_components": """
@@ -2465,9 +2476,11 @@ def oracle_sql() -> dict[str, str]:
                 SELECT DISTINCT subj, obj
                 FROM read_parquet('/root/repo/expected/kg_triples.parquet')
                 WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)),
+            kept AS (SELECT subj FROM t GROUP BY subj HAVING COUNT(*) <= 128),
             e AS (
                 SELECT DISTINCT a.obj AS a, b.obj AS b
-                FROM t a JOIN t b ON a.subj = b.subj AND a.obj < b.obj),
+                FROM t a JOIN t b ON a.subj = b.subj AND a.obj < b.obj
+                JOIN kept k ON k.subj = a.subj),
             eu AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
             comp(node, label) AS (
                 SELECT DISTINCT obj, obj FROM t

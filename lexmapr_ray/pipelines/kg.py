@@ -270,14 +270,27 @@ def _block_dedup_sorted(t: pa.Table) -> pa.Table:
 
 
 
-def dedup_triples(triples_ds):
+def dedup_triples(triples_ds, *, block_fn=None):
     """Exact (subj, pred, obj) dedup, one shuffle, fully vectorized:
     per-batch local dedup (combiner) -> global sort on the triple key
     (equal keys are guaranteed co-partitioned) -> per-block drop_duplicates.
     The result is ALSO globally sorted by (subj, pred, obj), so graph
     materialization needs no second shuffle.  ``groupby().map_groups`` and
     ``groupby().aggregate`` were measured ~8x and ~2x the cost of the whole
-    rest of the pipeline at 20k pages."""
+    rest of the pipeline at 20k pages.
+
+    ``block_fn`` (Arrow table -> Arrow table | pandas DataFrame) fuses a
+    per-subject consumer pass INTO the post-sort reduce task, where the
+    whole sorted range partition is in hand.  This is the ONLY placement
+    where "group on subj per block" is safe for a pathologically hot
+    subject: the sort itself never re-splits its output partitions
+    (functions/groupagg.py contract), but the dedup map's OWN output
+    blocks are dynamically re-split past ``target_max_block_size``, so a
+    subject whose deduped rows exceed the block target WOULD arrive
+    fragmented at any downstream ``map_batches`` (advisor r4; pinned by
+    tests/test_kg_pipeline.py hot-subject case).  cooccurrence_edges,
+    negative_samples and density_filter all pass their per-page reduction
+    here instead of mapping over the returned Dataset."""
     # batch_size bundles matcher output blocks into one dedup task: local
     # combining AND block-count coalescing ahead of the shuffle in a single
     # streaming stage (no Repartition barrier); see canonicalize_mentions
@@ -316,8 +329,16 @@ def dedup_triples(triples_ds):
     # Global order is unchanged: blocks are subj ranges and the block
     # reduce leaves each block fully (subj, pred, obj)-sorted, so the
     # concatenation stays globally composite-sorted for materialize_graph.
+    if block_fn is None:
+        return ds.sort("subj").map_batches(
+            _block_dedup_sorted, batch_format="pyarrow", batch_size=None
+        )
+
+    def dedup_then(t: pa.Table):
+        return block_fn(_block_dedup_sorted(t))
+
     return ds.sort("subj").map_batches(
-        _block_dedup_sorted, batch_format="pyarrow", batch_size=None
+        dedup_then, batch_format="pyarrow", batch_size=None
     )
 
 
@@ -408,6 +429,67 @@ def mention_contexts(
         concurrency=concurrency,
         num_cpus=1,
     ).sort(["subj", "mention_idx", "obj"])
+
+
+def extract_triples_and_contexts(
+    pages_ds,
+    lexicon_ref=None,
+    *,
+    bucket: bool = False,
+    langs: tuple = ("en",),
+    concurrency=None,
+    batch_size: int = 256,
+):
+    """ONE matcher pass -> (triples Dataset, contexts Dataset).
+
+    A user materializing both the graph AND its evidence contexts
+    previously paid the matcher-bound cascade twice
+    (:func:`extract_triples` + :func:`mention_contexts`); the fused
+    :class:`~lexmapr_ray.stages.match.FusedMatcher` actor emits both row
+    families from one pass with a per-page cascade memo (~1x matcher cost
+    on short-sentence web text — measured 1.66x faster than the two
+    separate passes at 100k pages / 32 CPUs, BASELINE.md).
+
+    The tagged union is materialized ONCE so the two filtered views don't
+    re-execute the matcher; the materialized rows are extraction OUTPUT
+    (triples + matched-window contexts), orders below page bytes.  Each
+    family comes back byte-identical to its standalone stage (pinned by
+    tests/test_kg_pipeline.py::test_fused_matcher_equals_separate_passes).
+    """
+    if lexicon_ref is None:
+        lexicon_ref = broadcast_lexicon()
+    if concurrency is None:
+        import ray
+
+        cap = max(2, (int(ray.cluster_resources().get("CPU", 4)) * 7) // 8)
+        concurrency = (2, cap)
+    from lexmapr_ray.stages.match import CONTEXTS_SCHEMA, FusedMatcher
+
+    ds = pages_ds.map_batches(extract_text_stage, batch_format="pyarrow")
+    combined = ds.map_batches(
+        FusedMatcher,
+        fn_constructor_kwargs={"lexicon": [lexicon_ref], "bucket": bucket,
+                               "langs": langs},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    ).materialize()
+
+    trip_cols = ["subj", "pred", "obj", "obj_label", "mention", "status"]
+
+    def take_triples(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["family"], "triple")).select(trip_cols)
+
+    ctx_cols = list(CONTEXTS_SCHEMA.names)
+
+    def take_ctx(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["family"], "ctx")).select(ctx_cols)
+
+    triples = combined.map_batches(take_triples, batch_format="pyarrow")
+    contexts = combined.map_batches(take_ctx, batch_format="pyarrow") \
+        .sort(["subj", "mention_idx", "obj"])
+    return triples, contexts
 
 
 def triple_confidence(triples_ds):
@@ -550,30 +632,28 @@ def density_filter(triples_ds, sf_dir: str, min_density_permille: int = 10):
     (never 0 for a doc that produced a triple, since a mention implies a
     token).
 
-    Shape: triple dedup leaves subj-co-located blocks, a per-block count
-    collapses to one row per page, the subj url parses back to doc_id
-    arithmetically, and a bucketed hash join attaches the documents-side
-    token counts (size-switched semi-join semantics are not needed — both
-    sides are page-scale, co-partitioned by the join's own bucketing)."""
+    Shape: the per-page triple count runs as :func:`dedup_triples`'s fused
+    ``block_fn`` — inside the post-sort reduce task where every subject is
+    provably whole even past ``target_max_block_size`` (see dedup_triples)
+    — the subj url parses back to doc_id arithmetically, and a bucketed
+    hash join attaches the documents-side token counts (size-switched
+    semi-join semantics are not needed — both sides are page-scale,
+    co-partitioned by the join's own bucketing)."""
     import pandas as pd
 
     from lexmapr_ray.functions.joins import bucketed_hash_join
 
-    deduped = dedup_triples(triples_ds)
-
-    def page_counts(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
+    def page_counts(t: pa.Table) -> pd.DataFrame:
+        if t.num_rows == 0:
             return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                                  "n_triples": pd.Series([], dtype="int64")})
-        g = df.groupby("subj", sort=False, observed=True).size() \
-            .reset_index(name="n_triples")
-        g["doc_id"] = g["subj"].astype(str).str.removeprefix("doc://") \
-            .astype("int64")
+        df = pa.table({"subj": pc.cast(t["subj"], pa.string())}).to_pandas()
+        g = df.groupby("subj", sort=False).size().reset_index(name="n_triples")
+        g["doc_id"] = g["subj"].str.removeprefix("doc://").astype("int64")
         g["n_triples"] = g["n_triples"].astype("int64")
         return g[["doc_id", "n_triples"]]
 
-    counts = deduped.map_batches(page_counts, batch_format="pandas",
-                                 batch_size=None)
+    counts = dedup_triples(triples_ds, block_fn=page_counts)
 
     from lexmapr_ray.stages.textstats import _read_documents, _token_counts
 
@@ -684,73 +764,106 @@ def negative_samples(triples_ds):
     DuckDB oracle recomputes the same value arithmetically.  Pages linking
     a single entity yield no negative and are dropped.
 
-    Shape: :func:`dedup_triples` already leaves blocks subj-co-located
-    (sort outputs are never re-split — functions/groupagg.py contract), so
-    ONE per-block pandas pass with ``batch_size=None`` groups each page
-    whole; no shuffle beyond the dedup sort itself."""
+    Shape: the per-page draw runs as :func:`dedup_triples`'s fused
+    ``block_fn`` — inside the post-sort reduce task where every subject is
+    provably whole even past ``target_max_block_size`` (see dedup_triples)
+    — and is block-level vectorized: ONE pandas merge builds per-row
+    (position-in-page, page-size) from the per-page sorted-unique obj
+    table, md5 runs over pre-concatenated key strings, and the draw plus
+    the neg-obj gather are index arithmetic + a second merge.  The only
+    per-row Python left is the md5 call itself (not vectorizable)."""
     import hashlib
 
     import pandas as pd
 
-    deduped = dedup_triples(triples_ds)
     _NCOLS = ["subj", "pred", "obj", "neg_obj"]
+    _EMPTY = {c: pd.Series([], dtype="object") for c in _NCOLS}
 
-    def neg(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return pd.DataFrame({c: pd.Series([], dtype="object")
-                                 for c in _NCOLS})
+    def neg(t: pa.Table) -> pd.DataFrame:
+        if t.num_rows == 0:
+            return pd.DataFrame(_EMPTY)
+        rows = pd.DataFrame({
+            "subj": t["subj"].to_pandas().astype(str),
+            "pred": t["pred"].to_pandas().astype(str),
+            "obj": t["obj"].to_pandas().astype(str),
+        })
+        # per-page sorted-unique obj table with in-page position and size
+        uniq = rows[["subj", "obj"]].drop_duplicates().sort_values(
+            ["subj", "obj"], kind="mergesort").reset_index(drop=True)
+        uniq["pos"] = uniq.groupby("subj", sort=False).cumcount()
+        sizes = uniq.groupby("subj", sort=False)["obj"].size()
+        rows = rows.merge(uniq, on=["subj", "obj"], how="left")
+        rows["n"] = rows["subj"].map(sizes).to_numpy(np.int64)
+        rows = rows[rows["n"] >= 2]
+        if len(rows) == 0:
+            return pd.DataFrame(_EMPTY)
+        # key built inside the md5 loop: pandas Series '+' SILENTLY DROPS
+        # NUL chars (numpy str ufunc truncation), so the '\x00'-joined key
+        # cannot be vectorized as a string column
         md5 = hashlib.md5
-        rows = []
-        # observed=True: dictionary-encoded triple columns arrive as pandas
-        # Categorical, whose groupby otherwise emits every category
-        for subj, grp in df.groupby("subj", sort=False, observed=True):
-            subj = str(subj)
-            objs = sorted(set(str(o) for o in grp["obj"]))
-            n = len(objs)
-            if n < 2:
-                continue
-            pos = {o: i for i, o in enumerate(objs)}
-            for pred, obj in zip(grp["pred"], grp["obj"]):
-                pred, obj = str(pred), str(obj)
-                h = int(md5(f"{subj}\x00{pred}\x00{obj}".encode())
-                        .hexdigest()[:8], 16)
-                rows.append((subj, pred, obj,
-                             objs[(pos[obj] + 1 + h % (n - 1)) % n]))
-        return pd.DataFrame(rows, columns=_NCOLS)
+        h = np.fromiter(
+            (int.from_bytes(
+                md5(f"{s}\x00{p}\x00{o}".encode()).digest()[:4], "big")
+             for s, p, o in zip(rows["subj"].to_numpy(),
+                                rows["pred"].to_numpy(),
+                                rows["obj"].to_numpy())),
+            dtype=np.int64, count=len(rows))
+        n = rows["n"].to_numpy(np.int64)
+        idx = (rows["pos"].to_numpy(np.int64) + 1 + h % (n - 1)) % n
+        pick = pd.DataFrame({"subj": rows["subj"].to_numpy(), "pos": idx})
+        picked = pick.merge(uniq.rename(columns={"obj": "neg_obj"}),
+                            on=["subj", "pos"], how="left")
+        return pd.DataFrame({
+            "subj": rows["subj"].to_numpy(),
+            "pred": rows["pred"].to_numpy(),
+            "obj": rows["obj"].to_numpy(),
+            "neg_obj": picked["neg_obj"].to_numpy(),
+        })
 
-    return deduped.map_batches(neg, batch_format="pandas", batch_size=None)
+    return dedup_triples(triples_ds, block_fn=neg)
 
 
-def cooccurrence_edges(triples_ds):
+def cooccurrence_edges(triples_ds, *, max_page_terms: int | None = 128):
     """Term co-mention edges: for every pair of ontology terms linked from
     the same page, the number of distinct pages naming both — the
     edge-weighting pass that turns extracted triples into a term graph.
 
-    Shape: triple dedup leaves the rows globally (subj, pred, obj)-sorted
-    and subj co-located (sort outputs are never re-split, the pinned
-    guarantee in functions/groupagg.py), so a per-block pass emits each
-    page's distinct-term pairs exactly once — C(k,2) rows for a page with
-    k distinct terms, bounded by mention density, never corpus-quadratic —
-    and one grouped count on (obj_a, obj_b) finishes.  A hub page with
-    thousands of terms would need a degree cap; web pages are dozens."""
+    ``max_page_terms`` is the ENFORCED hub cap: a page naming more than
+    this many distinct terms is dropped from pair generation entirely
+    (the C4 recipe's move — a link-farm / index page naming thousands of
+    entities is boilerplate, and its C(k,2) pair explosion is quadratic).
+    Real web pages name dozens of terms, so the default 128 never fires
+    on organic text; pass ``None`` to disable.  Pinned by the adversarial
+    hub fixture in tests/test_skew_stress.py.
+
+    Shape: the per-page pair emit runs as :func:`dedup_triples`'s fused
+    ``block_fn`` — inside the post-sort reduce task where every subject
+    is provably whole even past ``target_max_block_size`` (see
+    dedup_triples) — C(k,2) rows for a page with k <= cap distinct terms;
+    one grouped count on (obj_a, obj_b) finishes."""
     import pandas as pd
 
     from lexmapr_ray.functions.groupagg import grouped_sum_count
 
-    deduped = dedup_triples(triples_ds)
-
-    def page_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return pd.DataFrame({"obj_a": pd.Series([], dtype="object"),
-                                 "obj_b": pd.Series([], dtype="object")})
-        d = df[["subj", "obj"]].drop_duplicates()
+    def page_pairs(t: pa.Table) -> pd.DataFrame:
+        empty = pd.DataFrame({"obj_a": pd.Series([], dtype="object"),
+                              "obj_b": pd.Series([], dtype="object")})
+        if t.num_rows == 0:
+            return empty
+        d = pa.table({"subj": pc.cast(t["subj"], pa.string()),
+                      "obj": pc.cast(t["obj"], pa.string())}) \
+            .to_pandas().drop_duplicates()
+        if max_page_terms is not None:
+            k = d.groupby("subj", sort=False)["obj"].transform("size")
+            d = d[k <= max_page_terms]
+            if len(d) == 0:
+                return empty
         m = d.merge(d, on="subj")
         m = m[m["obj_x"] < m["obj_y"]]
         return m.rename(columns={"obj_x": "obj_a", "obj_y": "obj_b"}) \
             [["obj_a", "obj_b"]]
 
-    pairs = deduped.map_batches(page_pairs, batch_format="pandas",
-                                batch_size=None)
+    pairs = dedup_triples(triples_ds, block_fn=page_pairs)
     return grouped_sum_count(pairs, ["obj_a", "obj_b"], count_alias="n_pages")
 
 

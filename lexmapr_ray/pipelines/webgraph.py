@@ -657,7 +657,8 @@ def bfs_distances(sf_dir: str, seed: int = 0, hops: int = 12,
 
 
 def link_prediction(sf_dir: str, permille: int = 100, min_common: int = 2,
-                    k: int = 20, num_buckets: int = 32):
+                    k: int = 20, num_buckets: int = 32,
+                    max_degree: int | None = 512):
     """Common-neighbor link prediction over the token graph — the
     KG-completion pass that proposes MISSING edges: for every non-adjacent
     pair (x, y) sharing >= ``min_common`` neighbors, score = the exact
@@ -665,11 +666,15 @@ def link_prediction(sf_dir: str, permille: int = 100, min_common: int = 2,
 
     Shape: adjacency = both edge directions, one sort co-locates each
     node's neighborhood, per-block pair explode (x < y) — Σ deg(u)² rows,
-    the inherent common-neighbor cost; a production run caps per-node
-    neighborhoods (drop hubs above ~sqrt(|E|), they predict nothing
-    specific anyway) — then ONE grouped count, an anti semi join against
-    the existing edge keys (space-joined, collision-free), and the
-    exact-safe pruned top-k.
+    the inherent common-neighbor cost, which ``max_degree`` BOUNDS: a
+    pivot node whose degree exceeds the cap is dropped from pair
+    generation (a hub shared by everything predicts nothing specific,
+    and its deg² explosion is the one quadratic term).  The default 512
+    never fires on the organic token graph (degrees are dozens); pass
+    ``None`` to disable.  Pinned by the adversarial hub fixture in
+    tests/test_skew_stress.py.  Then ONE grouped count, an anti semi
+    join against the existing edge keys (space-joined, collision-free),
+    and the exact-safe pruned top-k.
     """
     import pandas as pd
 
@@ -691,6 +696,14 @@ def link_prediction(sf_dir: str, permille: int = 100, min_common: int = 2,
         if len(df) == 0:
             return pd.DataFrame({"x": pd.Series([], dtype="object"),
                                  "y": pd.Series([], dtype="object")})
+        if max_degree is not None:
+            # whole-u co-location (direct post-sort map) makes the
+            # transform the node's TRUE degree, so the cap is exact
+            deg = df.groupby("u", sort=False)["v"].transform("size")
+            df = df[deg <= max_degree]
+            if len(df) == 0:
+                return pd.DataFrame({"x": pd.Series([], dtype="object"),
+                                     "y": pd.Series([], dtype="object")})
         m = df.merge(df, on="u")
         m = m[m["v_x"] < m["v_y"]]
         return pd.DataFrame({"x": m["v_x"], "y": m["v_y"]})

@@ -146,6 +146,133 @@ class MentionContexts:
         )
 
 
+FUSED_SCHEMA = pa.schema(
+    [
+        ("family", pa.string()),        # "triple" | "ctx"
+        ("subj", pa.string()),
+        ("pred", pa.string()),          # "" on ctx rows
+        ("obj", pa.string()),
+        ("obj_label", pa.string()),     # "" on ctx rows
+        ("mention", pa.string()),
+        ("status", pa.string()),        # "" on ctx rows
+        ("mention_idx", pa.int64()),    # -1 on triple rows
+        ("ctx_before", pa.string()),    # "" on triple rows
+        ("ctx_after", pa.string()),     # "" on triple rows
+    ]
+)
+
+
+class FusedMatcher:
+    """Actor-pool stage emitting BOTH row families in one matcher pass:
+    the triples of :class:`MentionMatcher` (``family='triple'``) and the
+    evidence contexts of :class:`MentionContexts` (``family='ctx'``).
+
+    The pipeline is matcher-bound (BASELINE.md), and the two families
+    segment differently (sentence-truncate vs token windows), so a user
+    materializing both previously paid the full cascade twice.  Here one
+    actor runs both segmentations with a per-page memo on the cascade:
+    every sentence of <= ``window_tokens`` tokens produces the SAME
+    mention string in both segmentations, so its cascade runs once — on
+    ordinary web text (short sentences dominate) the fused pass costs
+    ~1x the matcher, not 2x.  Outputs are byte-identical to the two
+    separate stages by construction (same functions, same inputs).
+
+    Consumed via :func:`lexmapr_ray.pipelines.kg.extract_triples_and_contexts`,
+    which materializes the tagged union ONCE (output-scale rows, never
+    corpus/page bytes) and filters each family out of the shared result.
+    """
+
+    def __init__(self, lexicon=None, bucket: bool = False,
+                 langs: tuple = ("en",), window_tokens: int = 32):
+        import ray
+
+        if isinstance(lexicon, (list, tuple)) and len(lexicon) == 1:
+            lexicon = lexicon[0]
+        if lexicon is None:
+            lexicon = build_lexicon()
+        elif isinstance(lexicon, ray.ObjectRef):
+            lexicon = ray.get(lexicon)
+        self.lexicon: Lexicon = lexicon
+        self.langs = set(langs) if langs else None
+        self.window_tokens = window_tokens
+        self.classify_fn = None
+        if bucket:
+            from lexmapr_ray.lexkit.classify import make_classifier
+
+            self.classify_fn = make_classifier(lexicon)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        texts = batch["text"].to_pylist()
+        langs = batch["lang"].to_pylist() \
+            if "lang" in batch.column_names else [None] * len(urls)
+
+        cols = {name: [] for name in FUSED_SCHEMA.names}
+
+        def emit(family, subj, pred, obj, obj_label, mention, status,
+                 mention_idx, ctx_before, ctx_after):
+            cols["family"].append(family)
+            cols["subj"].append(subj)
+            cols["pred"].append(pred)
+            cols["obj"].append(obj)
+            cols["obj_label"].append(obj_label)
+            cols["mention"].append(mention)
+            cols["status"].append(status)
+            cols["mention_idx"].append(mention_idx)
+            cols["ctx_before"].append(ctx_before)
+            cols["ctx_after"].append(ctx_after)
+
+        bucket = self.classify_fn is not None
+        for url, text, lang in zip(urls, texts, langs):
+            if self.langs and lang is not None and lang not in self.langs:
+                continue
+            memo: dict = {}
+
+            def match(mention):
+                r = memo.get(mention)
+                if r is None:
+                    r = memo[mention] = match_sample(
+                        mention, self.lexicon, bucket=bucket,
+                        classify_fn=self.classify_fn)
+                return r
+
+            # family 'triple': MentionMatcher semantics, verbatim
+            for mention in segment_mentions(text):
+                r = match(mention)
+                if not r.matched_components:
+                    continue
+                p = PRED_FULL if r.macro_status == "Full Term Match" \
+                    else PRED_COMPONENT
+                status_repr = str(r.micro_status)
+                for comp in r.matched_components:
+                    label, term_id = comp.rsplit(":", 1)
+                    emit("triple", url, p, term_id, label,
+                         r.component_surfaces.get(comp, r.cleaned_sample),
+                         status_repr, -1, "", "")
+                if r.classification:
+                    for lab in r.classification["ifsac_final_labels"]:
+                        emit("triple", url, PRED_CLASSIFIED, "ifsac:" + lab,
+                             lab, r.cleaned_sample, "[]", -1, "", "")
+
+            # family 'ctx': MentionContexts semantics, verbatim
+            ms = segment_mention_windows(text, self.window_tokens)
+            for i, mention in enumerate(ms):
+                r = match(mention)
+                if not r.matched_components:
+                    continue
+                terms = sorted({c.rsplit(":", 1)[1]
+                                for c in r.matched_components})
+                before = ms[i - 1] if i > 0 else ""
+                after = ms[i + 1] if i + 1 < len(ms) else ""
+                for t in terms:
+                    emit("ctx", url, "", t, "", mention, "", i, before, after)
+
+        return pa.Table.from_arrays(
+            [pa.array(cols[f.name], f.type) for f in FUSED_SCHEMA],
+            schema=FUSED_SCHEMA,
+        )
+
+
 def extract_text_stage(batch: pa.Table) -> pa.Table:
     """Stateless map_batches fn: html -> text, asserting the per-row
     byte-identical invariant against the shipped ``text`` column.

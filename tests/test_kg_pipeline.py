@@ -230,6 +230,171 @@ def test_per_page_consumers_survive_partition_split(ray_session):
     pd.testing.assert_frame_equal(g, e)
 
 
+def test_hot_subject_survives_output_block_resplit(ray_session):
+    """Advisor r4 medium: the post-sort dedup map's OWN output blocks are
+    dynamically re-split past ``target_max_block_size`` (sort outputs are
+    not, but a map over them is) — so a subject whose deduped rows exceed
+    the block target arrives FRAGMENTED at any downstream map_batches.
+    The per-page consumers therefore run as dedup_triples' fused
+    ``block_fn`` inside the reduce task itself.  This fixture makes one
+    subject ~6x the 16 KiB target and pins (a) that the naive downstream
+    placement really does fragment it (the hazard is live, not
+    theoretical), and (b) that the fused cooccurrence / negative-samples
+    paths stay exact anyway."""
+    import hashlib
+    import itertools
+
+    import ray.data as rd
+    from ray.data import DataContext
+
+    from lexmapr_ray.pipelines.kg import (cooccurrence_edges, dedup_triples,
+                                          negative_samples)
+
+    rows = []
+    # the hot subject: 3 preds x 1200 long objs = 3600 distinct rows,
+    # ~110 B each -> ~400 KiB deduped, ~25x the 16 KiB block target
+    # (the output slicer leaves blocks within a small multiple of the
+    # target whole, so the fixture must overshoot by a wide margin)
+    for p in range(3):
+        for o in range(1200):
+            rows.append(("doc://hot", f"p{p}", f"TERM_{o:04d}_" + "x" * 90,
+                         "lab", "m" * 30, "[s]"))
+    # cold pages so the sort produces several range partitions
+    for s in range(300):
+        for o in range(4):
+            rows.append((f"doc://c{s:04d}", "p0", f"T{o}", "lab", "m", "[s]"))
+
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    ctx.target_max_block_size = 16 * 1024
+    try:
+        # the Dataset snapshots the DataContext at CREATION — build it
+        # after the target override or the 16 KiB limit never applies
+        ds = rd.from_arrow(_triples_table(rows)).repartition(17)
+        def probe(df):
+            sizes = df.groupby("subj").size()
+            return pd.DataFrame(
+                {"hot_rows_seen": [int(sizes.get("doc://hot", 0))],
+                 "n_batches": [1]})
+
+        frag = dedup_triples(ds).map_batches(
+            probe, batch_format="pandas", batch_size=None).to_pandas()
+        hot_per_batch = frag["hot_rows_seen"][frag["hot_rows_seen"] > 0]
+        # (a) the hazard is live: the hot subject spans >1 downstream batch
+        assert len(hot_per_batch) > 1, (
+            "fixture no longer exercises output-block re-splitting — "
+            "grow the hot subject or shrink the target")
+
+        # (b) fused consumers are exact despite the re-split.
+        # cooccurrence runs at the default hub cap — the hot page's
+        # C(1200,2)=719k uncapped pairs would shatter into ~5,500 16 KiB
+        # blocks and grind the downstream sort (exactly the quadratic
+        # explosion the cap exists to prevent); negative_samples covers
+        # the hot page's whole-subject delivery in the same fused slot
+        co = cooccurrence_edges(ds).to_pandas()
+        neg = negative_samples(ds).to_pandas().astype(str)
+    finally:
+        ctx.target_max_block_size = old
+
+    df = pd.DataFrame(rows, columns=["subj", "pred", "obj", "l", "m", "st"])
+    ded = df.drop_duplicates(["subj", "pred", "obj"])
+    exp_pairs: dict = {}
+    for s, grp in ded.groupby("subj"):
+        objs = sorted(set(grp["obj"]))
+        if len(objs) > 128:  # engine's default max_page_terms hub cap
+            continue
+        for a, b in itertools.combinations(objs, 2):
+            exp_pairs[(a, b)] = exp_pairs.get((a, b), 0) + 1
+    exp_co = pd.DataFrame(
+        [(a, b, n) for (a, b), n in sorted(exp_pairs.items())],
+        columns=["obj_a", "obj_b", "n_pages"])
+    got_co = co.sort_values(["obj_a", "obj_b"]).reset_index(drop=True)
+    exp_co["n_pages"] = exp_co["n_pages"].astype(got_co["n_pages"].dtype)
+    pd.testing.assert_frame_equal(got_co, exp_co)
+
+    page_objs = ded.groupby("subj")["obj"].apply(lambda s: sorted(set(s)))
+    exp_rows = []
+    for r in ded.itertuples():
+        objs = page_objs[r.subj]
+        n = len(objs)
+        if n < 2:
+            continue
+        h = int(hashlib.md5(f"{r.subj}\x00{r.pred}\x00{r.obj}".encode())
+                .hexdigest()[:8], 16)
+        exp_rows.append((r.subj, r.pred, r.obj,
+                         objs[(objs.index(r.obj) + 1 + h % (n - 1)) % n]))
+    exp_neg = pd.DataFrame(exp_rows,
+                           columns=["subj", "pred", "obj", "neg_obj"])
+    g = neg.sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+    e = exp_neg.sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, e)
+
+
+def test_cooccurrence_hub_cap_drops_link_farm_page(ray_session):
+    """The enforced max_page_terms cap (VERDICT r4 #4): a link-farm page
+    naming 200 distinct terms generates NO pairs at the default cap, while
+    organic pages are untouched; uncapped, the hub's C(200,2) pairs come
+    back — both pinned against serial recomputation."""
+    import itertools
+
+    import ray.data as rd
+
+    from lexmapr_ray.pipelines.kg import cooccurrence_edges
+
+    rows = [("doc://hub", "p", f"H{o:03d}", "lab", "m", "[s]")
+            for o in range(200)]
+    for s in range(40):
+        for o in range(3):
+            rows.append((f"doc://c{s}", "p", f"T{o}", "lab", "m", "[s]"))
+    ds = rd.from_arrow(_triples_table(rows)).repartition(7)
+
+    capped = cooccurrence_edges(ds, max_page_terms=128).to_pandas()
+    assert not capped["obj_a"].str.startswith("H").any()
+    exp_cold = pd.DataFrame(
+        [(a, b, 40) for a, b in itertools.combinations(
+            [f"T{o}" for o in range(3)], 2)],
+        columns=["obj_a", "obj_b", "n_pages"])
+    got = capped.sort_values(["obj_a", "obj_b"]).reset_index(drop=True)
+    exp_cold["n_pages"] = exp_cold["n_pages"].astype(got["n_pages"].dtype)
+    pd.testing.assert_frame_equal(got, exp_cold)
+
+    uncapped = cooccurrence_edges(ds, max_page_terms=None).to_pandas()
+    n_hub_pairs = 200 * 199 // 2
+    assert len(uncapped) == len(exp_cold) + n_hub_pairs
+
+
+def test_fused_matcher_equals_separate_passes(ray_session, lexicon, sf_dir):
+    """The one-pass FusedMatcher (VERDICT r4 #2) must reproduce BOTH
+    standalone stages byte-for-byte: triples == extract_triples, contexts
+    == mention_contexts — the memoized cascade is a pure cache, never a
+    semantic change."""
+    import ray
+    import ray.data as rd
+
+    from lexmapr_ray.pipelines.kg import (extract_triples,
+                                          extract_triples_and_contexts,
+                                          mention_contexts)
+    from lexmapr_ray.sources.pages import pages_from_documents
+
+    lexref = ray.put(lexicon)
+    ft, fc = extract_triples_and_contexts(
+        pages_from_documents(sf_dir), lexref)
+    st = extract_triples(pages_from_documents(sf_dir), lexref)
+    sc = mention_contexts(pages_from_documents(sf_dir), lexref)
+
+    def norm(ds):
+        df = ds.to_pandas()
+        for c in df.columns:
+            if df[c].dtype == object or str(df[c].dtype) == "category":
+                df[c] = df[c].astype(str)
+        return df.sort_values(list(df.columns), kind="mergesort") \
+            .reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(norm(ft), norm(st))
+    pd.testing.assert_frame_equal(norm(fc), norm(sc))
+    assert len(norm(ft)) > 0 and len(norm(fc)) > 0
+
+
 def test_host_entity_profile_matches_serial(ray_session):
     """Per-(host, term) counts vs a serial recomputation, with a hot
     (host, obj) pair spread across many blocks and subjects straddling
