@@ -773,8 +773,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c.c_custkey ORDER BY c.c_custkey
         """,
         "q6_forecast_revenue": """
-            SELECT SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
-                       * CAST(ROUND(l_discount*100) AS BIGINT))::BIGINT
+            SELECT COALESCE(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                       * CAST(ROUND(l_discount*100) AS BIGINT)), 0)::BIGINT
                        AS revenue_e4,
                    COUNT(*)::BIGINT AS n_items
             FROM lineitem
@@ -804,9 +804,9 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
         """,
         "q19_discount_revenue": """
-            SELECT SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)
+            SELECT COALESCE(SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)
                        * (100 - CAST(ROUND(l.l_discount*100) AS BIGINT))
-                       )::BIGINT AS revenue_e4,
+                       ), 0)::BIGINT AS revenue_e4,
                    COUNT(*)::BIGINT AS n_items
             FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
             WHERE (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 10

@@ -52,6 +52,13 @@ def global_topk(ds, keys: list[str], descending: list[bool], k: int,
     is always populated.  (``Dataset.union`` with a 0-row block was tried
     first and trips an executor assertion on sort-bearing plans in Ray
     2.49.)
+
+    NOTE: the ``schema=`` path is EAGER — ``take_all()`` executes the
+    whole upstream pipeline at CALL time (the returned Dataset is a
+    re-wrap of the ≤ k collected rows, not a lazy view), unlike the
+    ``schema=None`` path which stays a lazy Dataset.  Acceptable because
+    the collected result is ≤ k rows, but callers composing further
+    pipeline stages on top should know construction pays the full run.
     """
     out = topk_prune(ds, keys, descending, k).sort(
         keys, descending=descending

@@ -1058,8 +1058,10 @@ def anchor_text_triples(sf_dir: str, lexicon_ref=None):
         texts: list[str] = []
         for h in t["html"].to_pylist():
             for m in anchor_re.finditer(h):
-                urls.append(m.group(1).decode("utf-8"))
-                texts.append(m.group(2).decode("utf-8"))
+                # errors="replace": one non-UTF8 anchor byte in a hostile
+                # crawl must not kill the task (advisor r4)
+                urls.append(m.group(1).decode("utf-8", errors="replace"))
+                texts.append(m.group(2).decode("utf-8", errors="replace"))
         return pa.table({
             "url": pa.array(urls, pa.string()),
             "text": pa.array(texts, pa.string()),

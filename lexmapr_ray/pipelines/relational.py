@@ -169,6 +169,28 @@ def _prep_li_revenue(t: pa.Table) -> pa.Table:
     })
 
 
+def _scalar_agg_row(agg, *, revenue_col: str = "revenue_e4",
+                    count_col: str = "n_items"):
+    """Finish a constant-key global-sum query: ≤1 row by construction, so
+    collect it and re-wrap as one typed block — emitting the SQL-standard
+    (0, 0) row when the filter matched nothing (a bare grouped reduce
+    returns ZERO rows there, while ``SELECT SUM(..), COUNT(*)`` returns
+    one; advisor r4).  Eager like global_topk's schema= path, and equally
+    bounded: one 16-byte row crosses the driver."""
+    import ray.data as rd
+
+    schema = pa.schema([(revenue_col, pa.int64()), (count_col, pa.int64())])
+    rows = agg.take_all()
+    if rows:
+        tbl = pa.Table.from_pylist(
+            [{revenue_col: rows[0][revenue_col],
+              count_col: rows[0][count_col]}], schema=schema)
+    else:
+        tbl = pa.Table.from_pylist(
+            [{revenue_col: 0, count_col: 0}], schema=schema)
+    return rd.from_arrow(tbl)
+
+
 def q6_forecast_revenue(sf_dir: str, date_lo: str = "1996-01-01",
                         date_hi: str = "1997-01-01",
                         disc_lo_cents: int = 5, disc_hi_cents: int = 7,
@@ -209,8 +231,7 @@ def q6_forecast_revenue(sf_dir: str, date_lo: str = "1996-01-01",
     agg = grouped_sum_count(ds.map_batches(prep, batch_format="pyarrow"),
                             "one", {"revenue_e4": "revenue_e4"},
                             count_alias="n_items")
-    return agg.map_batches(
-        lambda t: t.select(["revenue_e4", "n_items"]), batch_format="pyarrow")
+    return _scalar_agg_row(agg)
 
 
 def q7_volume_shipping(sf_dir: str, nation_a: str = "NATION_0",
@@ -345,8 +366,7 @@ def q19_discount_revenue(sf_dir: str):
         .map_batches(prep, batch_format="pyarrow")
     agg = grouped_sum_count(ds, "one", {"revenue_e4": "revenue_e4"},
                             count_alias="n_items")
-    return agg.map_batches(
-        lambda t: t.select(["revenue_e4", "n_items"]), batch_format="pyarrow")
+    return _scalar_agg_row(agg)
 
 
 def q4_order_priority(sf_dir: str, date_lo: str = "1996-01-01",

@@ -1054,11 +1054,18 @@ def anchor_text_profile(sf_dir: str):
     def extract(t: pa.Table) -> pa.Table:
         dsts, hosts, texts = [], [], []
         for u, h in zip(t["url"].to_pylist(), t["html"].to_pylist()):
-            sh = host_re.search(u).group(1)
+            # hostile-crawl guards (advisor r4): a url with no '://'
+            # contributes nothing instead of AttributeError-ing the task,
+            # and non-UTF8 anchor bytes decode with replacement instead
+            # of killing the whole block
+            hm = host_re.search(u)
+            if hm is None:
+                continue
+            sh = hm.group(1)
             for m in anchor_re.finditer(h):
-                dsts.append(m.group(1).decode("utf-8"))
+                dsts.append(m.group(1).decode("utf-8", errors="replace"))
                 hosts.append(sh)
-                texts.append(m.group(2).decode("utf-8"))
+                texts.append(m.group(2).decode("utf-8", errors="replace"))
         return pa.table({"dst_url": pa.array(dsts, pa.string()),
                          "src_host": pa.array(hosts, pa.string()),
                          "anchor_text": pa.array(texts, pa.string())})
@@ -1131,10 +1138,19 @@ def host_link_graph(sf_dir: str):
         srcs: list[str] = []
         dsts: list[str] = []
         for u, h in zip(t["url"].to_pylist(), t["html"].to_pylist()):
-            sh = host_re.search(u).group(1)
+            # hostile-crawl guards: host-less urls / non-UTF8 or host-less
+            # hrefs are skipped instead of killing the task (advisor r4)
+            hm = host_re.search(u)
+            if hm is None:
+                continue
+            sh = hm.group(1)
             for m in href_re.finditer(h):
+                dm = host_re.search(m.group(1).decode("utf-8",
+                                                      errors="replace"))
+                if dm is None:
+                    continue
                 srcs.append(sh)
-                dsts.append(host_re.search(m.group(1).decode("utf-8")).group(1))
+                dsts.append(dm.group(1))
         return pa.table({"src_host": pa.array(srcs, pa.string()),
                          "dst_host": pa.array(dsts, pa.string())})
 

@@ -3050,3 +3050,20 @@ def test_url_canonicalize_rules_and_oracle(ray_session, tmp_path):
     # all three raw variants of one doc collapse to ONE canonical url
     assert got.loc[got["url"] == "https://host2.example/p/2?q=2",
                    "n_captures"].item() == 3
+
+
+def test_scalar_agg_queries_emit_zero_row_when_filter_matches_nothing(
+        ray_session, sf_dir):
+    """Advisor r4: SELECT SUM(..), COUNT(*) over an empty filter returns
+    ONE (NULL->0, 0) row in SQL; the constant-key grouped reduce used to
+    return ZERO rows — a degenerate corpus or narrowed parameters would
+    gate-fail on shape.  q6 with an impossible date window must emit the
+    (0, 0) row."""
+    from lexmapr_ray.pipelines.relational import q6_forecast_revenue
+
+    got = q6_forecast_revenue(sf_dir, date_lo="2050-01-01",
+                              date_hi="2050-01-02").to_pandas()
+    assert list(got.columns) == ["revenue_e4", "n_items"]
+    assert len(got) == 1
+    assert int(got["revenue_e4"].iloc[0]) == 0
+    assert int(got["n_items"].iloc[0]) == 0

@@ -360,3 +360,45 @@ def test_redirect_resolve_doubling_equals_linear(ray_session, tmp_path):
     res = got[got["resolved"] == 1]
     assert (res["final_id"] % 3 == 0).all()
     assert (got.loc[got["doc_id"] % 3 == 0, "hops"] == 0).all()
+
+
+def test_anchor_parsers_survive_hostile_crawl(ray_session, monkeypatch):
+    """Hostile-crawl hardening (advisor r4): a page url without '://' and
+    anchors carrying non-UTF8 bytes must be SKIPPED / replacement-decoded,
+    not kill the task — the ops are framed around real crawls."""
+    import ray.data as rd
+
+    import lexmapr_ray.sources.pages as pages_mod
+    from lexmapr_ray.pipelines.webgraph import (anchor_text_profile,
+                                                host_link_graph)
+
+    good = (b'<html><a href="http://h2.example/p1">chicken breast</a>'
+            b'<a href="http://h3.example/p2">\xff\xfebad bytes</a></html>')
+    hostile_rows = pa.table({
+        "url": pa.array(["http://h1.example/a", "no-scheme-url", ""],
+                        pa.string()),
+        "html": pa.array([good, good, b"<a href=\"relative/x\">t</a>"],
+                         pa.binary()),
+    })
+
+    def fake_pages(sf_dir):
+        return rd.from_arrow(hostile_rows)
+
+    monkeypatch.setattr(pages_mod, "linked_pages_from_documents", fake_pages)
+
+    prof = anchor_text_profile("unused").to_pandas()
+    # only the well-formed page contributes; both its anchors survive
+    # (the second with U+FFFD replacement chars)
+    assert set(prof["dst_url"]) == {"http://h2.example/p1",
+                                    "http://h3.example/p2"}
+    assert (prof["n_src_hosts"] == 1).all()
+    bad = prof.loc[prof["dst_url"] == "http://h3.example/p2",
+                   "anchor_text"].iloc[0]
+    assert "�" in bad and "bad bytes" in bad
+
+    hlg = host_link_graph("unused").to_pandas()
+    # host-less page urls and host-less hrefs are skipped; the good page's
+    # two absolute-href anchors remain
+    assert set(zip(hlg["src_host"], hlg["dst_host"])) == {
+        ("h1.example", "h2.example"), ("h1.example", "h3.example")}
+    assert (hlg["n_links"] == 1).all()
