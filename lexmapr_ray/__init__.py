@@ -2,6 +2,11 @@
 
 import logging
 
+# Surfaced by `legacy-run -v/--version` (reference bin/lexmapr:48-49
+# prints `lexmapr <__version__>` the same way; ours is this engine's own
+# version, not the reference's 0.7.3)
+__version__ = "0.5.0"
+
 
 class _DropSchemaHashNoise(logging.Filter):
     """Ray Data's schema-dedup fast path hashes block schemas and logs a

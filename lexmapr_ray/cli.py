@@ -23,6 +23,12 @@ import os
 import sys
 
 
+def _version() -> str:
+    import lexmapr_ray
+
+    return lexmapr_ray.__version__
+
+
 def _ensure_ray():
     import ray
 
@@ -96,22 +102,31 @@ PROFILES = {
 
 def cmd_legacy_run(args) -> int:
     # serial conformance path — byte-compatible with the reference output
-    from lexmapr_ray.pipelines.legacy import run_samples
+    from lexmapr_ray.pipelines.legacy import build_legacy_lexicon, run_samples
 
     if args.profile:
         for key, val in PROFILES[args.profile].items():
             if not getattr(args, key):
                 setattr(args, key, val)
 
+    # reference pipeline.py:28-54: predefined resources, optionally merged
+    # with the --config ontology lookup table (--no-cache bypasses the
+    # per-config JSON cache)
+    lexicon = build_legacy_lexicon(config=args.config,
+                                   no_cache=args.no_cache,
+                                   bucket=args.bucket)
+
     if args.distributed:
         _ensure_ray()
         from lexmapr_ray.pipelines.legacy import run_samples_distributed
 
         report = run_samples_distributed(
-            args.input_file, full=args.full, bucket=args.bucket
+            args.input_file, lexicon=lexicon, full=args.full,
+            bucket=args.bucket
         )
     else:
-        report = run_samples(args.input_file, full=args.full, bucket=args.bucket)
+        report = run_samples(args.input_file, lexicon=lexicon,
+                             full=args.full, bucket=args.bucket)
     if args.output:
         with open(args.output, "w") as f:
             f.write(report)
@@ -147,6 +162,15 @@ def main(argv=None) -> int:
     legacy.add_argument("-o", "--output", nargs="?")
     legacy.add_argument("-f", "--full", action="store_true")
     legacy.add_argument("-b", "--bucket", action="store_true")
+    # reference bin/lexmapr:38-49 flag parity
+    legacy.add_argument("-c", "--config", metavar="JSON",
+                        help="JSON file listing ontology IRIs to fetch "
+                             "terms from (file:// IRIs resolve offline)")
+    legacy.add_argument("--no-cache", action="store_true",
+                        help="ignore/replace the cached per-config "
+                             "ontology lookup table, if any")
+    legacy.add_argument("-v", "--version", action="version",
+                        version="%(prog)s " + _version())
     legacy.add_argument("-p", "--profile", choices=sorted(PROFILES))
     legacy.add_argument("--distributed", action="store_true",
                         help="run the matcher on the Ray actor pool "

@@ -44,7 +44,12 @@ def broadcast_lexicon(lexicon=None, *, config: str | None = None, resolve=None):
         from lexmapr_ray.lexkit.ontology import get_config_resources
 
         onto_table = get_config_resources(config, resolve=resolve)
-        merged = merge_lookup_tables(dict(lexicon.table), onto_table)
+        # copy the NESTED dicts too: merge_lookup_tables mutates its first
+        # argument in place (reference parity), and a shallow dict() would
+        # silently pollute the caller's lexicon while leaving its built
+        # indexes stale
+        merged = merge_lookup_tables(
+            {k: dict(v) for k, v in lexicon.table.items()}, onto_table)
         lexicon = Lexicon(merged, lexicon.scientific_names).build_indexes()
     return ray.put(lexicon)
 
@@ -270,7 +275,23 @@ def _block_dedup_sorted(t: pa.Table) -> pa.Table:
 
 
 
-def dedup_triples(triples_ds, *, block_fn=None):
+_WIRE_ENCODE_COLS = ("obj_label", "mention", "status")
+
+
+def _dict_encode_payload(t: pa.Table) -> pa.Table:
+    """Dictionary-encode the payload (non-key) triple columns ahead of the
+    sort shuffle — the NIC-byte-oriented wire format for multi-node runs
+    (see dedup_triples ``wire_encode``)."""
+    cols = {}
+    for name in t.column_names:
+        c = t[name]
+        if name in _WIRE_ENCODE_COLS and not pa.types.is_dictionary(c.type):
+            c = pc.dictionary_encode(c.combine_chunks())
+        cols[name] = c
+    return pa.table(cols)
+
+
+def dedup_triples(triples_ds, *, block_fn=None, wire_encode: bool = False):
     """Exact (subj, pred, obj) dedup, one shuffle, fully vectorized:
     per-batch local dedup (combiner) -> global sort on the triple key
     (equal keys are guaranteed co-partitioned) -> per-block drop_duplicates.
@@ -290,7 +311,18 @@ def dedup_triples(triples_ds, *, block_fn=None):
     fragmented at any downstream ``map_batches`` (advisor r4; pinned by
     tests/test_kg_pipeline.py hot-subject case).  cooccurrence_edges,
     negative_samples and density_filter all pass their per-page reduction
-    here instead of mapping over the returned Dataset."""
+    here instead of mapping over the returned Dataset.
+
+    ``wire_encode=True`` dictionary-encodes the payload columns
+    (obj_label, mention, status — ~half the row bytes) between the
+    combiner and the sort; the post-sort reduce decodes, so the output is
+    byte-identical either way (pinned by
+    tests/test_kg_pipeline.py::test_dedup_wire_encode_paths_identical).
+    Measured SLOWER single-node twice (see the combiner comment below —
+    shared-memory object store, encode CPU buys nothing), but on a
+    multi-node cluster where the sort crosses NICs the byte savings win;
+    the flag ships the experiment so a real deployment flips it without
+    re-deriving it."""
     # batch_size bundles matcher output blocks into one dedup task: local
     # combining AND block-count coalescing ahead of the shuffle in a single
     # streaming stage (no Repartition barrier); see canonicalize_mentions
@@ -314,6 +346,10 @@ def dedup_triples(triples_ds, *, block_fn=None):
     ds = triples_ds.map_batches(
         _block_dedup_sorted, batch_format="pyarrow", batch_size=131072
     )
+    if wire_encode:
+        # fuses with the combiner task (adjacent task-pool maps) — no
+        # extra exchange, just the encode kernel on the shuffle input
+        ds = ds.map_batches(_dict_encode_payload, batch_format="pyarrow")
     # Sort on subj ALONE (not the full triple key): equal (subj,pred,obj)
     # rows share a subj, so single-key range partitioning still co-locates
     # every duplicate group (dedup stays exact — the block reduce re-sorts

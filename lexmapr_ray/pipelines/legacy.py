@@ -56,6 +56,37 @@ def iter_sample_rows(input_path: str):
             yield row[0].strip(), " ".join(row[1:]).strip()
 
 
+def build_legacy_lexicon(
+    *,
+    config: str | None = None,
+    no_cache: bool = False,
+    bucket: bool = False,
+    resolve=None,
+) -> Lexicon:
+    """Reference pipeline.py:28-54 resource assembly for the legacy CLI:
+    predefined resources (+classification tables when ``bucket``), then —
+    when a ``--config`` ontology JSON is given — the fetched ontology
+    lookup table merged in, ontology side winning, honoring ``--no-cache``
+    (reference get_config_resources(path, no_cache),
+    pipeline_resources.py:74-101)."""
+    from lexmapr_ray.lexkit.lexicon import (Lexicon, build_lexicon,
+                                            merge_lookup_tables)
+
+    lexicon = build_lexicon(classification=bucket)
+    if config:
+        from lexmapr_ray.lexkit.ontology import get_config_resources
+
+        onto = get_config_resources(config, no_cache=no_cache,
+                                    resolve=resolve)
+        # nested copy: merge_lookup_tables mutates arg one in place
+        # (reference parity) — a shallow dict() would pollute the base
+        # lexicon's nested dicts while leaving its indexes stale
+        merged = merge_lookup_tables(
+            {k: dict(v) for k, v in lexicon.table.items()}, onto)
+        lexicon = Lexicon(merged, lexicon.scientific_names).build_indexes()
+    return lexicon
+
+
 def run_samples(
     input_path: str,
     *,

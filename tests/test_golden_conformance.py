@@ -57,3 +57,45 @@ def test_golden(golden, inp, full, bucket, lexicon):
         lexicon=lexicon, full=full, bucket=bucket,
     )
     assert got == expected
+
+
+def test_legacy_cli_flag_parity(tmp_path, capsys):
+    """Reference bin/lexmapr:36-54 flag surface on legacy-run: -v prints
+    the version, -c merges an ontology config into the lexicon end-to-end
+    to a golden-format TSV (file:// IRI, offline seam), --no-cache is
+    accepted and bypasses the per-config cache."""
+    import json
+
+    import pytest as _pytest
+
+    import lexmapr_ray
+    from lexmapr_ray import cli
+
+    with _pytest.raises(SystemExit) as e:
+        cli.main(["legacy-run", "x.csv", "-v"])
+    assert e.value.code == 0
+    assert lexmapr_ray.__version__ in capsys.readouterr().out
+
+    # pizza.owl under the #Food root adds labels the predefined lexicon
+    # does NOT carry (e.g. coberturademozzarella -> MozzarellaTopping) —
+    # so the positive match below proves the -c merge wiring end-to-end
+    owl = "/root/reference/lexmapr/tests/test_ontologies/pizza.owl"
+    root = "http://www.co-ode.org/ontologies/pizza/pizza.owl#Food"
+    cfg = tmp_path / "pizza_food.json"
+    cfg.write_text(json.dumps([{f"file://{owl}": root}]))
+    csv_in = tmp_path / "samples.csv"
+    csv_in.write_text("SampleId,Sample\ns1,coberturademozzarella\n")
+    out = tmp_path / "report.tsv"
+
+    rc = cli.main(["legacy-run", str(csv_in), "-c", str(cfg),
+                   "--no-cache", "-o", str(out)])
+    assert rc == 0
+    report = out.read_text()
+    assert report.splitlines()[0].startswith("Sample_Id\t")
+    assert "PIZZA.OWL_MOZZARELLATOPPING" in report
+    assert "Full Term Match" in report
+
+    # without the config the term is NOT in the predefined lexicon
+    rc = cli.main(["legacy-run", str(csv_in), "-o", str(out)])
+    assert rc == 0
+    assert "PIZZA.OWL_MOZZARELLATOPPING" not in out.read_text()

@@ -733,3 +733,28 @@ def test_anchor_entity_links_parses_html_exact(ray_session, lexicon, tmp_path):
     # distinct targets with a matching phrase only; every subj is a target
     assert got["subj"].str.contains(r"\.example/p/\d+$").all()
     assert (got.groupby("subj").size() >= 1).all()
+
+
+def test_dedup_wire_encode_paths_identical(ray_session, skewed_triples):
+    """wire_encode=True (NIC-byte shuffle format for multi-node sorts)
+    must be a pure wire-format change: byte-identical output to the
+    plain-string path, including through a fused block_fn."""
+    from lexmapr_ray.pipelines.kg import dedup_triples
+
+    plain = dedup_triples(skewed_triples).to_pandas().reset_index(drop=True)
+    wired = dedup_triples(skewed_triples, wire_encode=True) \
+        .to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(plain, wired)
+
+    def count_block(t):
+        import pandas as _pd
+        g = t.to_pandas().groupby("subj", sort=True).size() \
+            .reset_index(name="n")
+        return g
+
+    pf = dedup_triples(skewed_triples, block_fn=count_block) \
+        .to_pandas().sort_values("subj").reset_index(drop=True)
+    wf = dedup_triples(skewed_triples, block_fn=count_block,
+                       wire_encode=True) \
+        .to_pandas().sort_values("subj").reset_index(drop=True)
+    pd.testing.assert_frame_equal(pf, wf)
