@@ -456,8 +456,82 @@ def main():
             n = host_near_dup(SF_DIR, docs_per_host=dph).count()
             out[f"host_near_dup_{tag}_sec"] = round(time.time() - t0, 2)
             out[f"host_near_dup_{tag}_pairs"] = n
+
+        # link-farm hub cap (VERDICT r4 #4): one page naming HUB_TERMS
+        # distinct terms among uniform pages — capped pair generation must
+        # stay flat while the uncapped C(K,2) explosion is the documented
+        # quadratic hazard the cap removes
+        import pyarrow as _pa
+
+        from lexmapr_ray.pipelines.kg import cooccurrence_edges
+        from lexmapr_ray.stages.match import TRIPLES_SCHEMA
+
+        hub_terms = int(os.environ.get("HUB_TERMS", "2000"))
+
+        def hub_triples():
+            rows = [dict(subj="doc://hub", pred="p", obj=f"H{o:05d}",
+                         obj_label="l", mention="m", status="[]")
+                    for o in range(hub_terms)]
+            for s in range(20000):
+                for o in range(6):
+                    rows.append(dict(subj=f"doc://c{s:05d}", pred="p",
+                                     obj=f"T{(s + o) % 40}", obj_label="l",
+                                     mention="m", status="[]"))
+            return rd.from_arrow(
+                _pa.Table.from_pylist(rows, schema=TRIPLES_SCHEMA))
+
+        t0 = time.time()
+        n_capped = cooccurrence_edges(hub_triples()).count()
+        out["coocc_hub_capped_sec"] = round(time.time() - t0, 2)
+        out["coocc_hub_capped_edges"] = n_capped
+        t0 = time.time()
+        n_raw = cooccurrence_edges(hub_triples(), max_page_terms=None).count()
+        out["coocc_hub_uncapped_sec"] = round(time.time() - t0, 2)
+        out["coocc_hub_uncapped_edges"] = n_raw
+
         out["value"] = out["kg_entities_hot50_sec"]
         print(json.dumps(out))
+        ray.shutdown()
+        return
+
+    if "--fused-contexts" in sys.argv:
+        # VERDICT r4 #2: one matcher pass emitting triples AND evidence
+        # contexts vs paying the matcher-bound cascade twice.  Both paths
+        # materialize BOTH outputs; pilot warms the pools untimed.
+        import ray
+        import ray.data as rd
+
+        _init_ray(NUM_CPUS)
+        from lexmapr_ray.pipelines.kg import (broadcast_lexicon,
+                                              extract_triples,
+                                              extract_triples_and_contexts,
+                                              mention_contexts)
+
+        pages = int(os.environ.get("FUSED_PAGES", "100000"))
+        corpus = _corpus_dir(pages)
+        ref = broadcast_lexicon()
+        pool = _pool_size(NUM_CPUS)
+
+        extract_triples(rd.read_parquet(corpus).limit(2000), ref,
+                        concurrency=pool).count()  # warm, untimed
+        t0 = time.time()
+        nt = extract_triples(rd.read_parquet(corpus), ref,
+                             concurrency=pool, batch_size=512).count()
+        nc = mention_contexts(rd.read_parquet(corpus), ref,
+                              concurrency=pool, batch_size=512).count()
+        sep = time.time() - t0
+        t0 = time.time()
+        ft, fc = extract_triples_and_contexts(
+            rd.read_parquet(corpus), ref, concurrency=pool, batch_size=512)
+        nft, nfc = ft.count(), fc.materialize().count()
+        fused = time.time() - t0
+        assert (nft, nfc) == (nt, nc), (nft, nfc, nt, nc)
+        print(json.dumps({
+            "metric": "fused_triples_plus_contexts", "unit": "sec",
+            "value": round(fused, 2), "separate_sec": round(sep, 2),
+            "speedup": round(sep / fused, 2), "pages": pages,
+            "triples": nt, "contexts": nc, "num_cpus": NUM_CPUS,
+        }))
         ray.shutdown()
         return
 

@@ -18,6 +18,7 @@ graft driver own their own sessions).
 from __future__ import annotations
 
 import argparse
+import json
 import glob
 import os
 import sys
@@ -91,6 +92,46 @@ def cmd_kg_run(args) -> int:
     return 0
 
 
+def cmd_kg_ingest(args) -> int:
+    _ensure_ray()
+    import ray.data as rd
+
+    from lexmapr_ray.pipelines.ingest import ingest_batch
+    from lexmapr_ray.pipelines.kg import broadcast_lexicon
+
+    if args.batch.startswith("synth:"):
+        from lexmapr_ray.sources.pages import synth_pages_dataset
+
+        n = int(args.batch[len("synth:"):])
+        pages = synth_pages_dataset(n)
+        default_bid = f"synth{n}"
+    else:
+        paths = sorted(glob.glob(args.batch))
+        if not paths:
+            print(f"no parquet files match {args.batch!r}", file=sys.stderr)
+            return 2
+        pages = rd.read_parquet(paths)
+        import hashlib as _hashlib
+
+        default_bid = _hashlib.md5(
+            "\0".join(paths).encode()).hexdigest()[:12]
+
+    metrics = ingest_batch(
+        pages,
+        graph_dir=args.graph,
+        index_dir=args.index,
+        corpus_dir=args.corpus,
+        batch_id=args.batch_id or default_bid,
+        lexicon_ref=broadcast_lexicon(config=args.config),
+        threshold=args.threshold / 100.0,
+        bucket=args.bucket,
+        batch_size=args.batch_size,
+    )
+    print(json.dumps(metrics) if not metrics.get("skipped") else
+          f"batch {metrics['batch_id']} already committed — skipped")
+    return 0
+
+
 # Packaged profiles (reference: resources/profiles/<p>/<p>_args.json,
 # pipeline_resources.py:17-37 — profile values fill in unset args only).
 # The reference's prebuilt ifsac lookup TABLE is a stripped blob upstream;
@@ -156,6 +197,28 @@ def main(argv=None) -> int:
                     help="also write canonicalized entities (surface form -> "
                          "canonical term) to DIR")
     kg.set_defaults(fn=cmd_kg_run)
+
+    ing = sub.add_parser(
+        "kg-ingest",
+        help="ingest ONE new crawl batch: near-dup gate vs the persisted "
+             "LSH index -> extract -> merge into the existing sorted graph")
+    ing.add_argument("--batch", required=True,
+                     help="parquet glob of the new pages batch, or synth:<n>")
+    ing.add_argument("--graph", required=True,
+                     help="graph store dir (versioned; _CURRENT pointer)")
+    ing.add_argument("--index", required=True,
+                     help="persisted banded-LSH index dir (appended per batch)")
+    ing.add_argument("--corpus", required=True,
+                     help="accepted-pages corpus store dir (appended per batch)")
+    ing.add_argument("--batch-id",
+                     help="idempotency key (default: md5 of the input files)")
+    ing.add_argument("--threshold", type=int, default=80,
+                     help="near-dup Jaccard threshold, percent (default 80)")
+    ing.add_argument("--batch-size", type=int, default=256)
+    ing.add_argument("--bucket", action="store_true")
+    ing.add_argument("--config", metavar="JSON",
+                     help="ontology config merged into the lexicon")
+    ing.set_defaults(fn=cmd_kg_ingest)
 
     legacy = sub.add_parser("legacy-run", help="LexMapr-compatible CSV->TSV run")
     legacy.add_argument("input_file")

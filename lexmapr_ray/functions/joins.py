@@ -351,16 +351,44 @@ def bucketed_hash_join(
         list(left_arrow) + [right_arrow.field(c) for c in right_value_cols]
     )
 
-    def _merge_block(g: pd.DataFrame) -> pa.Table:
+    def _int_nullsafe_pandas(t: pa.Table) -> pd.DataFrame:
+        """Arrow -> pandas WITHOUT float64 promotion of null-bearing int
+        columns: the union block carries typed int64 nulls (the _tag fill
+        for the other side's columns), and the default conversion promotes
+        those columns to float64 — silently corrupting any int64 key past
+        2^53 (53-bit mantissa; reproduced with md5-derived 63-bit doc ids:
+        two distinct ids merged as equal after losing low bits).  Integer
+        columns convert to pandas nullable Int64/Int32/... dtypes instead;
+        null-free semantics are unchanged and from_pandas=True on the way
+        out maps pd.NA back to Arrow nulls."""
+        mapper = {
+            pa.int8(): pd.Int8Dtype(), pa.int16(): pd.Int16Dtype(),
+            pa.int32(): pd.Int32Dtype(), pa.int64(): pd.Int64Dtype(),
+            pa.uint8(): pd.UInt8Dtype(), pa.uint16(): pd.UInt16Dtype(),
+            pa.uint32(): pd.UInt32Dtype(), pa.uint64(): pd.UInt64Dtype(),
+        }
+        null_int = {f.name for f in t.schema
+                    if f.type in mapper and t[f.name].null_count > 0}
+        if not null_int:
+            return t.to_pandas()
+        return t.to_pandas(
+            types_mapper=lambda typ: mapper.get(typ),
+            # only null-bearing columns need the nullable dtype; the rest
+            # keep plain numpy dtypes so block_fns see unchanged frames
+        ) .astype({f.name: f.type.to_pandas_dtype() for f in t.schema
+                   if f.type in mapper and f.name not in null_int})
+
+    def _merge_block(t: pa.Table) -> pa.Table:
+        g = _int_nullsafe_pandas(t)
         l = g[g["__side"] == 0][left_cols]
         r = g[g["__side"] == 1][[on] + right_value_cols]
         m = l.merge(r, on=on, how=how)
         if block_fn is not None:
             return pa.Table.from_pandas(block_fn(m), preserve_index=False)
         # emit a TYPED Arrow table: the sorted union block hands us object /
-        # NaN-promoted columns, and leaving the output as pandas loses the
+        # NA-promoted columns, and leaving the output as pandas loses the
         # Arrow types downstream (breaking join chaining); from_pandas=True
-        # maps NaN -> null so outer joins keep integer columns nullable
+        # maps NaN/pd.NA -> null so outer joins keep integer columns nullable
         return pa.Table.from_arrays(
             [pa.array(m[f.name], type=f.type, from_pandas=True) for f in out_schema],
             schema=out_schema,
@@ -369,7 +397,9 @@ def bucketed_hash_join(
     # sort on the bucket id co-locates every bucket (hence every key) in
     # exactly one block, so one pandas merge per BLOCK is exact — the same
     # sort-co-location argument as lexmapr_ray.pipelines.kg.dedup_triples,
-    # and much cheaper than groupby().map_groups
+    # and much cheaper than groupby().map_groups.  pyarrow batch format:
+    # the pandas conversion must go through _int_nullsafe_pandas, not
+    # Ray's default (which does the float64 promotion being avoided).
     return unioned.sort("__bucket").map_batches(
-        _merge_block, batch_format="pandas", batch_size=None
+        _merge_block, batch_format="pyarrow", batch_size=None
     )

@@ -1136,12 +1136,20 @@ def minhash_index_dedup_persisted(sf_dir: str, index_dir: str | None = None,
 
 
 def _index_dedup_verdicts(banded, docs, threshold: float,
-                          existing_permille: int):
+                          existing_permille: int | None = None,
+                          *, pretagged: bool = False):
     """Shared tail of the incremental-dedup topology: singleton prefilter,
     bucket-sorted cross-side candidates, distributed exact-Jaccard verify,
     per-new-doc argmax verdict.  ``banded`` rows may come from a live
     MinHasher pass, a persisted index, or their union — identical rows
-    give identical verdicts."""
+    give identical verdicts.
+
+    New/existing sides: either the engine-wide deterministic permille gate
+    on doc_id (``existing_permille``, the self-oracled query surface) or —
+    ``pretagged=True`` — a caller-provided boolean ``is_new`` column on the
+    banded rows (the real ingest topology, pipelines/ingest.py, where
+    'existing' means 'row came from the persisted index', no arithmetic
+    gate exists)."""
     import pandas as pd
 
     from lexmapr_ray.functions.joins import bucketed_hash_join
@@ -1168,7 +1176,9 @@ def _index_dedup_verdicts(banded, docs, threshold: float,
         return m[["doc_a", "doc_b"]].drop_duplicates()
 
     # doc_a = new doc, doc_b = existing doc (sides fixed, not ordered ids)
-    cand = banded.map_batches(tag, batch_format="pyarrow").sort("bucket") \
+    tagged = banded if pretagged else \
+        banded.map_batches(tag, batch_format="pyarrow")
+    cand = tagged.sort("bucket") \
         .map_batches(cross_pairs, batch_format="pandas", batch_size=None)
 
     def explode(t: pa.Table) -> pa.Table:
