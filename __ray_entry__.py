@@ -153,6 +153,33 @@ def _kg_mention_contexts(sf_dir: str):
     return mention_contexts(pages_from_documents(sf_dir), _lexicon_ref())
 
 
+def _kg_fused_triples(sf_dir: str):
+    """The flagship graph recomputed through the ONE-PASS FusedMatcher
+    (pipelines/kg.py::extract_triples_and_contexts — emits triples AND
+    evidence contexts from a single cascade, VERDICT r4 #2).  Must be
+    bit-identical to kg_triples; oracled by the same committed serial
+    expected table."""
+    from lexmapr_ray.pipelines.kg import (extract_triples_and_contexts,
+                                          materialize_graph)
+    from lexmapr_ray.sources.pages import pages_from_documents
+
+    triples, _ = extract_triples_and_contexts(
+        pages_from_documents(sf_dir), _lexicon_ref())
+    return materialize_graph(triples)
+
+
+def _kg_fused_contexts(sf_dir: str):
+    """The evidence-context family from the SAME one-pass FusedMatcher
+    run; must be bit-identical to kg_mention_contexts (same serial
+    expected oracle)."""
+    from lexmapr_ray.pipelines.kg import extract_triples_and_contexts
+    from lexmapr_ray.sources.pages import pages_from_documents
+
+    _, contexts = extract_triples_and_contexts(
+        pages_from_documents(sf_dir), _lexicon_ref())
+    return contexts
+
+
 def _kg_negative_samples(sf_dir: str):
     """Deterministic in-page hard-negative sampling over the deduped graph
     (pipelines/kg.py::negative_samples).  Oracled by plain SQL that
@@ -358,6 +385,8 @@ _DRIVER_PRIORITY = [
     "kg_cooccurrence",
     "kg_density_filter",
     "q6_forecast_revenue",
+    "kg_fused_triples",
+    "kg_fused_contexts",
 ]
 
 
@@ -546,6 +575,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_incremental_merge": _kg_incremental_merge,
         "kg_confidence": _kg_confidence,
         "kg_mention_contexts": _kg_mention_contexts,
+        "kg_fused_triples": _kg_fused_triples,
+        "kg_fused_contexts": _kg_fused_contexts,
         "kg_negative_samples": _kg_negative_samples,
         "kg_snapshot_diff": _kg_snapshot_diff,
         "kg_density_filter": _kg_density_filter,
@@ -2497,6 +2528,19 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY pred, obj
         """,
         "kg_mention_contexts": """
+            SELECT subj, obj, mention_idx, mention, ctx_before, ctx_after
+            FROM read_parquet('/root/repo/expected/kg_contexts.parquet')
+            WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)
+            ORDER BY subj, mention_idx, obj
+        """,
+        # the fused one-pass matcher must reproduce both families exactly
+        "kg_fused_triples": """
+            SELECT subj, pred, obj, obj_label, mention, status
+            FROM read_parquet('/root/repo/expected/kg_triples.parquet')
+            WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)
+            ORDER BY subj, pred, obj
+        """,
+        "kg_fused_contexts": """
             SELECT subj, obj, mention_idx, mention, ctx_before, ctx_after
             FROM read_parquet('/root/repo/expected/kg_contexts.parquet')
             WHERE corpus_len = (SELECT SUM(LENGTH(text)) FROM documents)
