@@ -3067,3 +3067,42 @@ def test_scalar_agg_queries_emit_zero_row_when_filter_matches_nothing(
     assert len(got) == 1
     assert int(got["revenue_e4"].iloc[0]) == 0
     assert int(got["n_items"].iloc[0]) == 0
+
+
+def test_join_preserves_int64_keys_past_float53(ray_session):
+    """bucketed_hash_join regression (r5): the merge block's pandas hop
+    used to promote null-bearing int64 columns to float64, silently
+    corrupting any key past 2^53 (md5-derived 63-bit doc ids lost their
+    low bits and two DISTINCT ids merged as equal).  Keys differing only
+    below float53 resolution must join exactly."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lexmapr_ray.functions.joins import bucketed_hash_join
+
+    base = (1 << 62) + 12345
+    # pairs of ids that collide under float64 rounding
+    ids = [base, base + 1, base + 256, base + 257]
+    left = rd.from_items([{"k": i, "tag": f"L{j}"}
+                          for j, i in enumerate(ids)])
+    right = rd.from_items([{"k": i, "val": f"R{j}"}
+                           for j, i in enumerate(ids)])
+    out = bucketed_hash_join(
+        left, right, on="k",
+        left_schema=pa.schema([("k", pa.int64()), ("tag", pa.string())]),
+        right_schema=pa.schema([("k", pa.int64()), ("val", pa.string())]),
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    assert len(out) == 4, out
+    assert list(out["k"]) == sorted(ids)
+    assert list(out["tag"]) == ["L0", "L1", "L2", "L3"]
+    assert list(out["val"]) == ["R0", "R1", "R2", "R3"]
+
+    # outer join: the null-fill side is exactly where the promotion bit
+    outer = bucketed_hash_join(
+        left, rd.from_items([{"k": ids[0], "val": "R0"}]), on="k",
+        how="left",
+        left_schema=pa.schema([("k", pa.int64()), ("tag", pa.string())]),
+        right_schema=pa.schema([("k", pa.int64()), ("val", pa.string())]),
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    assert list(outer["k"]) == sorted(ids)
+    assert outer["val"].notna().sum() == 1
