@@ -113,8 +113,13 @@ def cmd_kg_ingest(args) -> int:
         pages = rd.read_parquet(paths)
         import hashlib as _hashlib
 
-        default_bid = _hashlib.md5(
-            "\0".join(paths).encode()).hexdigest()[:12]
+        # idempotency key from path + size + mtime per file — hashing
+        # paths alone would silently skip re-ingesting a crawl that
+        # OVERWROTE the same filenames with fresh data (review r5)
+        sig = "\0".join(
+            f"{p}:{os.stat(p).st_size}:{os.stat(p).st_mtime_ns}"
+            for p in paths)
+        default_bid = _hashlib.md5(sig.encode()).hexdigest()[:12]
 
     metrics = ingest_batch(
         pages,
@@ -211,7 +216,8 @@ def main(argv=None) -> int:
     ing.add_argument("--corpus", required=True,
                      help="accepted-pages corpus store dir (appended per batch)")
     ing.add_argument("--batch-id",
-                     help="idempotency key (default: md5 of the input files)")
+                     help="idempotency key (default: md5 over each input "
+                          "file's path+size+mtime)")
     ing.add_argument("--threshold", type=int, default=80,
                      help="near-dup Jaccard threshold, percent (default 80)")
     ing.add_argument("--batch-size", type=int, default=256)

@@ -203,6 +203,26 @@ def add_classification_resources(lookup_table: dict, resource_dir: str) -> dict:
     return lookup_table
 
 
+def merge_config_into_lexicon(lexicon, config: str, *, no_cache: bool = False,
+                              resolve=None, cache_dir: str | None = None):
+    """Return a NEW Lexicon with a ``--config`` ontology lookup table merged
+    in (ontology side winning conflicts) and indexes rebuilt — the one
+    shared implementation behind ``broadcast_lexicon(config=...)`` and the
+    legacy CLI's ``-c`` (review r5: the two paths had drifted copies).
+
+    The nested dicts are copied before merging: ``merge_lookup_tables``
+    mutates its first argument in place (reference parity), and a shallow
+    ``dict()`` would silently pollute the caller's lexicon while leaving
+    its built indexes stale."""
+    from lexmapr_ray.lexkit.ontology import get_config_resources
+
+    onto = get_config_resources(config, no_cache=no_cache, resolve=resolve,
+                                cache_dir=cache_dir)
+    merged = merge_lookup_tables(
+        {k: dict(v) for k, v in lexicon.table.items()}, onto)
+    return Lexicon(merged, lexicon.scientific_names).build_indexes()
+
+
 @dataclass
 class Lexicon:
     """Broadcast-ready matcher state: lookup table + acceleration indexes.

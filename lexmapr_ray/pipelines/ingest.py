@@ -83,14 +83,25 @@ def _parquet_files(root: str) -> list[str]:
 
 
 def _current_graph_files(graph_dir: str) -> list[str]:
+    """Parquet files of the published graph version.  A pointer that exists
+    but names a missing/empty version dir FAILS LOUDLY: silently returning
+    [] would make the next ingest publish a graph containing only its own
+    batch, dropping all prior history (review r5)."""
     import glob as _glob
 
     ptr = os.path.join(graph_dir, "_CURRENT")
     if not os.path.exists(ptr):
         return []
     with open(ptr) as f:
-        vdir = os.path.join(graph_dir, f.read().strip())
-    return sorted(_glob.glob(os.path.join(vdir, "*.parquet")))
+        version = f.read().strip()
+    files = sorted(_glob.glob(
+        os.path.join(graph_dir, version, "*.parquet"))) if version else []
+    if not files:
+        raise RuntimeError(
+            f"dangling graph pointer: {ptr} names {version!r} but no "
+            f"parquet found — restore the pointer to a valid version "
+            f"directory before ingesting")
+    return files
 
 
 def near_dup_gate(batch_docs, index_dir: str, corpus_dir: str,
@@ -105,13 +116,16 @@ def near_dup_gate(batch_docs, index_dir: str, corpus_dir: str,
     from lexmapr_ray.stages.dedup import (MinHasher, _auto_concurrency,
                                           _index_dedup_verdicts)
 
+    # materialize: the banding pass is the gate's dominant CPU cost and
+    # BOTH the verdict pipeline and the index append consume these rows —
+    # unmaterialized, the MinHasher stage would execute twice (review r5)
     new_banded = batch_docs.map_batches(
         lambda t: t.select(["doc_id", "text"]), batch_format="pyarrow"
     ).map_batches(
         MinHasher, batch_format="pyarrow",
         fn_constructor_kwargs={"shingle_kind": "word"},
         concurrency=_auto_concurrency(concurrency),
-    )
+    ).materialize()
     index_files = _parquet_files(index_dir)
     if not index_files:
         return None, new_banded
@@ -158,6 +172,15 @@ def ingest_batch(pages_ds, *, graph_dir: str, index_dir: str,
     if lexicon_ref is None:
         lexicon_ref = broadcast_lexicon()
 
+    # a crashed earlier attempt may have left PARTIAL parquet in the
+    # uncommitted batch dirs; clear them or the re-run would append a
+    # second copy of every row next to the stale files (review r5)
+    import shutil
+
+    for d in (cdir, idir):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+
     batch_docs = _pages_to_docs(pages_ds).materialize()
     n_in = batch_docs.count()
 
@@ -199,8 +222,14 @@ def ingest_batch(pages_ds, *, graph_dir: str, index_dir: str,
     n_triples = graph.count()
     version = f"v{int(time.time() * 1000)}_{batch_id}"
     graph.write_parquet(os.path.join(graph_dir, version))
-    with open(os.path.join(graph_dir, "_CURRENT"), "w") as f:
+    # atomic pointer flip: write-temp + os.replace — a crash mid-write
+    # must never leave a truncated/empty _CURRENT (review r5)
+    ptr_tmp = os.path.join(graph_dir, "_CURRENT.tmp")
+    with open(ptr_tmp, "w") as f:
         f.write(version)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(ptr_tmp, os.path.join(graph_dir, "_CURRENT"))
 
     # markers LAST: everything above is re-runnable until these land
     # (makedirs: write_parquet of a fully-deduped 0-row batch writes no

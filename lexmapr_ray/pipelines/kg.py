@@ -36,21 +36,12 @@ def broadcast_lexicon(lexicon=None, *, config: str | None = None, resolve=None):
     """
     import ray
 
-    from lexmapr_ray.lexkit.lexicon import Lexicon, build_lexicon, merge_lookup_tables
+    from lexmapr_ray.lexkit.lexicon import build_lexicon, merge_config_into_lexicon
 
     if lexicon is None:
         lexicon = build_lexicon()
     if config:
-        from lexmapr_ray.lexkit.ontology import get_config_resources
-
-        onto_table = get_config_resources(config, resolve=resolve)
-        # copy the NESTED dicts too: merge_lookup_tables mutates its first
-        # argument in place (reference parity), and a shallow dict() would
-        # silently pollute the caller's lexicon while leaving its built
-        # indexes stale
-        merged = merge_lookup_tables(
-            {k: dict(v) for k, v in lexicon.table.items()}, onto_table)
-        lexicon = Lexicon(merged, lexicon.scientific_names).build_indexes()
+        lexicon = merge_config_into_lexicon(lexicon, config, resolve=resolve)
     return ray.put(lexicon)
 
 

@@ -69,21 +69,24 @@ def build_legacy_lexicon(
     lookup table merged in, ontology side winning, honoring ``--no-cache``
     (reference get_config_resources(path, no_cache),
     pipeline_resources.py:74-101)."""
-    from lexmapr_ray.lexkit.lexicon import (Lexicon, build_lexicon,
-                                            merge_lookup_tables)
+    import tempfile
+
+    from lexmapr_ray.lexkit.lexicon import (build_lexicon,
+                                            merge_config_into_lexicon)
 
     lexicon = build_lexicon(classification=bucket)
     if config:
-        from lexmapr_ray.lexkit.ontology import get_config_resources
-
-        onto = get_config_resources(config, no_cache=no_cache,
-                                    resolve=resolve)
-        # nested copy: merge_lookup_tables mutates arg one in place
-        # (reference parity) — a shallow dict() would pollute the base
-        # lexicon's nested dicts while leaving its indexes stale
-        merged = merge_lookup_tables(
-            {k: dict(v) for k, v in lexicon.table.items()}, onto)
-        lexicon = Lexicon(merged, lexicon.scientific_names).build_indexes()
+        # per-config JSON cache, keyed by config basename like the
+        # reference (pipeline_resources.py:95-101); LEXMAPR_RAY_CACHE_DIR
+        # overrides the default tmp location.  --no-cache rebuilds and
+        # replaces the cached table (review r5: the flag was a no-op
+        # because no cache_dir was ever passed).
+        cache_dir = os.environ.get(
+            "LEXMAPR_RAY_CACHE_DIR",
+            os.path.join(tempfile.gettempdir(), "lexmapr_ray_onto_cache"))
+        lexicon = merge_config_into_lexicon(
+            lexicon, config, no_cache=no_cache, resolve=resolve,
+            cache_dir=cache_dir)
     return lexicon
 
 

@@ -59,7 +59,7 @@ def test_golden(golden, inp, full, bucket, lexicon):
     assert got == expected
 
 
-def test_legacy_cli_flag_parity(tmp_path, capsys):
+def test_legacy_cli_flag_parity(tmp_path, capsys, monkeypatch):
     """Reference bin/lexmapr:36-54 flag surface on legacy-run: -v prints
     the version, -c merges an ontology config into the lexicon end-to-end
     to a golden-format TSV (file:// IRI, offline seam), --no-cache is
@@ -87,13 +87,33 @@ def test_legacy_cli_flag_parity(tmp_path, capsys):
     csv_in.write_text("SampleId,Sample\ns1,coberturademozzarella\n")
     out = tmp_path / "report.tsv"
 
+    cache_dir = tmp_path / "onto_cache"
+    monkeypatch.setenv("LEXMAPR_RAY_CACHE_DIR", str(cache_dir))
     rc = cli.main(["legacy-run", str(csv_in), "-c", str(cfg),
-                   "--no-cache", "-o", str(out)])
+                   "-o", str(out)])
     assert rc == 0
     report = out.read_text()
     assert report.splitlines()[0].startswith("Sample_Id\t")
     assert "PIZZA.OWL_MOZZARELLATOPPING" in report
     assert "Full Term Match" in report
+
+    # the per-config lookup cache materialized; a poisoned cache is USED
+    # on the next -c run (proving the cache path) and --no-cache rebuilds
+    cache_file = cache_dir / "lookup_pizza_food.json"
+    assert cache_file.exists()
+    poisoned = json.loads(cache_file.read_text())
+    poisoned["standard_resource_labels"] = {}
+    poisoned["standard_resource_label_permutations"] = {}
+    poisoned["synonyms"] = {}
+    cache_file.write_text(json.dumps(poisoned))
+    rc = cli.main(["legacy-run", str(csv_in), "-c", str(cfg),
+                   "-o", str(out)])
+    assert rc == 0
+    assert "PIZZA.OWL_MOZZARELLATOPPING" not in out.read_text()
+    rc = cli.main(["legacy-run", str(csv_in), "-c", str(cfg),
+                   "--no-cache", "-o", str(out)])
+    assert rc == 0
+    assert "PIZZA.OWL_MOZZARELLATOPPING" in out.read_text()
 
     # without the config the term is NOT in the predefined lexicon
     rc = cli.main(["legacy-run", str(csv_in), "-o", str(out)])
