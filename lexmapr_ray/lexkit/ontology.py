@@ -399,6 +399,23 @@ def add_fetched_ontology_to_lookup_table(lookup_table: dict, fetched_ontology: d
     return lookup_table
 
 
+def config_cache_path(config_path: str, cache_dir: str) -> str:
+    """Cache file for a config's merged lookup table.  Keyed by basename
+    PLUS an md5 of (absolute path, file content): the reference keys by
+    basename alone (pipeline_resources.py:95-101), but in a shared cache
+    dir two different configs named ``onto.json`` would silently reuse
+    each other's table, and editing a config would never invalidate it
+    (review r5) — the content fingerprint closes both holes."""
+    import hashlib
+
+    with open(config_path, "rb") as f:
+        raw = f.read()
+    fp = hashlib.md5(
+        os.path.abspath(config_path).encode() + b"\0" + raw).hexdigest()[:12]
+    config_name = os.path.splitext(os.path.basename(config_path))[0]
+    return os.path.join(cache_dir, f"lookup_{config_name}_{fp}.json")
+
+
 def get_config_resources(
     config_path: str,
     *,
@@ -414,11 +431,10 @@ def get_config_resources(
     so earlier-listed ontologies overwrite later ones on label conflicts.
     """
     resolve = resolve or (lambda iri: iri)
-    config_name = os.path.splitext(os.path.basename(config_path))[0]
     cache_path = None
     if cache_dir:
         os.makedirs(cache_dir, exist_ok=True)
-        cache_path = os.path.join(cache_dir, f"lookup_{config_name}.json")
+        cache_path = config_cache_path(config_path, cache_dir)
         if os.path.exists(cache_path) and not no_cache:
             with open(cache_path) as f:
                 return json.load(f)

@@ -165,7 +165,16 @@ def ingest_batch(pages_ds, *, graph_dir: str, index_dir: str,
     os.makedirs(graph_dir, exist_ok=True)
     cdir = os.path.join(corpus_dir, f"batch_{batch_id}")
     idir = os.path.join(index_dir, f"batch_{batch_id}")
-    if os.path.exists(os.path.join(cdir, "_COMMITTED")):
+    # skip only when BOTH appends committed.  A crash between the two
+    # marker writes leaves corpus-committed / index-uncommitted: keying
+    # the skip on cdir alone would silently lose the batch's LSH rows
+    # forever — every later batch's near-dup gate blind to these pages
+    # (review r5).  Split-brain falls through to a full redo, which is
+    # safe: the rmtree below clears both appends and the graph merge is
+    # set-idempotent (dedup), so re-merging already-published triples is
+    # a no-op.  Single-writer assumption as documented.
+    if os.path.exists(os.path.join(cdir, "_COMMITTED")) and \
+            os.path.exists(os.path.join(idir, "_COMMITTED")):
         return {"batch_id": batch_id, "skipped": True}
 
     t0 = time.time()
@@ -173,8 +182,9 @@ def ingest_batch(pages_ds, *, graph_dir: str, index_dir: str,
         lexicon_ref = broadcast_lexicon()
 
     # a crashed earlier attempt may have left PARTIAL parquet in the
-    # uncommitted batch dirs; clear them or the re-run would append a
-    # second copy of every row next to the stale files (review r5)
+    # uncommitted (or half-committed, see the skip check) batch dirs;
+    # clear them or the re-run would append a second copy of every row
+    # next to the stale files (review r5)
     import shutil
 
     for d in (cdir, idir):
@@ -221,7 +231,26 @@ def ingest_batch(pages_ds, *, graph_dir: str, index_dir: str,
     graph = dedup_triples(merged).materialize()
     n_triples = graph.count()
     version = f"v{int(time.time() * 1000)}_{batch_id}"
-    graph.write_parquet(os.path.join(graph_dir, version))
+    version_dir = os.path.join(graph_dir, version)
+    graph.write_parquet(version_dir)
+    if n_triples == 0:
+        # write_parquet of a 0-row dataset writes NO files, so the pointer
+        # flip below would publish a version dir _current_graph_files
+        # rejects as a torn pointer, permanently bricking later ingests
+        # (review r5, reproduced).  An empty graph is a legitimate state
+        # (e.g. a first batch with no lexicon matches): materialize it as
+        # an explicit empty parquet with the triples schema.
+        import pyarrow.parquet as pq
+
+        from lexmapr_ray.stages.match import TRIPLES_SCHEMA
+
+        try:
+            sch = graph.schema().base_schema
+        except Exception:
+            sch = TRIPLES_SCHEMA
+        os.makedirs(version_dir, exist_ok=True)
+        pq.write_table(sch.empty_table(),
+                       os.path.join(version_dir, "part-empty.parquet"))
     # atomic pointer flip: write-temp + os.replace — a crash mid-write
     # must never leave a truncated/empty _CURRENT (review r5)
     ptr_tmp = os.path.join(graph_dir, "_CURRENT.tmp")

@@ -474,8 +474,9 @@ def extract_triples_and_contexts(
     (:func:`extract_triples` + :func:`mention_contexts`); the fused
     :class:`~lexmapr_ray.stages.match.FusedMatcher` actor emits both row
     families from one pass with a per-page cascade memo (~1x matcher cost
-    on short-sentence web text — measured 1.66x faster than the two
-    separate passes at 100k pages / 32 CPUs, BASELINE.md).
+    on short-sentence web text — measured 2.84x faster than the two
+    separate passes at 100k pages / 32 CPUs, BASELINE.md: shared cascade
+    runs plus one actor-pool spin-up instead of two).
 
     The tagged union is materialized ONCE so the two filtered views don't
     re-execute the matcher; the materialized rows are extraction OUTPUT

@@ -99,7 +99,11 @@ def test_legacy_cli_flag_parity(tmp_path, capsys, monkeypatch):
 
     # the per-config lookup cache materialized; a poisoned cache is USED
     # on the next -c run (proving the cache path) and --no-cache rebuilds
-    cache_file = cache_dir / "lookup_pizza_food.json"
+    import pathlib
+
+    from lexmapr_ray.lexkit.ontology import config_cache_path
+
+    cache_file = pathlib.Path(config_cache_path(str(cfg), str(cache_dir)))
     assert cache_file.exists()
     poisoned = json.loads(cache_file.read_text())
     poisoned["standard_resource_labels"] = {}

@@ -273,14 +273,49 @@ def test_prioritisation_pizza_two_first():
 
 
 def test_cache_roundtrip(tmp_path):
+    from lexmapr_ray.lexkit.ontology import config_cache_path
+
     cfg = os.path.join(CFG_DIR, "bfo_material_entity.json")
     t1 = get_config_resources(cfg, cache_dir=str(tmp_path), resolve=_resolve)
-    assert os.path.exists(tmp_path / "lookup_bfo_material_entity.json")
+    assert os.path.exists(config_cache_path(cfg, str(tmp_path)))
     assert os.path.exists(tmp_path / "bfo.json")  # fetched-ontology cache
     t2 = get_config_resources(cfg, cache_dir=str(tmp_path), resolve=_resolve)
     assert t1 == t2
     t3 = get_config_resources(cfg, cache_dir=str(tmp_path), no_cache=True, resolve=_resolve)
     assert t1 == t3
+
+
+def test_cache_no_basename_collision(tmp_path):
+    """Two configs with the SAME basename but different content must not
+    reuse each other's cached lookup table, and editing a config in place
+    must invalidate its cache (review r5: basename-only keying silently
+    served the wrong ontology)."""
+    import shutil
+
+    from lexmapr_ray.lexkit.ontology import config_cache_path
+
+    a_dir, b_dir = tmp_path / "projA", tmp_path / "projB"
+    a_dir.mkdir(), b_dir.mkdir()
+    shutil.copy(os.path.join(CFG_DIR, "bfo_material_entity.json"),
+                a_dir / "onto.json")
+    shutil.copy(os.path.join(CFG_DIR, "pizza_spiciness.json"),
+                b_dir / "onto.json")
+    cache = tmp_path / "cache"
+    ta = get_config_resources(str(a_dir / "onto.json"),
+                              cache_dir=str(cache), resolve=_resolve)
+    tb = get_config_resources(str(b_dir / "onto.json"),
+                              cache_dir=str(cache), resolve=_resolve)
+    assert ta != tb  # distinct ontologies, distinct cache entries
+    assert config_cache_path(str(a_dir / "onto.json"), str(cache)) != \
+        config_cache_path(str(b_dir / "onto.json"), str(cache))
+    # in-place edit -> new fingerprint -> cache miss, fresh build
+    before = config_cache_path(str(a_dir / "onto.json"), str(cache))
+    shutil.copy(b_dir / "onto.json", a_dir / "onto.json")
+    after = config_cache_path(str(a_dir / "onto.json"), str(cache))
+    assert before != after
+    ta2 = get_config_resources(str(a_dir / "onto.json"),
+                               cache_dir=str(cache), resolve=_resolve)
+    assert ta2 == tb
 
 
 def test_config_fetches_through_file_uri_seam(tmp_path):

@@ -192,3 +192,83 @@ def test_two_batch_cli_ingest_equals_full_graph(ray_session, lexicon,
     assert mdup["near_dup_dropped"] == 1
     assert mdup["pages_accepted"] == 0
     assert mdup["graph_triples"] == n_after_two
+
+
+def _tiny_pages_ds(rows):
+    import pyarrow as pa
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "url": pa.array([r[0] for r in rows], pa.string()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array(["en"] * len(rows), pa.string()),
+    }))
+
+
+def test_empty_graph_batch_not_dangling(ray_session, lexicon_ref, tmp_path):
+    """A batch yielding ZERO triples (no lexicon matches) must publish a
+    readable empty graph version, not a dangling _CURRENT pointer that
+    bricks every later ingest (review r5, reproduced pre-fix:
+    write_parquet of a 0-row dataset writes no files, so the pointer
+    named a parquet-less dir and _current_graph_files raised)."""
+    import ray.data as rd
+
+    from lexmapr_ray.pipelines.ingest import ingest_batch
+
+    dirs = dict(graph_dir=str(tmp_path / "g"), index_dir=str(tmp_path / "i"),
+                corpus_dir=str(tmp_path / "c"))
+    m0 = ingest_batch(_tiny_pages_ds([("doc://e0", "zzz qqq xyzzy plugh")]),
+                      batch_id="b0", lexicon_ref=lexicon_ref, **dirs)
+    assert m0["graph_triples"] == 0
+    cur = (tmp_path / "g" / "_CURRENT").read_text().strip()
+    empty = rd.read_parquet(str(tmp_path / "g" / cur))
+    assert empty.count() == 0
+    assert "subj" in empty.schema().names
+
+    # the follow-up batch must ingest cleanly on top of the empty graph
+    m1 = ingest_batch(_tiny_pages_ds([("doc://e1", "chicken breast")]),
+                      batch_id="b1", lexicon_ref=lexicon_ref, **dirs)
+    assert not m1["skipped"]
+    assert m1["graph_triples"] > 0
+
+
+def test_half_committed_batch_redone(ray_session, lexicon_ref, tmp_path):
+    """A crash between the corpus and index _COMMITTED marker writes must
+    NOT be treated as a completed batch: keying the idempotency skip on
+    the corpus marker alone would silently lose the batch's LSH index
+    rows, leaving the near-dup gate blind to its pages forever (review
+    r5).  The re-run redoes the batch (graph merge is set-idempotent) and
+    restores the index; a later near-duplicate is then caught."""
+    import glob
+    import os
+
+    from lexmapr_ray.pipelines.ingest import ingest_batch
+
+    dirs = dict(graph_dir=str(tmp_path / "g"), index_dir=str(tmp_path / "i"),
+                corpus_dir=str(tmp_path / "c"))
+    text = "chicken breast with apple and celery sticks"
+    m0 = ingest_batch(_tiny_pages_ds([("doc://h0", text)]),
+                      batch_id="b0", lexicon_ref=lexicon_ref, **dirs)
+    n_triples = m0["graph_triples"]
+    assert n_triples > 0
+
+    # simulate the crash window: index marker never landed
+    os.remove(str(tmp_path / "i" / "batch_b0" / "_COMMITTED"))
+
+    m0b = ingest_batch(_tiny_pages_ds([("doc://h0", text)]),
+                       batch_id="b0", lexicon_ref=lexicon_ref, **dirs)
+    assert not m0b["skipped"]  # split-brain is a redo, not a skip
+    assert m0b["graph_triples"] == n_triples  # set-idempotent merge
+    assert os.path.exists(str(tmp_path / "i" / "batch_b0" / "_COMMITTED"))
+    assert glob.glob(str(tmp_path / "i" / "batch_b0" / "*.parquet"))
+
+    # the restored index must catch a near-duplicate under a fresh url
+    m1 = ingest_batch(_tiny_pages_ds([("doc://h999", text)]),
+                      batch_id="b1", lexicon_ref=lexicon_ref, **dirs)
+    assert m1["near_dup_dropped"] == 1
+    assert m1["pages_accepted"] == 0
+
+    # and a fully-committed batch still idempotent-skips
+    m0c = ingest_batch(_tiny_pages_ds([("doc://h0", text)]),
+                       batch_id="b0", lexicon_ref=lexicon_ref, **dirs)
+    assert m0c["skipped"]
